@@ -1,0 +1,3 @@
+"""Query modules — importing this package registers every query."""
+
+from anime_data_pipeline_spark.queries import relational  # noqa: F401

@@ -1,0 +1,645 @@
+"""Relational operator suite over the TPC-H-ish test tables.
+
+Each query exercises one or more operators from SURVEY.md §2 (the
+reference's dict-lookup joins, hand-rolled aggregations, filters, sorts
+and set ops), re-expressed as idiomatic Spark DataFrame plans. Reference
+provenance is cited per query (file:line in /root/reference).
+
+Scale notes (100 TB design):
+- dimension tables (region/nation/customer/supplier/part) are broadcast —
+  no shuffle on the fact side;
+- aggregations rely on Spark's partial/final hash agg (the reference
+  folds worker dicts by hand, bucket_manager.py:213-226);
+- top-k per group uses window + row_number (shuffle by group key only);
+- AQE handles skew/coalesce at runtime (enabled in session.py).
+
+Floating-point convention: per-row arithmetic is left unrounded (IEEE
+ops are bit-identical across engines); aggregates are rounded with
+``dround`` (see functions/compat.py) identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround
+from anime_data_pipeline_spark.registry import register
+
+# DuckDB-side spelling of dround (functions/compat.py): identical IEEE ops.
+_R2 = "floor(({}) * 100.0 + 0.5) / 100.0"
+_R4 = "floor(({}) * 10000.0 + 0.5) / 10000.0"
+
+# DuckDB fragment extracting the integer `k` from events.props JSON strings
+# (kept outside the f-string: py3.11 forbids backslashes in expressions).
+_K_EXPR = "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY A1-A4): the reference's hand-rolled partial/final
+# count-merge (bucket_manager.py:213-226) generalized to a TPC-H Q1-shaped
+# pricing summary. Spark does partial+final hash agg automatically.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_R2.format("sum(l_quantity)")}                                       AS sum_qty,
+           {_R2.format("sum(l_extendedprice)")}                                  AS sum_base_price,
+           {_R2.format("sum(l_extendedprice * (1 - l_discount))")}               AS sum_disc_price,
+           {_R2.format("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+           {_R4.format("avg(l_quantity)")}                                       AS avg_qty,
+           {_R4.format("avg(l_extendedprice)")}                                  AS avg_price,
+           {_R4.format("avg(l_discount)")}                                       AS avg_disc,
+           count(*)                                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection (SURVEY P5 aesthetic threshold, run.py:87-88; P1 key
+# derivation). Predicate + column pruning reach the parquet scan. Per-row
+# product left unrounded: bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_threshold_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_discount > 0.05
+    """,
+)
+def q02_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 45) & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inner equi-join + group agg (SURVEY J2: metadata ⋈ aesthetic scores,
+# run.py:78-91). Customer is a dimension → broadcast, no fact shuffle
+# for the join itself.
+# ---------------------------------------------------------------------------
+@register(
+    "q03_inner_join_agg",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*)                                AS n_orders,
+           {_R2.format("sum(o.o_totalprice)")}     AS total_revenue,
+           {_R4.format("avg(o.o_totalprice)")}     AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q03_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            dround(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left join with null handling (SURVEY J1: metadata ⋈ sidecar tags,
+# run.py:46-68 — lookup that may miss → left join + coalesce).
+# ---------------------------------------------------------------------------
+@register(
+    "q04_left_join_nulls",
+    oracle=f"""
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                                  AS n_orders,
+           {_R2.format("coalesce(sum(o.o_totalprice), 0)")}     AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q04_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join — membership keep (SURVEY P8: `image_name in aesthetic_scores`,
+# run.py:83-85). Spark left_semi = EXISTS without duplication.
+# ---------------------------------------------------------------------------
+@register(
+    "q05_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = orders.filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Anti join — membership drop + error count (SURVEY P8/J2: the reference
+# counts keys missing from the aesthetic table, run.py:83-85,90).
+# ---------------------------------------------------------------------------
+@register(
+    "q06_anti_join_count",
+    oracle=f"""
+    SELECT count(*) AS n_customers_without_orders,
+           {_R2.format("coalesce(sum(c_acctbal), 0)")} AS missing_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q06_anti_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers_without_orders"),
+            dround(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("missing_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union + last-write-wins dedup (SURVEY J3/U2: multi-file aesthetic union
+# with dict-overwrite semantics, run.py:72-76). Python's implicit
+# insertion-order overwrite becomes an explicit row_number over file order.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_union_dedup_last_wins",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, 0 AS file_idx FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 1 AS file_idx FROM orders WHERE o_totalprice > 150000
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_idx DESC) AS rn
+      FROM src
+    )
+    SELECT o_orderkey, o_totalprice, file_idx FROM ranked WHERE rn = 1
+    """,
+)
+def q07_union_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    src0 = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("file_idx", F.lit(0))
+    )
+    src1 = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("file_idx", F.lit(1))
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.col("file_idx").desc())
+    return (
+        src0.unionByName(src1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation audit (SURVEY P9/A3: count records missing
+# tags/caption, merge_all_to_metadata.py:111-129) → sum(when(...)).
+# ---------------------------------------------------------------------------
+@register(
+    "q08_conditional_audit",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)                                                               AS n_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)   AS n_finished,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           {_R4.format("avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)")} AS avg_finished_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q08_conditional_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_large"),
+        dround(
+            F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4
+        ).alias("avg_finished_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct projection (SURVEY A5: global `list(set(...))`,
+# prepare_aesthetic_tags_metadata.py:25-26) over a broadcast dim join.
+# ---------------------------------------------------------------------------
+@register(
+    "q09_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c.c_mktsegment, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q09_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global top-k (SURVEY O6 limit-N + O4 sort: merge_final_train_metadata.py:19-20).
+# Deterministic total order (price desc, key asc) so row membership is
+# engine-independent. Spark pushes the limit into a TakeOrdered.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q10_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group via window (SURVEY O4: per-row sort by confidence,
+# run.py:102-104, generalized to partitioned rank). Shuffles once on the
+# group key; row_number prunes before any further join.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmin / argmax per group (SURVEY J8/O7: nearest-bucket argmin,
+# bucket_manager.py:108-110 — the relational shape is "1 row per group by
+# extreme value", deterministic tiebreak like np.argmin's first-index).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_argmax_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def q12_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join (SURVEY J4 + J7 composition; TPC-H Q5 shape).
+# region/nation/customer broadcast → the only shuffle is the final groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_star_join_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {_R2.format("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q13_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal truncation group-by (extension surface; the reference has no
+# date functions — SURVEY §2.7 note).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_monthly_orders",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*)                         AS n_orders,
+           {_R2.format("sum(o_totalprice)")} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q14_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_month", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets (extension; native in both engines).
+# grouping_id distinguishes subtotal rows from genuine NULL keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INTEGER) AS gid,
+           count(*)                           AS n,
+           {_R2.format("sum(l_quantity)")}    AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (
+            F.grouping("l_returnflag").cast("int")
+            + F.lit(2) * F.grouping("l_linestatus").cast("int")
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (extension; manual conditional agg keeps both engines identical).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_R2.format("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)")} AS qty_o,
+           {_R2.format("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)")} AS qty_f,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q16_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_o"),
+        dround(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_f"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String/array pipeline (SURVEY P2/P3/F1-F4: rating/tag split + tokenize +
+# trim + drop-empties + distinct + join back to string, run.py:58-63).
+# Applied to `documents.text` since that's the driver's text table.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_tokenize_normalize",
+    oracle="""
+    SELECT doc_id,
+           len(tokens)                                         AS n_tokens,
+           len(list_distinct(tokens))                          AS n_distinct,
+           array_to_string(list_sort(list_distinct(tokens))[1:3], ',') AS first3
+    FROM (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(replace(text, '_', ' '), ' '),
+                                        x -> trim(x)),
+                         x -> x <> '') AS tokens
+      FROM documents
+    )
+    """,
+)
+def q17_tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.transform(
+            F.split(F.regexp_replace(F.col("text"), "_", " "), " "),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(tokens)), 1, 3)).alias(
+            "first3"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction (SURVEY F5/F8: regex find over tag strings,
+# merge_all_to_metadata.py:58-100) against the events.props JSON strings.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_regex_extract",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {_R4.format("avg(" + _K_EXPR + ")")} AS avg_k,
+           max({_K_EXPR})                       AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q18_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (streaming extension surface in batch form —
+# SURVEY §2.9 note; lag + gap + cumulative session id). Microsecond
+# arithmetic keeps both engines' gap comparisons identical.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, {_R2.format("sum(value)")} AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.withColumn(
+            "new_session",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wsum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation in batch (streaming extension surface;
+# the batch-equivalent of groupBy(window(ts, '5 minutes'))). Window start
+# computed by integer micros arithmetic so both engines bucket identically.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_tumbling_window",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+           event_type,
+           count(*)                  AS n,
+           {_R2.format("sum(value)")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket_us = (F.unix_micros(F.col("ts")) / F.lit(300_000_000)).cast("long") * F.lit(
+        300_000_000
+    )
+    return (
+        events.withColumn("window_start", F.timestamp_micros(bucket_us))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+    )

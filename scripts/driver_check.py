@@ -1,0 +1,83 @@
+"""Simulate the driver's correctness gate locally.
+
+Runs ``entry(spark)`` as a smoke check, then every ``queries()`` entry
+at the given sf dir side-by-side with its ``oracle_sql()`` in DuckDB,
+comparing row count, column names, and (order-insensitively) values.
+
+Usage: python scripts/driver_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    import __spark_entry__ as ent
+    from anime_data_pipeline_spark.catalog import TABLES
+    from anime_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="driver_check")
+
+    res = ent.entry(spark)
+    rows = res.collect()
+    print(f"entry(): {len(rows)} rows, schema={res.columns}")
+    assert len(rows) >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name in sorted(qs):
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"  {name}: rows-only ({n} rows)")
+                n_rows_only += 1
+                continue
+            a = norm(sdf.toPandas())
+            e = norm(con.execute(oracles[name]).fetch_df())
+            assert list(a.columns) == list(e.columns), (
+                f"cols {list(a.columns)} vs {list(e.columns)}"
+            )
+            assert len(a) == len(e), f"rows {len(a)} vs {len(e)}"
+            for c in a.columns:
+                if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(e[c]):
+                    diff = (a[c].astype(float) - e[c].astype(float)).abs().max()
+                    assert not (diff > 1e-9), f"col {c} max diff {diff}"
+                else:
+                    sa = a[c].astype(str).where(a[c].notna(), "<null>")
+                    se = e[c].astype(str).where(e[c].notna(), "<null>")
+                    bad = (sa != se).sum()
+                    assert bad == 0, f"col {c}: {bad} mismatched values"
+            print(f"  {name}: OK ({len(a)} rows)")
+            n_pass += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"  {name}: FAIL — {exc}")
+            n_fail += 1
+    print(f"\n{n_pass} oracle-match, {n_rows_only} rows-only, {n_fail} FAIL at {SF_DIR}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
