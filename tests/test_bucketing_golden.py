@@ -1,0 +1,93 @@
+"""Golden + property tests for the bucketing expression library:
+the Spark column expressions must agree exactly with the pure-Python
+executable spec (select_bucket_py) on a dense grid of edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from anime_data_pipeline_spark.operators.bucketing import (
+    BucketConfig,
+    assign_bucket_columns,
+    crop_ltrb_columns,
+    crop_ltrb_py,
+    make_bucket_resolutions,
+    select_bucket_py,
+)
+
+# Edge cases: extreme ARs, exact predefined resos, squares, tiny, huge,
+# odd sizes, just-above/below max_area.
+CASES = [
+    (64, 2048), (2048, 64), (1024, 1024), (832, 1216), (1216, 832),
+    (512, 512), (513, 511), (1023, 1025), (100, 100), (3000, 2000),
+    (2000, 3000), (4096, 4096), (65, 4095), (767, 1367), (1366, 768),
+    (640, 480), (1920, 1080), (300, 300), (256, 256), (2048, 2048),
+    (999, 1001), (1025, 1023), (896, 1152), (1152, 896), (127, 911),
+]
+
+
+@pytest.fixture(scope="module", params=[False, True], ids=["upscale", "no_upscale"])
+def cfg(request):
+    return BucketConfig(no_upscale=request.param)
+
+
+def test_make_bucket_resolutions_properties():
+    cfg = BucketConfig()
+    resos = make_bucket_resolutions(cfg)
+    assert resos == sorted(set(resos))
+    for w, h in resos:
+        assert w % cfg.reso_steps == 0 and h % cfg.reso_steps == 0
+        if (w, h) != (1024, 1024):
+            assert cfg.min_size <= w <= cfg.max_size
+    # transpose symmetry (bucket_manager.py:21-22)
+    assert all((h, w) in set(resos) for w, h in resos)
+    assert (1024, 1024) in resos
+
+
+def test_bucket_columns_match_python_spec(spark, cfg):
+    rows = [(i, w, h) for i, (w, h) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "image_key int, width int, height int")
+    got = {
+        r["image_key"]: r
+        for r in assign_bucket_columns(df, cfg=cfg).collect()
+    }
+    for i, (w, h) in enumerate(CASES):
+        exp = select_bucket_py(w, h, cfg)
+        act = got[i]
+        for k, v in exp.items():
+            if k == "ar_error":
+                assert act[k] == pytest.approx(v, abs=0, rel=0), (w, h, k)
+            else:
+                assert act[k] == v, (w, h, k, act[k], v)
+
+
+def test_upscale_invariant_resized_covers_bucket(spark):
+    """bucket_manager.py:200 — resized size must cover the bucket."""
+    cfg = BucketConfig()
+    rows = [(i, w, h) for i, (w, h) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "image_key int, width int, height int")
+    for r in assign_bucket_columns(df, cfg=cfg).collect():
+        assert r["resized_w"] >= r["bucket_w"]
+        assert r["resized_h"] >= r["bucket_h"]
+
+
+def test_noupscale_invariants(spark):
+    cfg = BucketConfig(no_upscale=True)
+    rows = [(i, w, h) for i, (w, h) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "image_key int, width int, height int")
+    for r in assign_bucket_columns(df, cfg=cfg).collect():
+        assert r["bucket_w"] % cfg.reso_steps == 0
+        assert r["bucket_h"] % cfg.reso_steps == 0
+        assert r["bucket_w"] <= r["resized_w"]
+        assert r["bucket_h"] <= r["resized_h"]
+
+
+def test_crop_ltrb_matches_python_spec(spark):
+    cfg = BucketConfig()
+    rows = [(i, w, h) for i, (w, h) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "image_key int, width int, height int")
+    assigned = assign_bucket_columns(df, cfg=cfg)
+    for r in crop_ltrb_columns(assigned).collect():
+        exp = crop_ltrb_py(r["bucket_w"], r["bucket_h"], r["width"], r["height"])
+        act = (r["crop_left"], r["crop_top"], r["crop_right"], r["crop_bottom"])
+        assert act == pytest.approx(exp, abs=0, rel=0), (r["width"], r["height"])
