@@ -1,0 +1,53 @@
+"""Cross-engine deterministic hashing primitives.
+
+Spark's ``hash()`` (Murmur3) and DuckDB's ``hash()`` are different
+functions, so oracle-checked dedup/similarity operators use an explicit
+31-base polynomial rolling hash mod p — plain integer arithmetic that
+is bit-identical in any engine (and cheap under whole-stage codegen).
+
+h(s) = fold(chars(s), 0, (acc, c) -> (acc * 31 + codepoint(c)) mod P)
+
+MinHash permutations are the classic (a*h + b) mod P family with fixed
+deterministic constants (no runtime randomness — reproducible runs and
+resumable pipelines at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+_A_SEED = 2_654_435_761
+_B_SEED = 40_503
+
+
+def perm_constants(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for the permutation family."""
+    return [((_A_SEED * (i + 1)) % P, (_B_SEED * (i + 7) + 1) % P) for i in range(k)]
+
+
+def polyhash(col: Column) -> Column:
+    """Polynomial rolling hash of a string column → long in [0, P)."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(P),
+    )
+
+
+def polyhash_sql(expr: str) -> str:
+    """The identical hash as DuckDB SQL text."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {P})"
+    )
+
+
+def perm_hash(h: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * h + F.lit(b)) % F.lit(P)
+
+
+def perm_hash_sql(h_expr: str, a: int, b: int) -> str:
+    return f"(({a} * {h_expr} + {b}) % {P})"

@@ -1,0 +1,180 @@
+"""Deduplication operators for large text corpora (LLM-pipeline
+extension surface; BASELINE.json north_star).
+
+Four strategies, each with a different scale/recall tradeoff:
+
+- **exact**: hash-groupBy on content. One shuffle on the group key;
+  at 100 TB group by a 64-bit content hash instead of raw text so the
+  shuffle carries 8 bytes/row, and map-side partial aggregation
+  collapses most duplicates before the exchange.
+- **MinHash + LSH** (near-dup): shingle → k-permutation signature →
+  band buckets → equi-join candidates → exact-Jaccard verify. The only
+  shuffles are the band-bucket join (keys are (band_idx, band_hash) —
+  high cardinality, well distributed) and the verify join. This is the
+  standard sub-quadratic near-dup design; tune (k, bands) for the
+  target similarity threshold.
+- **SimHash**: 30-bit fingerprint from token hashes; near-dups differ
+  in few bits. Map-only fingerprinting; candidate generation by equal
+  fingerprint (or banded fingerprint pieces).
+- **n-gram Jaccard** (exact pairwise within candidate set): explode
+  distinct shingles → self-equi-join → count intersections → filter by
+  Jaccard. Quadratic in the worst case — ALWAYS gate it behind
+  blocking (LSH bands, shared-shingle, or metadata partitions) at
+  scale; a max-document-frequency cap on shingles bounds hot keys.
+
+All hashes are the cross-engine polynomial family (functions/hashing)
+so every operator is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.functions.hashing import P, perm_constants, polyhash
+from anime_data_pipeline_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content; report copy counts."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_hash_col(text: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes for a text column (the dedup unit set)."""
+    return F.array_distinct(F.transform(shingles(tokens(text), n), polyhash))
+
+
+def minhash_signature(hashes: Column, k: int = 12) -> Column:
+    """k-permutation MinHash signature (null entries when no shingles)."""
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P))
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in perm_constants(k)])
+
+
+def band_values(sig: Column, bands: int, rows: int) -> Column:
+    """Fold each band of the signature into one bucket value."""
+    cols = []
+    for j in range(bands):
+        v = sig.getItem(j * rows)
+        for r in range(1, rows):
+            v = v * F.lit(31) + sig.getItem(j * rows + r)
+        cols.append(v)
+    return F.array(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact verified Jaccard.
+
+    Plan shape: map (shingle+sign) → explode bands → self-equi-join on
+    (band_idx, band_value) → distinct candidate pairs → join back the
+    shingle-hash sets → exact Jaccard filter. Sub-quadratic: only
+    bucket-colliding pairs are ever compared.
+    """
+    rows = k // bands
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        shingle_hash_col(F.col(text_col), n).alias("hashes"),
+    ).withColumn("sig", minhash_signature(F.col("hashes"), k))
+    exploded = hashed.select(
+        "doc", F.posexplode(band_values(F.col("sig"), bands, rows)).alias("band_idx", "band_val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sets = hashed.select("doc", "hashes")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.col("ha")) + F.size(F.col("hb")) - inter
+    return (
+        cand.join(sets.select(F.col("doc").alias("id_a"), F.col("hashes").alias("ha")), "id_a")
+        .join(sets.select(F.col("doc").alias("id_b"), F.col("hashes").alias("hb")), "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 30) -> Column:
+    """SimHash fingerprint over token hashes (multiset — repeats count).
+
+    bit b of the fingerprint is set when the signed sum of token-hash
+    bit-b indicators is positive. 30 bits because the polyhash range is
+    [0, P) < 2^30."""
+    h = F.transform(tokens(text), polyhash)
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    terms = []
+    for b in range(bits):
+        terms.append(F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via shared-shingle blocking.
+
+    ``max_df`` drops shingles occurring in more than that many docs —
+    the standard hot-key bound (a shingle shared by 1M docs would
+    otherwise produce 10^12 candidate pairs)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
+        sh = sh.join(F.broadcast(rare), "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,3 +1,8 @@
 """Query modules — importing this package registers every query."""
 
-from anime_data_pipeline_spark.queries import bucketing_q, relational, tags_q  # noqa: F401
+from anime_data_pipeline_spark.queries import (  # noqa: F401
+    bucketing_q,
+    dedup_q,
+    relational,
+    tags_q,
+)

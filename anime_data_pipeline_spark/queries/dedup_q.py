@@ -1,0 +1,217 @@
+"""Deduplication queries for the correctness gate (LLM-pipeline
+extension surface; SURVEY.md §2 extensions + U2 key-dedup,
+run.py:75 / merge_all_to_metadata.py:142-151 generalized to corpus
+scale).
+
+The `documents` test table contains no duplicates, so every query runs
+over a deterministic *mutated corpus*: the base table unioned with
+exact copies (doc_id % 3) and near-duplicate copies with appended
+tokens (doc_id % 5). Both engines build the identical corpus, so every
+dedup operator is fully oracle-checked — including the LSH banding,
+which is reproduced band-for-band in DuckDB SQL.
+
+All hashing is the cross-engine polynomial family (functions/hashing):
+bit-identical in Spark and DuckDB, no engine-native hash() anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.hashing import (
+    perm_constants,
+    perm_hash_sql,
+    polyhash,
+    polyhash_sql,
+)
+from anime_data_pipeline_spark.functions.text import shingles_sql, tokens_sql
+from anime_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from anime_data_pipeline_spark.registry import register
+
+# LSH configuration shared by the Spark plan and the DuckDB oracle.
+_K, _BANDS, _NGRAM, _THRESH = 12, 4, 3, 0.5
+_ROWS = _K // _BANDS
+
+_NEARDUP_SUFFIX = " qq ww ee rr"
+
+_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || '{_NEARDUP_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base documents + exact copies (1/3) + near-dup copies (1/5)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy. The shuffle key is the 64-bit content hash,
+# not the raw text — at 100 TB the exchange carries 8 bytes/row and
+# map-side partial agg collapses most copies before the wire.
+# ---------------------------------------------------------------------------
+@register(
+    "q31_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    hashed AS (SELECT doc_id, {polyhash_sql("text")} AS content_hash FROM corpus)
+    SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM hashed GROUP BY content_hash
+    """,
+)
+def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir).withColumn(
+        "content_hash", polyhash(F.col("text"))
+    )
+    return exact_dedup(corpus, ["content_hash"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup. The DuckDB oracle reproduces the exact same
+# shingle→signature→band→join→verify pipeline, so hash-match means the
+# banding itself is correct, not just the final Jaccard filter.
+# ---------------------------------------------------------------------------
+def _hashed_cte() -> str:
+    """corpus → tok → shg → hashed(doc, hashes) CTE prefix."""
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    shg AS (SELECT doc, {shingles_sql("toks", _NGRAM)} AS shs FROM tok),
+    hashed AS (SELECT doc,
+                      list_distinct(list_transform(shs, s -> {polyhash_sql("s")}))
+                      AS hashes
+               FROM shg)
+    """
+
+
+def _sig_item_sql(i: int) -> str:
+    a, b = perm_constants(_K)[i]
+    return f"list_min(list_transform(hashes, h -> {perm_hash_sql('h', a, b)}))"
+
+
+def _band_rows_sql() -> str:
+    """UNION ALL over bands: (doc, band_idx, band_val)."""
+    selects = []
+    for j in range(_BANDS):
+        v = f"sig[{j * _ROWS + 1}]"
+        for r in range(1, _ROWS):
+            v = f"(({v}) * 31 + sig[{j * _ROWS + r + 1}])"
+        selects.append(f"SELECT doc, {j} AS band_idx, {v} AS band_val FROM sigs")
+    return " UNION ALL ".join(selects)
+
+
+_MINHASH_ORACLE = f"""
+    {_hashed_cte()},
+    sigs AS (SELECT doc, hashes,
+                    [{", ".join(_sig_item_sql(i) for i in range(_K))}] AS sig
+             FROM hashed),
+    bands AS ({_band_rows_sql()}),
+    cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc < b.doc),
+    verified AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+               / (len(ha.hashes) + len(hb.hashes)
+                  - len(list_intersect(ha.hashes, hb.hashes))) AS jaccard
+      FROM cand
+      JOIN hashed ha ON ha.doc = cand.id_a
+      JOIN hashed hb ON hb.doc = cand.id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_THRESH}
+"""
+
+
+@register("q32_minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
+def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS, threshold=_THRESH
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: full-table parity on the 30-bit fingerprint is a
+# stronger check than any pair query built on top of it.
+# ---------------------------------------------------------------------------
+def _simhash_term_sql(b: int) -> str:
+    ind = f"CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END"
+    return (
+        f"CASE WHEN list_sum(list_transform(th, x -> {ind})) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM corpus),
+    th AS (SELECT doc_id,
+                  list_transform(toks, t -> {polyhash_sql("t")}) AS th
+           FROM tok)
+    SELECT doc_id,
+           CAST({" + ".join(_simhash_term_sql(b) for b in range(30))} AS BIGINT)
+             AS fingerprint
+    FROM th
+"""
+
+
+@register("q33_simhash_fingerprint", oracle=_SIMHASH_ORACLE)
+def q33_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir)
+    return corpus.select("doc_id", simhash(F.col("text"), bits=30).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with shared-shingle blocking + max-document-frequency
+# cap (the hot-key bound: a shingle in every doc would otherwise drive a
+# quadratic join). Semantics = Jaccard over the *rare* shingle sets —
+# mirrored exactly in the oracle.
+# ---------------------------------------------------------------------------
+_NJ_N, _NJ_THRESH, _NJ_MAXDF = 2, 0.6, 25
+
+_NGRAM_ORACLE = f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    shg AS (SELECT doc, {shingles_sql("toks", _NJ_N)} AS shs FROM tok),
+    ex AS (SELECT doc, unnest(shs) AS sh FROM shg),
+    rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= {_NJ_MAXDF}),
+    kept AS (SELECT ex.doc, ex.sh FROM ex JOIN rare USING (sh)),
+    sizes AS (SELECT doc, count(*) AS sz FROM kept GROUP BY doc),
+    inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc < b.doc
+              GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc = inter.id_a
+      JOIN sizes sb ON sb.doc = inter.id_b)
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {_NJ_THRESH}
+"""
+
+
+@register("q34_ngram_jaccard_neardup", oracle=_NGRAM_ORACLE)
+def q34_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=_NJ_N, threshold=_NJ_THRESH, max_df=_NJ_MAXDF
+    )
