@@ -51,3 +51,39 @@ def perm_hash(h: Column, a: int, b: int) -> Column:
 
 def perm_hash_sql(h_expr: str, a: int, b: int) -> str:
     return f"(({a} * {h_expr} + {b}) % {P})"
+
+
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """n-token shingle hashes folded from a token-hash array: the hash
+    of shingle i is ``fold(th[i..i+n-1], (acc, t) -> (acc*31 + t) % P)``
+    (first element taken as-is). O(n) per shingle from precomputed token
+    hashes — ~10× cheaper than re-hashing each shingle's characters.
+
+    ``th`` MUST be a materialized column attribute (withColumn), not a
+    nested expression: it is referenced per shingle element and a nested
+    expression would be re-evaluated at each reference.
+    """
+    size = F.size(th)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+
+    def mk(i: Column) -> Column:
+        v = F.element_at(th, i)
+        for j in range(1, n):
+            v = (v * 31 + F.element_at(th, i + F.lit(j))) % F.lit(P)
+        return v
+
+    return F.when(size >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def shingle_hashes_sql(th_expr: str, n: int = 3) -> str:
+    """The identical shingle-hash fold as DuckDB SQL (1-based lists)."""
+    v = f"{th_expr}[i]"
+    for j in range(1, n):
+        v = f"((({v}) * 31 + {th_expr}[i + {j}]) % {P})"
+    return (
+        f"CASE WHEN len({th_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({th_expr}) - {n - 1}), i -> {v}) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )

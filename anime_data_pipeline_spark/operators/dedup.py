@@ -31,8 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.hashing import P, perm_constants, polyhash
-from anime_data_pipeline_spark.functions.text import shingles, tokens
+from anime_data_pipeline_spark.functions.hashing import (
+    P,
+    perm_constants,
+    polyhash,
+    shingle_hashes,
+)
+from anime_data_pipeline_spark.functions.text import tokens
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -43,9 +48,21 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
-def shingle_hash_col(text: Column, n: int = 3) -> Column:
-    """Distinct shingle hashes for a text column (the dedup unit set)."""
-    return F.array_distinct(F.transform(shingles(tokens(text), n), polyhash))
+def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, hashes) — distinct n-token shingle hashes per document.
+
+    Tokens are hashed once per row (materialized column), then shingle
+    hashes are folded from the token-hash array in O(n) each — the
+    hot-path cost is linear in tokens, not shingle characters.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(tokens(F.col(text_col)), polyhash).alias("_th"),
+        )
+        .withColumn("hashes", F.array_distinct(shingle_hashes(F.col("_th"), n)))
+        .select("doc", "hashes")
+    )
 
 
 def minhash_signature(hashes: Column, k: int = 12) -> Column:
@@ -86,10 +103,15 @@ def minhash_lsh_pairs(
     bucket-colliding pairs are ever compared.
     """
     rows = k // bands
-    hashed = df.select(
-        F.col(id_col).alias("doc"),
-        shingle_hash_col(F.col(text_col), n).alias("hashes"),
-    ).withColumn("sig", minhash_signature(F.col("hashes"), k))
+    hashed = shingle_hash_sets(df, id_col, text_col, n).withColumn(
+        "sig", minhash_signature(F.col("hashes"), k)
+    )
+    # The signature table is consumed four times (both band-join sides +
+    # both verify-join sides). Persist it: it is ~100 bytes/row — tiny
+    # relative to the corpus — and recomputing shingle+signature four
+    # times dominates the runtime otherwise. At cluster scale this would
+    # be a checkpoint to parquet between pipeline stages.
+    hashed = hashed.persist()
     exploded = hashed.select(
         "doc", F.posexplode(band_values(F.col("sig"), bands, rows)).alias("band_idx", "band_val")
     )
@@ -116,13 +138,17 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 30) -> Column:
-    """SimHash fingerprint over token hashes (multiset — repeats count).
+def simhash_from_hashes(h: Column, bits: int = 30) -> Column:
+    """SimHash fingerprint from a precomputed token-hash array.
 
     bit b of the fingerprint is set when the signed sum of token-hash
     bit-b indicators is positive. 30 bits because the polyhash range is
-    [0, P) < 2^30."""
-    h = F.transform(tokens(text), polyhash)
+    [0, P) < 2^30.
+
+    Pass ``h`` as a MATERIALIZED column (withColumn), not a nested
+    expression: all ``bits`` folds reference it, and a nested expression
+    would be re-embedded (and token hashing re-executed) per bit.
+    """
 
     def bit_sum(b: int) -> Column:
         return F.aggregate(
@@ -141,6 +167,18 @@ def simhash(text: Column, bits: int = 30) -> Column:
     return out.cast("long")
 
 
+def simhash_df(
+    df: DataFrame, text_col: str, out: str = "fingerprint", bits: int = 30
+) -> DataFrame:
+    """Map-only SimHash fingerprinting: token hashes computed once per
+    row, then folded per bit."""
+    return (
+        df.withColumn("_sh_th", F.transform(tokens(F.col(text_col)), polyhash))
+        .withColumn(out, simhash_from_hashes(F.col("_sh_th"), bits))
+        .drop("_sh_th")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -153,10 +191,10 @@ def ngram_jaccard_pairs(
 
     ``max_df`` drops shingles occurring in more than that many docs —
     the standard hot-key bound (a shingle shared by 1M docs would
-    otherwise produce 10^12 candidate pairs)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
+    otherwise produce 10^12 candidate pairs). Shingles are carried as
+    64-bit hashes, not strings: the blocking join shuffles 8 bytes/key."""
+    sh = shingle_hash_sets(df, id_col, text_col, n).select(
+        "doc", F.explode(F.col("hashes")).alias("sh")
     )
     if max_df is not None:
         rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")

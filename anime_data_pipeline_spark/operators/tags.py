@@ -19,7 +19,7 @@ import re
 from collections.abc import Iterable
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -209,8 +209,104 @@ def novelai_ordered_tags(tags: Column, vocab: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(joined, "^,+", ""), ",+$", "")
 
 
+def clean_tags_df(df: "DataFrame", tags: Column, out: str = "cleaned_tags") -> "DataFrame":
+    """Array-native clean_tags (rule set: clean_tags_py), staged across
+    separate projections.
+
+    Staging matters: each step references its input several times, and a
+    single nested Column expression would re-embed the whole upstream
+    tree at every reference (multiplicative blowup — measured 45s+ for
+    5k rows). Materializing each stage as a column makes every step
+    compute once per row; CollapseProject keeps single-use stages fused
+    and will not duplicate the expensive multi-referenced ones.
+    """
+    # 1. underscore normalize, protecting ^_^
+    df = df.withColumn(
+        "_ct_norm",
+        F.transform(
+            tags, lambda t: F.when(t == "^_^", t).otherwise(F.regexp_replace(t, "_", " "))
+        ),
+    )
+    # 2. truncate at first 'rating*' tag (array_position is 1-based, 0 if none)
+    df = df.withColumn(
+        "_ct_rpos",
+        F.array_position(
+            F.transform(F.col("_ct_norm"), lambda t: t.startswith("rating")), True
+        ),
+    )
+    df = df.withColumn(
+        "_ct_trunc",
+        F.when(
+            F.col("_ct_rpos") > 0,
+            F.slice(F.col("_ct_norm"), 1, (F.col("_ct_rpos") - 1).cast("int")),
+        ).otherwise(F.col("_ct_norm")),
+    )
+
+    # 3. multi-person family removal — each tag's family-membership vector
+    # is computed ONCE, family counts once, then a single filter pass.
+    fam_pats = list(_MULTI_PERSON_FAMILY_PATTERNS)
+
+    def mvec(t: Column) -> Column:
+        plain_hair = t.rlike(_GENERIC_HAIR) & ~t.rlike(_HAIR_LENGTH)
+        return F.array(*[t.rlike(p) for p in fam_pats], plain_hair)
+
+    blob = F.array_join(F.col("_ct_trunc"), ", ")
+    df = df.withColumn("_ct_multi", blob.contains("girls") | blob.contains("boys"))
+    df = df.withColumn(
+        "_ct_marked",
+        F.transform(F.col("_ct_trunc"), lambda t: F.struct(t.alias("t"), mvec(t).alias("m"))),
+    )
+    df = df.withColumn(
+        "_ct_counts",
+        F.array(
+            *[
+                F.size(F.filter(F.col("_ct_marked"), lambda x: x["m"].getItem(i)))
+                for i in range(len(fam_pats) + 1)
+            ]
+        ),
+    )
+    kept = F.filter(
+        F.col("_ct_marked"),
+        lambda x: ~F.exists(
+            F.zip_with(F.col("_ct_counts"), x["m"], lambda c, mm: (c > 1) & mm),
+            lambda b: b,
+        ),
+    )
+    df = df.withColumn(
+        "_ct_pruned",
+        F.when(F.col("_ct_multi"), F.transform(kept, lambda x: x["t"])).otherwise(
+            F.col("_ct_trunc")
+        ),
+    )
+
+    # 4. word subsumption over the materialized array attribute
+    def subsumed(t: Column, arr: Column) -> Column:
+        return F.exists(
+            arr,
+            lambda u: (u != t)
+            & u.endswith(F.concat(F.lit(" "), t))
+            & F.substr(u, F.lit(1), F.length(u) - F.length(t)).rlike(_ALL_WORDS_PREFIX),
+        )
+
+    df = df.withColumn(
+        out,
+        F.filter(
+            F.col("_ct_pruned"),
+            lambda t: ~(t.rlike(_SINGLE_WORD) & subsumed(t, F.col("_ct_pruned"))),
+        ),
+    )
+    return df.drop(
+        "_ct_norm", "_ct_rpos", "_ct_trunc", "_ct_multi", "_ct_marked",
+        "_ct_counts", "_ct_pruned",
+    )
+
+
 def clean_tags_column(tags: Column) -> Column:
-    """Array-native clean_tags (see clean_tags_py for the rule set)."""
+    """Single-Column clean_tags (rule set: clean_tags_py). Prefer
+    ``clean_tags_df`` in query plans — as one nested expression the
+    multi-referenced stages re-embed their inputs (see clean_tags_df
+    docstring); this form exists for expression-level composition and
+    small-array unit tests."""
     # 1. underscore normalize, protecting ^_^
     tags = F.transform(
         tags, lambda t: F.when(t == "^_^", t).otherwise(F.regexp_replace(t, "_", " "))

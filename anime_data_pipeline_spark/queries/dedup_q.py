@@ -25,13 +25,14 @@ from anime_data_pipeline_spark.functions.hashing import (
     perm_hash_sql,
     polyhash,
     polyhash_sql,
+    shingle_hashes_sql,
 )
-from anime_data_pipeline_spark.functions.text import shingles_sql, tokens_sql
+from anime_data_pipeline_spark.functions.text import tokens_sql
 from anime_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash,
+    simhash_df,
 )
 from anime_data_pipeline_spark.registry import register
 
@@ -90,16 +91,16 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle→signature→band→join→verify pipeline, so hash-match means the
 # banding itself is correct, not just the final Jaccard filter.
 # ---------------------------------------------------------------------------
-def _hashed_cte() -> str:
-    """corpus → tok → shg → hashed(doc, hashes) CTE prefix."""
+def _hashed_cte(n: int) -> str:
+    """corpus → tok → th → hashed(doc, hashes) CTE prefix — the same
+    token-hash → shingle-fold pipeline as shingle_hash_sets."""
     return f"""
     WITH corpus AS ({_CORPUS_SQL}),
     tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
-    shg AS (SELECT doc, {shingles_sql("toks", _NGRAM)} AS shs FROM tok),
+    tha AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM tok),
     hashed AS (SELECT doc,
-                      list_distinct(list_transform(shs, s -> {polyhash_sql("s")}))
-                      AS hashes
-               FROM shg)
+                      list_distinct({shingle_hashes_sql("th", n)}) AS hashes
+               FROM tha)
     """
 
 
@@ -120,7 +121,7 @@ def _band_rows_sql() -> str:
 
 
 _MINHASH_ORACLE = f"""
-    {_hashed_cte()},
+    {_hashed_cte(_NGRAM)},
     sigs AS (SELECT doc, hashes,
                     [{", ".join(_sig_item_sql(i) for i in range(_K))}] AS sig
              FROM hashed),
@@ -177,7 +178,9 @@ _SIMHASH_ORACLE = f"""
 @register("q33_simhash_fingerprint", oracle=_SIMHASH_ORACLE)
 def q33_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = mutated_corpus(spark, sf_dir)
-    return corpus.select("doc_id", simhash(F.col("text"), bits=30).alias("fingerprint"))
+    return simhash_df(corpus, "text", out="fingerprint", bits=30).select(
+        "doc_id", "fingerprint"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -189,10 +192,8 @@ def q33_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NJ_N, _NJ_THRESH, _NJ_MAXDF = 2, 0.6, 25
 
 _NGRAM_ORACLE = f"""
-    WITH corpus AS ({_CORPUS_SQL}),
-    tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
-    shg AS (SELECT doc, {shingles_sql("toks", _NJ_N)} AS shs FROM tok),
-    ex AS (SELECT doc, unnest(shs) AS sh FROM shg),
+    {_hashed_cte(_NJ_N)},
+    ex AS (SELECT doc, unnest(hashes) AS sh FROM hashed),
     rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= {_NJ_MAXDF}),
     kept AS (SELECT ex.doc, ex.sh FROM ex JOIN rare USING (sh)),
     sizes AS (SELECT doc, count(*) AS sz FROM kept GROUP BY doc),

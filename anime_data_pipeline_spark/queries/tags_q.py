@@ -12,7 +12,7 @@ from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.operators.tags import (
     CAPTION_REPLACEMENTS,
     clean_caption_bounded,
-    clean_tags_column,
+    clean_tags_df,
     novelai_ordered_tags,
 )
 from anime_data_pipeline_spark.registry import register
@@ -207,9 +207,9 @@ def q26_clean_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond(5, ["hair", "red_hair"]),
         cond(7, ["rating safe", "post_rating"]),
     )
-    cleaned = clean_tags_column(tags)
-    return docs.select(
+    staged = clean_tags_df(docs.select("doc_id", "text"), tags, out="cleaned_tags")
+    return staged.select(
         "doc_id",
-        F.array_join(cleaned, ", ").alias("cleaned"),
-        F.size(cleaned).cast("long").alias("n_tags"),
+        F.array_join(F.col("cleaned_tags"), ", ").alias("cleaned"),
+        F.size(F.col("cleaned_tags")).cast("long").alias("n_tags"),
     )

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: run representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is materialized through the noop sink (``format("noop")``) —
+full computation of every output column, no driver-side collect, no
+count-only column pruning — so the timing reflects the real plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# One headline query per operator family (SURVEY.md §2):
+# aggregation, joins, window/top-k, sessionization, bucketing math,
+# tag ordering/cleaning, and the LLM-pipeline dedup extensions.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_inner_join_agg",
+    "q11_topk_per_group",
+    "q13_star_join_revenue",
+    "q19_sessionize",
+    "q21_bucket_assign",
+    "q23_bucket_stats",
+    "q24_novelai_order",
+    "q26_clean_tags",
+    "q31_exact_dedup",
+    "q32_minhash_lsh_neardup",
+    "q33_simhash_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from anime_data_pipeline_spark.registry import all_queries
+    from anime_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
