@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (LLM-pipeline extension
+surface; BASELINE.json north_star: "similarity search").
+
+Three operators with different scale paths:
+
+- **brute-force cosine top-k**: broadcast the (small) query set, score
+  every corpus vector map-side, per-query top-k. The scoring pass is
+  embarrassingly parallel; the only shuffle is the final per-query
+  ranking, whose input can be pre-pruned per partition. The baseline
+  every ANN variant is judged against.
+- **SRP-LSH top-k** (approximate): signed-random-projection buckets —
+  the classic cosine-LSH family (Charikar, STOC'02). Hyperplanes are
+  generated DETERMINISTICALLY from the shared (a, b) constant family,
+  so the identical planes exist in any engine (no runtime randomness:
+  reproducible runs, resumable pipelines, oracle-checkable). Candidates
+  = same bucket → scored → ranked; corpus-side bucketing is map-only
+  and the candidate join is an equi-join on an 8-bit key.
+- **embedding near-dup pairs**: SRP blocking + exact cosine verify ≥
+  threshold — the embedding analogue of MinHash+LSH text dedup.
+
+All float math is sequential left-fold double arithmetic, mirrored
+operation-for-operation in the DuckDB oracle SQL (the *_sql helpers):
+identical IEEE-754 ops on identical values are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from anime_data_pipeline_spark.functions.hashing import P, perm_constants
+
+
+# ---------------------------------------------------------------------------
+# Exact-math building blocks (Spark + DuckDB spellings)
+# ---------------------------------------------------------------------------
+def to_double_array(col: Column) -> Column:
+    """float[] → double[] (exact widening; all math happens in double)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product: ((0 + a1*b1) + a2*b2) + ..."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t)
+
+
+def sq_norm_sql(a: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)}) / (sqrt({sq_norm_sql(a)}) * sqrt({sq_norm_sql(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic SRP hyperplanes: plane j, component i (1-based) is
+# ((a_j * i + b_j) % P) / P - 0.5 — pure integer math then one double
+# division, identical in any engine.
+# ---------------------------------------------------------------------------
+def _plane_component(j: int, i: Column) -> Column:
+    a, b = perm_constants(j + 1)[j]
+    # a ~ 1e9 and i ≤ dim: the product overflows int32, so go via long.
+    return (
+        (F.lit(a).cast("long") * i + F.lit(b)) % F.lit(P)
+    ).cast("double") / F.lit(float(P)) - 0.5
+
+
+def _plane_component_sql(j: int) -> str:
+    a, b = perm_constants(j + 1)[j]
+    return f"(CAST(({a} * i + {b}) % {P} AS DOUBLE) / {float(P)} - 0.5)"
+
+
+def srp_bucket(v: Column, planes: int = 8) -> Column:
+    """SRP bucket id in [0, 2^planes): bit j = sign(dot(v, plane_j)).
+
+    ``v`` must be a materialized double-array column attribute — it is
+    referenced once per plane.
+    """
+    dim = F.size(v)
+
+    def plane_dot(j: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), dim),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(v, i) * _plane_component(j, i),
+        )
+
+    out = F.lit(0)
+    for j in range(planes):
+        out = out + F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def srp_bucket_sql(v: str, planes: int = 8) -> str:
+    terms = []
+    for j in range(planes):
+        d = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i] * {_plane_component_sql(j)})), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-query cosine top-k. ``queries`` is broadcast (the small
+    side); the scoring pass is map-only over the corpus. Ties broken by
+    corpus id for a deterministic result set."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+    )
+    scored = c.join(F.broadcast(q)).withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's SRP bucket
+    are scored. Single-probe (recall < 1 by design); multi-probe = union
+    over neighboring buckets. The bucket join key is an int — at scale
+    the corpus side is bucketed/partitioned by it once and reused."""
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", srp_bucket(F.col("qv"), planes))
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate (id_a < id_b) pairs by cosine ≥ threshold, SRP
+    blocking: only same-bucket pairs are verified — sub-quadratic as
+    long as buckets stay balanced (add planes to shrink buckets)."""
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
+        )
+        .withColumn("bucket", srp_bucket(F.col("v"), planes))
+    )
+    a = c.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = c.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -4,5 +4,6 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     bucketing_q,
     dedup_q,
     relational,
+    similarity_q,
     tags_q,
 )

@@ -1,0 +1,136 @@
+"""Similarity-search gate queries over the `embeddings` table
+(64-dim float vectors): exact brute-force cosine top-k, SRP-LSH
+approximate top-k, and embedding-cosine near-dup pairs.
+
+Everything — including the LSH hyperplanes — is deterministic and
+mirrored operation-for-operation in DuckDB, so even the approximate
+operators are fully oracle-checked (identical IEEE double math gives
+identical candidates, scores, and ranks in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_sql,
+    embedding_neardup_pairs,
+    srp_bucket_sql,
+    srp_lsh_topk,
+    to_double_array,
+)
+from anime_data_pipeline_spark.registry import register
+
+_QUERY_MOD = 97  # vec_id % 97 == 0 → the broadcast query set
+_PLANES = 8
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus(spark, sf_dir).filter(F.col("vec_id") % _QUERY_MOD == 0)
+
+
+# ---------------------------------------------------------------------------
+# q41 — exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+_Q41_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (SELECT q.query_id, corpus.vec_id,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus CROSS JOIN q),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+
+@register("q41_ann_bruteforce_topk", oracle=_Q41_ORACLE)
+def q41_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = brute_force_topk(
+        _corpus(spark, sf_dir), _queries(spark, sf_dir), "vec_id", "embedding", k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q42 — SRP-LSH approximate top-k (single probe, 8 hyperplanes)
+# ---------------------------------------------------------------------------
+_Q42_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                 {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+          FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (SELECT q.query_id, corpus.vec_id,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN q USING (bucket)),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q42_ann_srp_lsh_topk", oracle=_Q42_ORACLE)
+def q42_ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = srp_lsh_topk(
+        _corpus(spark, sf_dir),
+        _queries(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=5,
+        planes=_PLANES,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q43 — embedding near-dup pairs (SRP blocking + exact cosine verify).
+# The base table has no near-dups, so the corpus adds scaled copies
+# (same direction ⇒ cosine ≈ 1) for vec_id % 7 — identical construction
+# in both engines, in double space so the scaling is exact.
+# ---------------------------------------------------------------------------
+_Q43_THRESH = 0.99
+
+_Q43_CORPUS_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+    FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+_Q43_ORACLE = f"""
+    WITH corpus AS ({_Q43_CORPUS_SQL}),
+    bucketed AS (SELECT vec_id, v, {srp_bucket_sql("v", _PLANES)} AS bucket FROM corpus),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+              FROM bucketed a JOIN bucketed b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (SELECT id_a, id_b, {cosine_sql("va", "vb")} AS cosine FROM pairs)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_Q43_THRESH}
+"""
+
+
+@register("q43_embedding_neardup", oracle=_Q43_ORACLE)
+def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _corpus(spark, sf_dir).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    scaled = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    corpus = base.unionByName(scaled)
+    return embedding_neardup_pairs(
+        corpus, "vec_id", "v", threshold=_Q43_THRESH, planes=_PLANES
+    )
