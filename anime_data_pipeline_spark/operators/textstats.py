@@ -1,0 +1,242 @@
+"""Text-analysis operators for training-data curation (LLM-pipeline
+extension surface; BASELINE.json north_star: "text analysis").
+
+All map-only column expressions — no shuffle, no UDF: at 100 TB these
+run as a single scan-project over the corpus, and every metric is
+mirrored in DuckDB SQL for the oracle gate.
+
+- token counting: whitespace tokens + a BPE-ish regex segmentation
+  (letters / digits / single non-space symbol runs — the GPT-2-style
+  pre-tokenizer shape, restricted to engine-portable character classes)
+- quality scoring: length, token-length, punctuation/digit/stopword
+  ratios folded into one composite score (Gopher/C4-style filters)
+- language ID: function-word profile matching (the trigram-free n=1
+  heuristic; profiles are literal arrays broadcast into the expression)
+- fingerprinting: winnowing (Schleimer et al., SIGMOD'03) over rolling
+  token-hash k-grams — the standard local document fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.functions.hashing import polyhash, shingle_hashes
+from anime_data_pipeline_spark.functions.text import tokens
+
+# Engine-portable "BPE-ish" pre-tokenizer: letter runs, digit runs,
+# single symbols. (Same regex text is valid in Java and RE2/DuckDB.)
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Function-word profiles for language ID (top closed-class words).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "zh": ("de5", "shi4", "le5", "wo3", "ni3", "ta1", "zai4", "you3"),
+}
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def ws_token_count_sql(expr: str) -> str:
+    return f"CAST(len(list_filter(string_split({expr}, ' '), t -> t <> '')) AS BIGINT)"
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}')) AS BIGINT)"
+
+
+def _count_class(text: Column, char_class: str) -> Column:
+    """Number of characters matching a regex class (portable spelling:
+    length difference after deleting them)."""
+    return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
+
+
+def _count_class_sql(expr: str, char_class: str) -> str:
+    return f"(length({expr}) - length(regexp_replace({expr}, '{char_class}', '', 'g')))"
+
+
+def _stop_hits(toks: Column, profile: tuple[str, ...]) -> Column:
+    lit_profile = F.array(*[F.lit(w) for w in profile])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_profile, t)))
+
+
+def _stop_hits_sql(toks_expr: str, profile: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in profile) + "]"
+    return f"len(list_filter({toks_expr}, t -> list_contains({arr}, t)))"
+
+
+def quality_columns(df: DataFrame, text_col: str) -> DataFrame:
+    """n_chars/tokens/ratios + composite quality score in [0, 1].
+
+    Heuristic components (C4/Gopher-shaped, engine-portable):
+    mean token length in a sane band, low punctuation ratio, low digit
+    ratio, nonzero stopword ratio, length floor.
+    """
+    text = F.col(text_col)
+    df = df.withColumn("_q_toks", tokens(text))
+    toks = F.col("_q_toks")
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    punct = _count_class(text, "[^a-zA-Z0-9 ]").cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    digits = _count_class(text, "[0-9]").cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    stop_ratio = _stop_hits(toks, STOPWORDS).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    mean_tok_len = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.25).otherwise(0.0)
+        + F.when(punct <= 0.1, 0.25).otherwise(0.0)
+        + F.when(digits <= 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_ratio > 0, 0.15).otherwise(0.0)
+        + F.when(n_chars >= 50, 0.15).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct)
+        .withColumn("digit_ratio", digits)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("quality_score", score)
+        .drop("_q_toks")
+    )
+
+
+def quality_sql_projection(text_expr: str) -> dict[str, str]:
+    """DuckDB spelling of every quality_columns output, keyed by name."""
+    toks = f"list_filter(string_split({text_expr}, ' '), t -> t <> '')"
+    n_chars = f"CAST(length({text_expr}) AS BIGINT)"
+    n_tokens = f"CAST(len({toks}) AS BIGINT)"
+    punct = (
+        f"CAST({_count_class_sql(text_expr, '[^a-zA-Z0-9 ]')} AS DOUBLE)"
+        f" / greatest(length({text_expr}), 1)"
+    )
+    digits = (
+        f"CAST({_count_class_sql(text_expr, '[0-9]')} AS DOUBLE)"
+        f" / greatest(length({text_expr}), 1)"
+    )
+    stop = (
+        f"CAST({_stop_hits_sql(toks, STOPWORDS)} AS DOUBLE) / greatest(len({toks}), 1)"
+    )
+    mean_tok = f"CAST({n_chars} AS DOUBLE) / greatest({n_tokens}, 1)"
+    score = (
+        f"(CASE WHEN ({mean_tok}) >= 3 AND ({mean_tok}) <= 10 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({punct}) <= 0.1 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({digits}) <= 0.2 THEN 0.2 ELSE 0.0 END"
+        f" + CASE WHEN ({stop}) > 0 THEN 0.15 ELSE 0.0 END"
+        f" + CASE WHEN ({n_chars}) >= 50 THEN 0.15 ELSE 0.0 END)"
+    )
+    return {
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct,
+        "digit_ratio": digits,
+        "stopword_ratio": stop,
+        "mean_token_len": mean_tok,
+        "quality_score": score,
+    }
+
+
+def language_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Predicted language by function-word profile hit count; ties go to
+    the first language in fixed profile order; zero hits → 'und'."""
+    df = df.withColumn("_l_toks", tokens(F.col(text_col)))
+    toks = F.col("_l_toks")
+    for lang, profile in LANG_PROFILES.items():
+        df = df.withColumn(f"_hits_{lang}", _stop_hits(toks, profile))
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in LANG_PROFILES])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when(
+            (best > 0) & (F.col(f"_hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return (
+        df.withColumn("pred_lang", pred)
+        .withColumn("profile_hits", best.cast("long"))
+        .drop("_l_toks", *[f"_hits_{lang}" for lang in LANG_PROFILES])
+    )
+
+
+def language_id_sql(text_expr: str) -> tuple[str, str]:
+    """(pred_lang_expr, profile_hits_expr) in DuckDB SQL."""
+    toks = f"list_filter(string_split({text_expr}, ' '), t -> t <> '')"
+    hits = {
+        lang: _stop_hits_sql(toks, profile) for lang, profile in LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    branches = " ".join(
+        f"WHEN ({hits[lang]}) = ({best}) THEN '{lang}'" for lang in LANG_PROFILES
+    )
+    pred = f"CASE WHEN ({best}) > 0 THEN (CASE {branches} END) ELSE 'und' END"
+    return pred, f"CAST({best} AS BIGINT)"
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing: distinct minima of each w-window over rolling k-gram
+    token hashes → exploded (doc, fingerprint) rows. Map-only."""
+    kg = "_wn_kg"
+    df = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(tokens(F.col(text_col)), polyhash).alias("_wn_th"),
+        )
+        .withColumn(kg, shingle_hashes(F.col("_wn_th"), k))
+    )
+    n_win = F.size(F.col(kg)) - (w - 1)
+    # Shorter docs (some k-grams but fewer than one full window) emit
+    # their single global minimum; no k-grams → no fingerprints.
+    fps = F.array_distinct(
+        F.when(
+            n_win >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(F.col(kg), i, w)),
+            ),
+        )
+        .when(F.size(F.col(kg)) > 0, F.array(F.array_min(F.col(kg))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.select("doc", F.explode(fps).alias("fingerprint"))
+
+
+def winnow_fingerprints_sql(corpus_sql: str, id_expr: str, text_expr: str,
+                            k: int = 3, w: int = 4) -> str:
+    """DuckDB mirror of winnow_fingerprints over a corpus subquery."""
+    toks = f"list_filter(string_split({text_expr}, ' '), t -> t <> '')"
+    from anime_data_pipeline_spark.functions.hashing import (
+        polyhash_sql,
+        shingle_hashes_sql,
+    )
+
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    tha AS (SELECT {id_expr} AS doc,
+                   list_transform({toks}, t -> {polyhash_sql("t")}) AS th
+            FROM corpus),
+    kgs AS (SELECT doc, {shingle_hashes_sql("th", k)} AS kg FROM tha),
+    fps AS (SELECT doc,
+                   CASE WHEN len(kg) - {w - 1} >= 1 THEN
+                     list_distinct(list_transform(
+                       generate_series(1, len(kg) - {w - 1}),
+                       i -> list_min(kg[i:i + {w - 1}])))
+                   WHEN len(kg) > 0 THEN [list_min(kg)]
+                   ELSE CAST([] AS BIGINT[]) END AS fp
+            FROM kgs)
+    SELECT doc, unnest(fp) AS fingerprint FROM fps
+    """

@@ -6,4 +6,5 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     relational,
     similarity_q,
     tags_q,
+    text_q,
 )

@@ -1,0 +1,163 @@
+"""Text-analysis gate queries over `documents`: token counting, quality
+scoring, language ID, winnowing fingerprints — plus a corpus-level
+quality × language rollup.
+
+The raw documents are uniform lowercase word streams, so a mutated
+variant (punctuation / digits / short docs injected deterministically
+by doc_id, identically in both engines) gives the metrics real
+variance to discriminate on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.operators.textstats import (
+    bpe_token_count,
+    bpe_token_count_sql,
+    language_id,
+    language_id_sql,
+    quality_columns,
+    quality_sql_projection,
+    winnow_fingerprints,
+    winnow_fingerprints_sql,
+    ws_token_count,
+    ws_token_count_sql,
+)
+from anime_data_pipeline_spark.registry import register
+
+# Deterministic mutation: punctuation-heavy / digit-heavy / truncated
+# variants so ratios and the composite score take distinct values.
+_MUT_SQL = """CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN text || ' !!! ??? ... ;;; ((()))'
+  WHEN 1 THEN text || ' 12345 67890 42 7 999'
+  WHEN 2 THEN substr(text, 1, 40)
+  ELSE text END"""
+
+
+def _mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" !!! ??? ... ;;; ((()))")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(" 12345 67890 42 7 999")))
+        .when(F.col("doc_id") % 4 == 2, F.substring(F.col("text"), 1, 40))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", "lang", m.alias("text"))
+
+
+_DOCS_CTE = f"SELECT doc_id, lang, ({_MUT_SQL}) AS text FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# q51 — token counting (whitespace + BPE-ish regex segmentation)
+# ---------------------------------------------------------------------------
+@register(
+    "q51_token_counts",
+    oracle=f"""
+    WITH docs AS ({_DOCS_CTE})
+    SELECT doc_id,
+           {ws_token_count_sql("text")} AS ws_tokens,
+           {bpe_token_count_sql("text")} AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m
+    FROM docs
+    """,
+)
+def q51_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mutated(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — quality scoring (per-doc components + composite)
+# ---------------------------------------------------------------------------
+def _q52_oracle() -> str:
+    proj = quality_sql_projection("text")
+    cols = ", ".join(
+        f"{dround_sql(expr, 6)} AS {name}"
+        if name in ("punct_ratio", "digit_ratio", "stopword_ratio",
+                    "mean_token_len", "quality_score")
+        else f"{expr} AS {name}"
+        for name, expr in proj.items()
+    )
+    return f"WITH docs AS ({_DOCS_CTE}) SELECT doc_id, {cols} FROM docs"
+
+
+@register("q52_quality_score", oracle=_q52_oracle())
+def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quality_columns(_mutated(spark, sf_dir), "text")
+    ratio_cols = ["punct_ratio", "digit_ratio", "stopword_ratio",
+                  "mean_token_len", "quality_score"]
+    for c in ratio_cols:
+        out = out.withColumn(c, dround(F.col(c), 6))
+    return out.select("doc_id", "n_chars_m", "n_tokens", *ratio_cols)
+
+
+# ---------------------------------------------------------------------------
+# q53 — language ID by function-word profiles
+# ---------------------------------------------------------------------------
+def _q53_oracle() -> str:
+    pred, hits = language_id_sql("text")
+    return f"""
+    WITH docs AS ({_DOCS_CTE})
+    SELECT doc_id, lang, {pred} AS pred_lang, {hits} AS profile_hits FROM docs
+    """
+
+
+@register("q53_language_id", oracle=_q53_oracle())
+def q53_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_mutated(spark, sf_dir), "text").select(
+        "doc_id", "lang", "pred_lang", "profile_hits"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — winnowing fingerprints (k=3 token-grams, window 4)
+# ---------------------------------------------------------------------------
+@register(
+    "q54_winnow_fingerprints",
+    oracle=winnow_fingerprints_sql(_DOCS_CTE, "doc_id", "text", k=3, w=4),
+)
+def q54_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_mutated(spark, sf_dir), "doc_id", "text", k=3, w=4)
+
+
+# ---------------------------------------------------------------------------
+# q55 — corpus rollup: quality filter rate per (lang, quality band).
+# The downstream curation question ("what survives the filter, where")
+# as one partial-aggregated groupBy.
+# ---------------------------------------------------------------------------
+def _q55_oracle() -> str:
+    proj = quality_sql_projection("text")
+    return f"""
+    WITH docs AS ({_DOCS_CTE}),
+    scored AS (SELECT doc_id, lang, {proj["quality_score"]} AS q FROM docs)
+    SELECT lang,
+           CAST(floor(q * 4.0 + 0.5) AS BIGINT) AS q_band,
+           count(*) AS n_docs,
+           {dround_sql("avg(q)", 6)} AS avg_q
+    FROM scored GROUP BY lang, q_band
+    """
+
+
+@register("q55_quality_rollup", oracle=_q55_oracle())
+def q55_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_columns(_mutated(spark, sf_dir), "text")
+    return (
+        scored.groupBy(
+            "lang",
+            F.floor(F.col("quality_score") * 4.0 + 0.5).cast("long").alias("q_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg("quality_score"), 6).alias("avg_q"),
+        )
+    )
