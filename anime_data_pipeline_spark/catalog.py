@@ -42,9 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer division, NOT `/`: long/long promotes to double,
+            # which rounds at nanosecond-epoch magnitudes (~1.8e18 needs
+            # 61 bits; double has 53) — observed off-by-1μs timestamps.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -5,6 +5,7 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     dedup_q,
     relational,
     similarity_q,
+    streaming_q,
     tags_q,
     text_q,
 )

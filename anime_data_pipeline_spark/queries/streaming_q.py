@@ -1,0 +1,122 @@
+"""Streaming gate queries: each one executes genuinely through the
+Structured Streaming engine (file-source replay of events.parquet,
+availableNow trigger, StateStore-backed stateful operators), then the
+finished result is oracle-checked against batch DuckDB SQL — the
+streaming/batch consistency property Structured Streaming guarantees.
+
+Window-start oracles use integer microsecond arithmetic
+(epoch_us // width * width), which is exactly Spark's tumbling-window
+alignment for epoch-aligned widths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.registry import register
+from anime_data_pipeline_spark.streaming.pipeline import (
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_5M = 300_000_000  # microseconds
+
+
+# ---------------------------------------------------------------------------
+# q61 — tumbling windows through the streaming engine
+# ---------------------------------------------------------------------------
+@register(
+    "q61_stream_tumbling",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // {_5M}) * {_5M}) AS window_start,
+           event_type,
+           count(*) AS n,
+           {dround_sql("sum(value)", 2)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q61_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        tumbling_agg(read_events_stream(spark, sf_dir), "5 minutes"), "complete"
+    )
+    return out.withColumn("total_value", dround(F.col("total_value"), 2))
+
+
+# ---------------------------------------------------------------------------
+# q62 — sliding windows (width 10m, slide 5m): every event lands in two
+# windows; the oracle unions the two alignment lattices.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT make_timestamp((epoch_us(ts) // {_5M}) * {_5M}) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // {_5M}) * {_5M} - {_5M}) AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, {dround_sql("sum(value)", 2)} AS total_value
+    FROM starts GROUP BY 1
+    """,
+)
+def q62_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        sliding_agg(read_events_stream(spark, sf_dir), "10 minutes", "5 minutes"),
+        "complete",
+    )
+    return out.withColumn("total_value", dround(F.col("total_value"), 2))
+
+
+# ---------------------------------------------------------------------------
+# q63 — session windows (gap 30m) through the streaming engine; the
+# oracle rebuilds the same sessions with the lag/cumsum construction
+# (equivalent for gaps ≠ exactly 30m, which cannot occur in μs data).
+# ---------------------------------------------------------------------------
+@register(
+    "q63_stream_sessions",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, {dround_sql("sum(value)", 2)} AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q63_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        session_agg(read_events_stream(spark, sf_dir), "30 minutes"), "complete"
+    )
+    return out.withColumn("session_value", dround(F.col("session_value"), 2))
+
+
+# ---------------------------------------------------------------------------
+# q64 — stateful dedup: the stream replays events TWICE (self-union),
+# dropDuplicatesWithinWatermark keeps exactly one copy per event_id.
+# ---------------------------------------------------------------------------
+@register(
+    "q64_stream_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q64_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_events_stream(spark, sf_dir)
+    doubled = s.unionByName(read_events_stream(spark, sf_dir))
+    out = run_available_now(dedup_stream(doubled, ["event_id"]), "append")
+    return out.select("event_id", "user_id", "event_type", "value")
