@@ -1,0 +1,1 @@
+"""Source/sink adapters (SURVEY §2.1 S1-S9)."""
