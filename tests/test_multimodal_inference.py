@@ -1,0 +1,155 @@
+"""Multimodal binary-column plumbing + M1 inference contract tests
+(SURVEY §5 item 4: stub model, never real weights; the Spark-side
+schemas/batching/thresholds/ordering are the product under test)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.operators.inference import (
+    collate_by_bucket,
+    escape_prompt,
+    predict_tag_probs,
+    sort_by_confidence,
+    tag_inference_stage,
+    threshold_tags,
+)
+from anime_data_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image_meta,
+    encode_fimg,
+    extract_features,
+    frame_sample_plan,
+    resize_plan,
+)
+
+LABELS = ["long hair", "blue eyes", "smile", "hatsune miku", "holo (spice and wolf)"]
+GENERAL = LABELS[:3]
+CHARACTER = LABELS[3:]
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("img0", encode_fimg(640, 480, "RGB", b"payload-0")),
+        ("img1", encode_fimg(1024, 1024, "RGBA", b"payload-1")),
+        ("img2", encode_fimg(300, 900, "L", b"")),
+        ("bad0", b"JPEG-not-fimg"),
+        ("bad1", None),
+    ]
+    return spark.createDataFrame(rows, "image_key string, content binary")
+
+
+def test_decode_meta_and_corrupt_nulls(media_df):
+    out = {r["image_key"]: r["image_meta"] for r in decode_image_meta(media_df).collect()}
+    assert out["img0"]["width"] == 640 and out["img0"]["height"] == 480
+    assert out["img1"]["mode"] == "RGBA"
+    assert out["img2"]["n_bytes"] == 13
+    assert out["bad0"] is None and out["bad1"] is None
+    # P6: corrupt filter drops exactly the undecodable rows
+    ok = decode_image_meta(media_df).filter(F.col("image_meta").isNotNull())
+    assert ok.count() == 3
+
+
+def test_features_deterministic_shape(media_df):
+    f1 = {r["image_key"]: r["features"] for r in extract_features(media_df).collect()}
+    f2 = {r["image_key"]: r["features"] for r in extract_features(media_df).collect()}
+    assert f1 == f2  # deterministic across runs
+    assert len(f1["img0"]) == FEATURE_DIM
+    assert f1["bad1"] is None
+    assert f1["img0"] != f1["img1"]
+    assert all(-1.0 <= x < 1.0 for x in f1["img0"])
+
+
+def test_resize_plan_math(spark, media_df):
+    decoded = decode_image_meta(media_df).filter(F.col("image_meta").isNotNull())
+    out = {
+        r["image_key"]: r
+        for r in resize_plan(decoded, F.lit(512), F.lit(512)).collect()
+    }
+    # 640x480 → fit width: scale 0.8 → 512x384
+    assert (out["img0"]["resized_w"], out["img0"]["resized_h"]) == (512, 384)
+    # square stays square
+    assert (out["img1"]["resized_w"], out["img1"]["resized_h"]) == (512, 512)
+    # tall image fits height: scale 512/900
+    r2 = out["img2"]
+    assert r2["resized_h"] == 512 and r2["resized_w"] == int(300 * 512 / 900 + 0.5)
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame(
+        [("v0", 100), ("v1", 1000), ("v2", 5)], "video_key string, n_frames int"
+    )
+    out = frame_sample_plan(vids, "n_frames", every_n=30, max_frames=8)
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r["video_key"], []).append((r["sample_pos"], r["frame_no"]))
+    assert [f for _, f in sorted(by_key["v0"])] == [0, 30, 60, 90]
+    assert [f for _, f in sorted(by_key["v1"])] == [0, 30, 60, 90, 120, 150, 180, 210]
+    assert [f for _, f in sorted(by_key["v2"])] == [0]
+
+
+def test_predict_probs_batched_and_null_safe(media_df):
+    out = {r["image_key"]: r["tag_probs"] for r in predict_tag_probs(media_df, LABELS).collect()}
+    assert set(out["img0"].keys()) == set(LABELS)
+    assert all(0.0 <= p < 1.0 for p in out["img0"].values())
+    assert out["bad1"] is None
+    # determinism: same content → same probs
+    again = {r["image_key"]: r["tag_probs"] for r in predict_tag_probs(media_df, LABELS).collect()}
+    assert out == again
+
+
+def test_threshold_and_sort_semantics(spark):
+    rows = [
+        (
+            "k",
+            {
+                "long hair": 0.5,     # general, > 0.35 → keep
+                "blue eyes": 0.2,     # general, below → drop
+                "smile": 0.9,
+                "hatsune miku": 0.85,  # character, > 0.8 → keep
+                "holo (spice and wolf)": 0.5,  # character, below → drop
+            },
+        )
+    ]
+    df = spark.createDataFrame(rows, "image_key string, tag_probs map<string,double>")
+    gen = F.array(*[F.lit(x) for x in GENERAL])
+    char = F.array(*[F.lit(x) for x in CHARACTER])
+    kept = sort_by_confidence(threshold_tags(F.col("tag_probs"), gen, char))
+    out = df.select(F.transform(kept, lambda e: e["key"]).alias("tags")).collect()[0]
+    assert out["tags"] == ["smile", "hatsune miku", "long hair"]  # prob desc
+
+
+def test_escape_prompt(spark):
+    df = spark.createDataFrame([("holo (spice and wolf)",)], "t string")
+    got = df.select(escape_prompt(F.col("t")).alias("e")).collect()[0]["e"]
+    assert got == "holo \\(spice and wolf\\)"
+
+
+def test_full_inference_stage(media_df):
+    staged = tag_inference_stage(
+        media_df, LABELS, GENERAL, CHARACTER,
+        general_threshold=0.0, character_threshold=0.0,
+    )
+    out = {r["image_key"]: r["synth_tags"] for r in staged.collect()}
+    # zero thresholds → all 5 labels, ordered by stub confidence
+    assert len(out["img0"].split(", ")) == len(LABELS)
+    assert "\\(spice and wolf\\)" in out["img0"]
+    assert out["bad1"] is None  # null probs stay null (undecodable row)
+
+
+def test_collate_by_bucket_partitioning(spark):
+    df = spark.createDataFrame(
+        [(i, (512 + 64 * (i % 3), 768)) for i in range(60)],
+        "id int, bucket_reso struct<w:int,h:int>",
+    )
+    parted = collate_by_bucket(df, ["bucket_reso"])
+    # every partition holds at most ... every bucket maps to exactly one
+    # partition: count distinct (partition, bucket) pairs == n buckets
+    pairs = (
+        parted.withColumn("pid", F.spark_partition_id())
+        .select("pid", "bucket_reso")
+        .distinct()
+    )
+    assert pairs.count() == 3
