@@ -2,7 +2,9 @@
 
 from anime_data_pipeline_spark.queries import (  # noqa: F401
     bucketing_q,
+    coverage_q,
     dedup_q,
+    multimodal_q,
     relational,
     similarity_q,
     streaming_q,

@@ -1,0 +1,197 @@
+"""Coverage gate queries for the remaining SURVEY §2 operators:
+J5 upsert merge, B4 crop boxes, O1/O2 deterministic shuffle, F10/F12
+map construction/filter/invert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.hashing import P, polyhash, polyhash_sql
+from anime_data_pipeline_spark.operators.bucketing import (
+    BucketConfig,
+    assign_bucket_columns,
+    crop_ltrb_columns,
+)
+from anime_data_pipeline_spark.queries.bucketing_q import _IMGS_SQL, synthetic_images
+from anime_data_pipeline_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# q27 — J5 upsert/outer-merge (merge_all_to_metadata.py:142-151: insert
+# if absent, new non-null fields overwrite old). Both sides derived
+# from documents: "existing metadata" = doc_id % 2 == 0 (with captions),
+# "incoming sidecars" = doc_id % 3 == 0 (tags, no captions).
+# At 100 TB this is Delta MERGE INTO; the engine-level semantics are
+# one full-outer join + per-field coalesce(new, old).
+# ---------------------------------------------------------------------------
+@register(
+    "q27_upsert_merge",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, substr(text, 1, 20) AS tags, 'old caption ' || doc_id AS caption
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    new AS (
+      SELECT doc_id, substr(text, 5, 20) AS tags, CAST(NULL AS VARCHAR) AS caption
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT coalesce(new.doc_id, old.doc_id) AS doc_id,
+           coalesce(new.tags, old.tags) AS tags,
+           coalesce(new.caption, old.caption) AS caption,
+           (old.doc_id IS NOT NULL AND new.doc_id IS NOT NULL) AS updated
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def q27_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("tags"),
+        F.concat(F.lit("old caption "), F.col("doc_id")).alias("caption"),
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.substring("text", 5, 20).alias("tags"),
+        F.lit(None).cast("string").alias("caption"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("n.tags"), F.col("o.tags")).alias("tags"),
+        F.coalesce(F.col("n.caption"), F.col("o.caption")).alias("caption"),
+        (F.col("o.doc_id").isNotNull() & F.col("n.doc_id").isNotNull()).alias("updated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — B4 center-crop boxes (bucket_manager.py:161-179) on top of the
+# bucket assignment.
+# ---------------------------------------------------------------------------
+from anime_data_pipeline_spark.operators.bucketing import bucket_oracle_sql  # noqa: E402
+
+
+@register(
+    "q28_crop_ltrb",
+    oracle=f"""
+    WITH assigned AS ({bucket_oracle_sql(_IMGS_SQL, BucketConfig())}),
+    withimg AS (
+      SELECT a.*, i.width, i.height
+      FROM assigned a JOIN ({_IMGS_SQL}) i USING (image_key)
+    )
+    SELECT image_key, bucket_w, bucket_h,
+           floor((bucket_w - rw) / 2) AS crop_left,
+           floor((bucket_h - rh) / 2) AS crop_top,
+           floor((bucket_w - rw) / 2) + rw AS crop_right,
+           floor((bucket_h - rh) / 2) + rh AS crop_bottom
+    FROM (
+      SELECT *,
+        CASE WHEN CAST(bucket_w AS DOUBLE) / bucket_h > CAST(width AS DOUBLE) / height
+             THEN bucket_h * (CAST(width AS DOUBLE) / height) ELSE CAST(bucket_w AS DOUBLE) END AS rw,
+        CASE WHEN CAST(bucket_w AS DOUBLE) / bucket_h > CAST(width AS DOUBLE) / height
+             THEN CAST(bucket_h AS DOUBLE) ELSE bucket_w / (CAST(width AS DOUBLE) / height) END AS rh
+      FROM withimg
+    )
+    """,
+)
+def q28_crop_ltrb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthetic_images(spark, sf_dir)
+    assigned = assign_bucket_columns(imgs, cfg=BucketConfig())
+    return crop_ltrb_columns(assigned).select(
+        "image_key", "bucket_w", "bucket_h",
+        "crop_left", "crop_top", "crop_right", "crop_bottom",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — O1/O2 deterministic shuffle. The reference uses
+# random.shuffle/per-bucket shuffle (run.py:42, bucket_manager.py:57-59)
+# — unseeded, irreproducible. Distributed redesign: order by a seeded
+# key hash; shuffle_pos is then a pure function of (seed, key), stable
+# across runs/engines (documented divergence: reproducibility).
+# Per-bucket variant = same hash ranked within the bucket partition.
+# ---------------------------------------------------------------------------
+_SEED = "s42"
+
+
+@register(
+    "q29_seeded_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, {polyhash_sql(f"'{_SEED}' || CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos,
+           row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS bucket_pos
+    FROM keyed
+    """,
+)
+def q29_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hk = polyhash(F.concat(F.lit(_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "lang", hk.alias("hk"))
+    return keyed.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(W.orderBy("hk", "doc_id")).cast("long").alias("shuffle_pos"),
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("hk", "doc_id"))
+        .cast("long")
+        .alias("bucket_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — F10/F12: zip labels×scores → map, threshold-filter the map
+# (P7 shape), invert/normalize keys, explode back to rows. Scores are
+# deterministic per (doc, token).
+# ---------------------------------------------------------------------------
+@register(
+    "q30_map_zip_filter",
+    oracle=f"""
+    WITH tok AS (
+      -- sorted distinct: DuckDB's list_distinct does NOT preserve
+      -- first-occurrence order (Spark's array_distinct does), so both
+      -- engines take the 6 smallest distinct tokens instead.
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))[1:6] AS names
+      FROM documents
+    ),
+    entries AS (
+      SELECT doc_id, unnest(names) AS tag FROM tok
+    ),
+    scored AS (
+      SELECT doc_id, upper(tag) AS tag_norm,
+             CAST({polyhash_sql("tag || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / {P} AS score
+      FROM entries
+    )
+    SELECT doc_id, tag_norm, score FROM scored WHERE score > 0.5
+    """,
+)
+def q30_map_zip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    names = F.slice(
+        F.array_sort(
+            F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        ),
+        1,
+        6,
+    )
+    df = docs.select("doc_id", names.alias("names"))
+    # F10: zip names with scores into a map
+    scores = F.transform(
+        F.col("names"),
+        lambda t: polyhash(F.concat(t, F.col("doc_id").cast("string"))).cast("double")
+        / F.lit(float(P)),
+    )
+    df = df.select("doc_id", F.map_from_arrays(F.col("names"), scores).alias("m"))
+    # P7-shaped map_filter + F12 transform_keys (normalize)
+    filtered = F.map_filter(F.col("m"), lambda k, v: v > 0.5)
+    inverted = F.transform_keys(filtered, lambda k, v: F.upper(k))
+    return df.select(
+        "doc_id", F.explode(inverted).alias("tag_norm", "score")
+    )

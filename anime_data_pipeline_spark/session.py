@@ -32,6 +32,16 @@ def get_spark(
     driver harness alike — the first caller wins on the config.
     """
     cpus = cpus or DEFAULT_CPUS
+    # Python workers deserialize mapInPandas/UDF closures that reference
+    # this package; make it importable regardless of the caller's cwd
+    # (the driver harness runs from a neutral directory). Must happen
+    # BEFORE the JVM launches so spawned workers inherit it.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
