@@ -53,6 +53,12 @@ def main() -> None:
     )
     qs = all_queries()
 
+    # Warm the session (JVM/codegen/parquet footer caches) so the first
+    # query's timing measures the query, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
