@@ -93,8 +93,12 @@ def select_bucket_py(
     ar = width / height
 
     def round_steps(x: float) -> int:
+        # Clamped to one step: inputs smaller than reso_steps would
+        # otherwise floor to a 0-sized bucket (division by zero — the
+        # reference crashes identically on such degenerate images;
+        # documented robustness divergence).
         r = int(x + 0.5)
-        return r - r % cfg.reso_steps
+        return max(cfg.reso_steps, r - r % cfg.reso_steps)
 
     if not cfg.no_upscale:
         if (width, height) in set(resos):
@@ -126,8 +130,8 @@ def select_bucket_py(
         else:
             resized = (width, height)
         reso = (
-            resized[0] - resized[0] % cfg.reso_steps,
-            resized[1] - resized[1] % cfg.reso_steps,
+            max(cfg.reso_steps, resized[0] - resized[0] % cfg.reso_steps),
+            max(cfg.reso_steps, resized[1] - resized[1] % cfg.reso_steps),
         )
 
     return {
@@ -158,8 +162,9 @@ def crop_ltrb_py(bucket_w: int, bucket_h: int, img_w: int, img_h: int) -> tuple:
 # Spark column expressions
 # ---------------------------------------------------------------------------
 def _round_steps(x: Column, steps: int) -> Column:
+    # Clamped to one step (see select_bucket_py.round_steps).
     r = F.floor(x + F.lit(0.5))
-    return r - r % F.lit(steps)
+    return F.greatest(F.lit(steps), r - r % F.lit(steps))
 
 
 def assign_bucket_columns(
@@ -256,8 +261,16 @@ def assign_bucket_columns(
         )
         out = df.withColumn("resized_w", resized_w).withColumn("resized_h", resized_h)
         out = out.withColumn(
-            "bucket_w", (F.col("resized_w") - F.col("resized_w") % steps).cast("int")
-        ).withColumn("bucket_h", (F.col("resized_h") - F.col("resized_h") % steps).cast("int"))
+            "bucket_w",
+            F.greatest(
+                F.lit(steps), F.col("resized_w") - F.col("resized_w") % steps
+            ).cast("int"),
+        ).withColumn(
+            "bucket_h",
+            F.greatest(
+                F.lit(steps), F.col("resized_h") - F.col("resized_h") % steps
+            ).cast("int"),
+        )
 
     return (
         out.withColumn(
@@ -351,7 +364,11 @@ def bucket_noupscale_oracle_sql(imgs_select: str, cfg: BucketConfig | None = Non
     area = cfg.max_area
 
     def rsteps(x: str) -> str:
-        return f"(floor(({x}) + 0.5) - CAST(floor(({x}) + 0.5) AS BIGINT) % {steps})"
+        # Clamped to one step (see select_bucket_py.round_steps).
+        return (
+            f"greatest({steps}, floor(({x}) + 0.5) "
+            f"- CAST(floor(({x}) + 0.5) AS BIGINT) % {steps})"
+        )
 
     return f"""
     WITH imgs AS ({imgs_select}),
@@ -386,15 +403,18 @@ def bucket_noupscale_oracle_sql(imgs_select: str, cfg: BucketConfig | None = Non
                        ELSE bhr END AS INTEGER) AS resized_h
       FROM oriented
     )
+    , floored AS (
+      SELECT *,
+             greatest({steps}, resized_w - resized_w % {steps}) AS bw,
+             greatest({steps}, resized_h - resized_h % {steps}) AS bh
+      FROM resized
+    )
     SELECT image_key,
-           CAST(resized_w - resized_w % {steps} AS INTEGER) AS bucket_w,
-           CAST(resized_h - resized_h % {steps} AS INTEGER) AS bucket_h,
+           CAST(bw AS INTEGER) AS bucket_w,
+           CAST(bh AS INTEGER) AS bucket_h,
            resized_w, resized_h,
-           CAST(resized_w - resized_w % {steps} AS DOUBLE)
-             / (resized_h - resized_h % {steps}) - ar AS ar_error,
-           CAST((resized_w - resized_w % {steps})
-              - (resized_w - resized_w % {steps}) % 8 AS INTEGER) AS train_w,
-           CAST((resized_h - resized_h % {steps})
-              - (resized_h - resized_h % {steps}) % 8 AS INTEGER) AS train_h
-    FROM resized
+           CAST(bw AS DOUBLE) / bh - ar AS ar_error,
+           CAST(bw - bw % 8 AS INTEGER) AS train_w,
+           CAST(bh - bh % 8 AS INTEGER) AS train_h
+    FROM floored
     """
