@@ -1,0 +1,84 @@
+"""Plan-shape regression tests: the physical plans the engine is
+designed around must not silently degrade (a correct-but-shuffling
+plan is a perf bug at 100 TB — SURVEY §4).
+
+Checked properties:
+- filters/projections reach the parquet scan (PushedFilters);
+- dimension joins broadcast (no sort-merge on dims);
+- map-only operators introduce zero exchanges;
+- the salted join spreads a hot key over N partitions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.operators.skew import key_histogram, salted_join
+from anime_data_pipeline_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_filter_query_is_scan_only(spark, sf_dir):
+    plan = plan_of(QUERIES["q02_threshold_filter"](spark, sf_dir))
+    assert "Exchange" not in plan, "pure filter+project must not shuffle"
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_quantity", plan), plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("q03_inner_join_agg", "q13_star_join_revenue", "q11_topk_per_group"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, f"{name}: dimension join degraded to SMJ"
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_map_only_operators_no_exchange(spark, sf_dir):
+    for name in ("q21_bucket_assign", "q33_simhash_fingerprint", "q51_token_counts",
+                 "q52_quality_score", "q53_language_id"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} should be map-only:\n{plan[:800]}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q02_threshold_filter"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    }, cols
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # hot side: one key with 1000 rows; big side: 10 rows per key
+    hot = spark.range(1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    big = spark.createDataFrame(
+        [(k, v) for k in range(10) for v in range(10)], "k int, v int"
+    )
+    joined = salted_join(big, hot, "k", salts=4)
+    # correctness: every (payload, v) pair for k=7 exists exactly once
+    assert joined.count() == 1000 * 10
+    assert joined.select("payload", "v").distinct().count() == 1000 * 10
+    # the salt column is gone
+    assert "_salt" not in joined.columns
+
+
+def test_key_histogram(spark):
+    df = spark.createDataFrame(
+        [(i % 3,) for i in range(90)] + [(99,)], "k int"
+    )
+    top = {r["k"]: r["n_rows"] for r in key_histogram(df, "k", top=3).collect()}
+    assert top == {0: 30, 1: 30, 2: 30}
