@@ -21,3 +21,18 @@ Package layout (per SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from anime_data_pipeline_spark.session import get_spark  # noqa: E402,F401
+
+
+def __getattr__(name: str):
+    """Lazy convenience imports: `adps.operators`, `adps.sources`, ...
+    without importing pyspark-heavy modules at package import time."""
+    import importlib
+
+    if name in {
+        "catalog", "config", "functions", "operators", "plans",
+        "queries", "registry", "sources", "streaming",
+    }:
+        return importlib.import_module(f"{__name__}.{name}")
+    raise AttributeError(name)

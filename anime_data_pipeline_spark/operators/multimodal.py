@@ -142,6 +142,90 @@ def extract_features(
     return df.mapInPandas(extract, schema=out_schema)
 
 
+FAUD_MAGIC = b"FAUD"
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def encode_faud(
+    sample_rate: int, n_samples: int, channels: int = 1, payload: bytes = b""
+) -> bytes:
+    """FAUD container: magic | rate:int32le | samples:int64le |
+    channels:1 byte | payload (stands in for PCM)."""
+    return (
+        FAUD_MAGIC
+        + struct.pack("<iq", sample_rate, n_samples)
+        + bytes([channels])
+        + payload
+    )
+
+
+def _decode_faud(content: bytes | None) -> tuple[int, int, int] | None:
+    if content is None or len(content) < 17 or content[:4] != FAUD_MAGIC:
+        return None
+    rate, n = struct.unpack("<iq", content[4:16])
+    ch = content[16]
+    if rate <= 0 or n < 0 or ch == 0:
+        return None
+    return rate, n, ch
+
+
+def decode_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas audio decode: binary → typed audio_meta struct (the
+    real codec — soundfile/ffmpeg — slots in like _decode_real)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("audio_meta", AUDIO_META_SCHEMA)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for content in pdf[content_col]:
+                d = _decode_faud(bytes(content) if content is not None else None)
+                metas.append(
+                    None
+                    if d is None
+                    else {
+                        "sample_rate": d[0],
+                        "n_samples": d[1],
+                        "channels": d[2],
+                        "duration_s": d[1] / d[0],
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["audio_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def audio_chunk_plan(
+    df: DataFrame, chunk_s: float = 30.0, meta_col: str = "audio_meta"
+) -> DataFrame:
+    """Chunk audio into fixed-duration segments as a plan: one row per
+    (key, chunk_no, start_sample, end_sample) — each chunk then decodes
+    independently (the whisper-style long-audio pattern)."""
+    rate = F.col(f"{meta_col}.sample_rate").cast("long")
+    n = F.col(f"{meta_col}.n_samples")
+    chunk_len = (rate * F.lit(chunk_s)).cast("long")
+    n_chunks = F.ceil(n / chunk_len).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return (
+        df.withColumn("_chunks", idx)
+        .select("*", F.explode("_chunks").alias("chunk_no"))
+        .drop("_chunks")
+        .withColumn("start_sample", F.col("chunk_no") * chunk_len)
+        .withColumn("end_sample", F.least(n, (F.col("chunk_no") + 1) * chunk_len))
+    )
+
+
 def resize_plan(
     df: DataFrame, target_w: Column, target_h: Column
 ) -> DataFrame:

@@ -51,6 +51,27 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-clustered (and optionally
+    sorted) by the join key at WRITE time, so every later equi-join or
+    aggregation on that key runs shuffle-free — the pre-paid exchange.
+    Both sides of a co-located join must use the same n_buckets.
+
+    At 100 TB this is the difference between shuffling the fact table
+    per query and shuffling it once at ingest."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def upsert_table(
     spark: SparkSession,
     updates: DataFrame,
