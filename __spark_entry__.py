@@ -21,9 +21,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the composed curation pipeline (quality filter →
+    exact dedup → MinHash-LSH near-dup removal) — the engine's
+    LLM-training-data story in one oracle-checked plan."""
     qs = all_queries()
-    return qs["q01_pricing_summary"](spark, SMOKE_SF_DIR)
+    return qs["q35_curation_pipeline"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3,6 +3,7 @@
 from anime_data_pipeline_spark.queries import (  # noqa: F401
     bucketing_q,
     coverage_q,
+    curation_q,
     dedup_q,
     multimodal_q,
     relational,

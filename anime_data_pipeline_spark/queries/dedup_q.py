@@ -91,11 +91,11 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle→signature→band→join→verify pipeline, so hash-match means the
 # banding itself is correct, not just the final Jaccard filter.
 # ---------------------------------------------------------------------------
-def _hashed_cte(n: int) -> str:
+def _hashed_cte(n: int, corpus_sql: str | None = None) -> str:
     """corpus → tok → th → hashed(doc, hashes) CTE prefix — the same
     token-hash → shingle-fold pipeline as shingle_hash_sets."""
     return f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+    WITH corpus AS ({corpus_sql or _CORPUS_SQL}),
     tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
     tha AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM tok),
     hashed AS (SELECT doc,
@@ -104,28 +104,28 @@ def _hashed_cte(n: int) -> str:
     """
 
 
-def _sig_item_sql(i: int) -> str:
-    a, b = perm_constants(_K)[i]
-    return f"list_min(list_transform(hashes, h -> {perm_hash_sql('h', a, b)}))"
+def minhash_pairs_sql(corpus_sql: str, n: int, k: int, bands: int, threshold: float) -> str:
+    """Full LSH near-dup-pairs oracle over an arbitrary (doc_id, text)
+    corpus subquery — band-for-band mirror of minhash_lsh_pairs."""
+    rows = k // bands
+    consts = perm_constants(k)
 
+    def sig_item(i: int) -> str:
+        a, b = consts[i]
+        return f"list_min(list_transform(hashes, h -> {perm_hash_sql('h', a, b)}))"
 
-def _band_rows_sql() -> str:
-    """UNION ALL over bands: (doc, band_idx, band_val)."""
-    selects = []
-    for j in range(_BANDS):
-        v = f"sig[{j * _ROWS + 1}]"
-        for r in range(1, _ROWS):
-            v = f"(({v}) * 31 + sig[{j * _ROWS + r + 1}])"
-        selects.append(f"SELECT doc, {j} AS band_idx, {v} AS band_val FROM sigs")
-    return " UNION ALL ".join(selects)
-
-
-_MINHASH_ORACLE = f"""
-    {_hashed_cte(_NGRAM)},
+    band_selects = []
+    for j in range(bands):
+        v = f"sig[{j * rows + 1}]"
+        for r in range(1, rows):
+            v = f"(({v}) * 31 + sig[{j * rows + r + 1}])"
+        band_selects.append(f"SELECT doc, {j} AS band_idx, {v} AS band_val FROM sigs")
+    return f"""
+    {_hashed_cte(n, corpus_sql)},
     sigs AS (SELECT doc, hashes,
-                    [{", ".join(_sig_item_sql(i) for i in range(_K))}] AS sig
+                    [{", ".join(sig_item(i) for i in range(k))}] AS sig
              FROM hashed),
-    bands AS ({_band_rows_sql()}),
+    bands AS ({" UNION ALL ".join(band_selects)}),
     cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
              FROM bands a JOIN bands b
                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -138,8 +138,11 @@ _MINHASH_ORACLE = f"""
       FROM cand
       JOIN hashed ha ON ha.doc = cand.id_a
       JOIN hashed hb ON hb.doc = cand.id_b)
-    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_THRESH}
-"""
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+_MINHASH_ORACLE = minhash_pairs_sql(_CORPUS_SQL, _NGRAM, _K, _BANDS, _THRESH)
 
 
 @register("q32_minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
