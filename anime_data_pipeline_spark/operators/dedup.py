@@ -189,6 +189,57 @@ def simhash_df(
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(node) × (src, dst)`` → ``(node, component)`` where component =
+    min node id reachable. The canonical near-dup CLUSTERING step on
+    top of pair output (every pair family: MinHash, SimHash, n-gram,
+    embedding).
+
+    Spark-shaped iteration: each round joins labels across edges and
+    takes the min — label count halves at least geometrically, so
+    rounds ≈ log(diameter); dedup graphs have tiny diameters (2-4).
+    The loop is DRIVER-side control flow over DISTRIBUTED joins — the
+    standard Spark pattern for iterative algorithms (alternating with
+    localCheckpoint to cut the lineage). Converged when no label
+    changed; raises if max_iters is hit (pathological chain graphs).
+    """
+    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        edges.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    for _ in range(max_iters):
+        # candidate labels: own + the minimum over neighbors' labels
+        via_edges = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(via_edges, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iters} iters")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -29,6 +29,7 @@ from anime_data_pipeline_spark.functions.hashing import (
 )
 from anime_data_pipeline_spark.functions.text import tokens_sql
 from anime_data_pipeline_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -218,4 +219,39 @@ def q34_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = mutated_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(
         corpus, "doc_id", "text", n=_NJ_N, threshold=_NJ_THRESH, max_df=_NJ_MAXDF
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the verified LSH pairs.
+# Spark runs driver-loop min-label propagation over distributed joins;
+# the oracle computes the same components with a recursive CTE — both
+# converge to the canonical labeling (min reachable id), so equality
+# is algorithm-independent.
+# ---------------------------------------------------------------------------
+_CC_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs_sql(_CORPUS_SQL, _NGRAM, _K, _BANDS, _THRESH)}),
+    nodes AS (SELECT doc_id FROM ({_CORPUS_SQL})),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
+@register("q36_neardup_clusters", oracle=_CC_ORACLE)
+def q36_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS, threshold=_THRESH
+    )
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    return connected_components(nodes, pairs).select(
+        F.col("node").alias("doc_id"), "component"
     )
