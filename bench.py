@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q31_exact_dedup",
     "q32_minhash_lsh_neardup",
     "q33_simhash_fingerprint",
+    "q35_curation_pipeline",
     "q41_ann_bruteforce_topk",
     "q42_ann_srp_lsh_topk",
 ]
