@@ -184,6 +184,64 @@ def srp_lsh_topk(
     )
 
 
+def ivf_assign(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id (max cosine, min-id tiebreak) via a scan
+    over the (small, driver-resident) centroid list — the IVF-flat
+    coarse quantizer as a pure expression. ``v`` must be a
+    materialized double-array column."""
+    best_id, best_score = None, None
+    for cid, cv in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cv])
+        score = dot(v, lit_c) / (F.sqrt(sq_norm(v)) * F.sqrt(sq_norm(lit_c)))
+        if best_id is None:
+            best_id, best_score = F.lit(cid), score
+        else:
+            better = score > best_score
+            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+            best_score = F.when(better, score).otherwise(best_score)
+    return best_id
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned into centroid cells once
+    (map-only); each query probes ONLY its nearest cell. The scale
+    path vs SRP-LSH when the corpus clusters (cells ≈ clusters): at
+    100 TB the cell assignment is written once (partitioned/bucketed
+    by cell id) and each query scans corpus/|cells| rows.
+
+    Centroids come from any trainer; for determinism here they are
+    seed rows of the corpus itself (kmeans would drop in unchanged).
+    """
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cell", ivf_assign(F.col("cv"), centroids))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cell", ivf_assign(F.col("qv"), centroids))
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "cosine", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str,

@@ -151,6 +151,53 @@ def q29_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic per (doc, token).
 # ---------------------------------------------------------------------------
 @register(
+    "q37_name_series_parse",
+    oracle=r"""
+    WITH chars AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'char_' || doc_id || '_(series ' || (doc_id % 7) || ')'
+                  ELSE 'solo_char_' || doc_id END AS name_raw
+      FROM documents
+    )
+    SELECT doc_id, name_raw,
+           CASE WHEN regexp_matches(name_raw, '^(.*)_\((.*)\)$')
+                THEN replace(regexp_extract(name_raw, '^(.*)_\((.*)\)$', 1), '_', ' ')
+                ELSE replace(name_raw, '_', ' ') END AS char_name,
+           CASE WHEN regexp_matches(name_raw, '^(.*)_\((.*)\)$')
+                THEN regexp_extract(name_raw, '^(.*)_\((.*)\)$', 2)
+                ELSE NULL END AS series
+    FROM chars
+    """,
+)
+def q37_name_series_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (prepare_aesthetic_tags_metadata.py:14-23): split
+    'name_(series)' character strings; rows without parens keep the
+    whole name and null series (the reference's ValueError path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    name_raw = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("char_"), F.col("doc_id"), F.lit("_(series "),
+            (F.col("doc_id") % 7).cast("string"), F.lit(")"),
+        ),
+    ).otherwise(F.concat(F.lit("solo_char_"), F.col("doc_id")))
+    pat = r"^(.*)_\((.*)\)$"
+    df = docs.select("doc_id", name_raw.alias("name_raw"))
+    has = F.col("name_raw").rlike(pat)
+    return df.select(
+        "doc_id",
+        "name_raw",
+        F.when(
+            has, F.regexp_replace(F.regexp_extract("name_raw", pat, 1), "_", " ")
+        )
+        .otherwise(F.regexp_replace(F.col("name_raw"), "_", " "))
+        .alias("char_name"),
+        F.when(has, F.regexp_extract("name_raw", pat, 2)).alias("series"),
+    )
+
+
+@register(
     "q30_map_zip_filter",
     oracle=f"""
     WITH tok AS (

@@ -18,6 +18,7 @@ from anime_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine_sql,
     embedding_neardup_pairs,
+    ivf_topk,
     srp_bucket_sql,
     srp_lsh_topk,
     to_double_array,
@@ -100,6 +101,55 @@ def q42_ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (same direction ⇒ cosine ≈ 1) for vec_id % 7 — identical construction
 # in both engines, in double space so the scaling is exact.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# q44 — IVF-flat ANN: coarse quantizer = nearest of the seed centroids
+# (vec_id % 101 — a kmeans trainer would drop in unchanged); each query
+# probes only its cell. Assignment + probe mirrored exactly in SQL.
+# ---------------------------------------------------------------------------
+_CENTROID_MOD = 101
+
+_Q44_ORACLE = f"""
+    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+      ) WHERE rn = 1),
+    c AS (SELECT a.cell, corpus.vec_id, corpus.v AS cv2
+          FROM corpus JOIN assign a USING (vec_id)),
+    q AS (SELECT a.cell, corpus.vec_id AS query_id, corpus.v AS qv
+          FROM corpus JOIN assign a USING (vec_id)
+          WHERE corpus.vec_id % {_QUERY_MOD} = 0),
+    scored AS (SELECT q.query_id, c.vec_id,
+                      {cosine_sql("qv", "cv2")} AS cosine
+               FROM c JOIN q USING (cell)),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q44_ann_ivf_topk", oracle=_Q44_ORACLE)
+def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    seeds = (
+        corpus.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+    out = ivf_topk(
+        corpus, _queries(spark, sf_dir), centroids, "vec_id", "embedding", k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _Q43_THRESH = 0.99
 
 _Q43_CORPUS_SQL = """
