@@ -10,5 +10,6 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     similarity_q,
     streaming_q,
     tags_q,
+    temporal_q,
     text_q,
 )

@@ -1,0 +1,75 @@
+"""Temporal join gate queries over `events`: as-of join (vs DuckDB's
+native ASOF JOIN — the strongest possible oracle) and bucketed range
+join (vs a plain theta join the oracle can afford at gate scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.operators.joins import asof_join, range_join_bucketed
+from anime_data_pipeline_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# q38 — as-of join: every event gains the user's most recent purchase
+# value at-or-before its timestamp.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.event_type,
+           r.value AS right_value, r.ts AS right_ts
+    FROM events l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    value_cols=["value", "ts"])
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("right_value"), F.col("right_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — range join: incidents = 2-minute windows opened by error
+# events; every event landing inside any incident window matches.
+# No equi key — the bucketed form keeps it off the cartesian path.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_range_join",
+    oracle="""
+    WITH incidents AS (
+      SELECT event_id AS incident_id, ts AS start_ts,
+             ts + INTERVAL 2 MINUTE AS end_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.incident_id, e.event_id, e.event_type
+    FROM events e JOIN incidents i
+      ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+)
+def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + 120_000_000).alias("end"),
+    )
+    joined = range_join_bucketed(
+        events.select("event_id", "event_type", "ts"),
+        incidents,
+        ts_col="ts",
+        bucket_width_s=120,
+    )
+    return joined.select("incident_id", "event_id", "event_type")
