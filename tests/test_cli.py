@@ -1,0 +1,65 @@
+"""EP1 CLI end-to-end: real directories, real subprocess, keyed-JSON
+sink, audit + bucket report on stdout."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from anime_data_pipeline_spark.operators.multimodal import encode_fimg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_fixtures(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    imgs = root / "imgs"
+    imgs.mkdir()
+    for i in range(24):
+        blob = encode_fimg(400 + i * 53 % 1200, 380 + i * 71 % 900, "RGB", b"px%d" % i)
+        (imgs / f"img{i:02d}_p0.jpg").write_bytes(blob if i % 9 else b"broken")
+        (imgs / f"img{i:02d}_p0.txt").write_text(
+            f"general, tag{i % 3}, long hair, smile"
+        )
+    (root / "aes.json").write_text(
+        json.dumps(
+            [{f"/x/img{i:02d}_p0.jpg": 0.4 + (i % 6) * 0.1} for i in range(24)]
+        )
+    )
+    (root / "vocab.csv").write_text(
+        "tag_id,name,category,count\n0,long_hair,0,5\n1,smile,0,4\n"
+    )
+    return root
+
+
+def test_cli_end_to_end(cli_fixtures):
+    root = cli_fixtures
+    out_dir = root / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "run_pipeline.py"),
+            "--image_dirs", str(root / "imgs"),
+            "--sidecar_dir", str(root / "imgs"),
+            "--aesthetic_files", str(root / "aes.json"),
+            "--vocab_csv", str(root / "vocab.csv"),
+            "--out_path", str(out_dir),
+            "--out_format", "keyed_json",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/tmp",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "audit:" in proc.stdout and "bucket " in proc.stdout
+
+    part = next(p for p in os.listdir(out_dir) if p.startswith("part-"))
+    payload = json.loads(open(os.path.join(out_dir, part)).read())
+    # 24 images, 3 corrupt (i % 9 == 0), minus below-threshold scores
+    assert 0 < len(payload) <= 21
+    rec = payload[sorted(payload)[0]]
+    assert {"rating", "tags", "ordered_tags", "train_resolution",
+            "bucket_reso", "resized_size", "ar_error"} <= set(rec)

@@ -118,3 +118,12 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan[:500]
     assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:900]}"
     assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_range_join_not_cartesian(spark, sf_dir):
+    """q39's bucketed range join must plan as an equi-join on the time
+    cell, never BroadcastNestedLoop/CartesianProduct."""
+    plan = plan_of(QUERIES["q39_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
