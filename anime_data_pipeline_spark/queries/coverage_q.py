@@ -150,6 +150,52 @@ def q29_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (P7 shape), invert/normalize keys, explode back to rows. Scores are
 # deterministic per (doc, token).
 # ---------------------------------------------------------------------------
+def _qd_sql(q: float) -> str:
+    """Discrete quantile of n_chars inside a GROUP BY, spelled as
+    sorted-list indexing (identical convention both engines; the
+    built-in quantile functions differ in interpolation rules)."""
+    return f"list_sort(list(n_chars))[CAST(ceil({q} * count(*)) AS INTEGER)]"
+
+
+@register(
+    "q40_corpus_profile",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           {_qd_sql(0.25)} AS p25_chars,
+           {_qd_sql(0.5)} AS p50_chars,
+           {_qd_sql(0.75)} AS p75_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q40_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling rollup (A-family extension): counts, exact
+    distinct cardinality, and discrete quantiles per source. At 100 TB
+    swap countDistinct → approx_count_distinct and the sorted-list
+    quantile → percentile_approx; the gate uses the exact forms so the
+    oracle can match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def qd(q: float):
+        return F.element_at(
+            F.array_sort(F.collect_list("n_chars")),
+            F.ceil(F.lit(q) * F.count(F.lit(1))).cast("int"),
+        )
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        qd(0.25).alias("p25_chars"),
+        qd(0.5).alias("p50_chars"),
+        qd(0.75).alias("p75_chars"),
+    )
+
+
 @register(
     "q37_name_series_parse",
     oracle=r"""

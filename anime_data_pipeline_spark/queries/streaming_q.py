@@ -22,6 +22,7 @@ from anime_data_pipeline_spark.streaming.pipeline import (
     run_available_now,
     session_agg,
     sliding_agg,
+    stream_stream_join,
     tumbling_agg,
 )
 
@@ -111,6 +112,42 @@ def q63_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q64 — stateful dedup: the stream replays events TWICE (self-union),
 # dropDuplicatesWithinWatermark keeps exactly one copy per event_id.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# q65 — stream-stream interval join: each purchase matched to the
+# user's clicks in the preceding 10 minutes, through the streaming
+# engine (watermarked two-sided join state), oracle = batch theta join.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    joined = stream_stream_join(purchases, clicks, "user_id", 600, 0)
+    out = run_available_now(
+        joined.select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.click_id").alias("click_id"),
+            F.col("l.user_id").alias("user_id"),
+        ),
+        "append",
+    )
+    return out
+
+
 @register(
     "q64_stream_dedup",
     oracle="SELECT event_id, user_id, event_type, value FROM events",

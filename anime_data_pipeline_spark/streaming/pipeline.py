@@ -104,6 +104,33 @@ def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "10 minute
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right rows with
+    ``l.ts - lower_s <= r.ts <= l.ts + upper_s`` per key. Both sides
+    are watermarked so the join state (buffered unmatched rows) is
+    evicted once the band cannot match anymore — the state-bound
+    requirement for unbounded streams."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = (
+        right.withColumnRenamed("ts", "r_ts")
+        .withWatermark("r_ts", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.r_ts") >= F.col("l.ts") - F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col("r.r_ts") <= F.col("l.ts") + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str, timeout_s: int = 120
 ) -> DataFrame:
