@@ -150,6 +150,57 @@ def q29_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (P7 shape), invert/normalize keys, explode back to rows. Scores are
 # deterministic per (doc, token).
 # ---------------------------------------------------------------------------
+@register(
+    "q45_cube_rollup",
+    oracle="""
+    SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(source, '<all>') AS source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q45_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (beyond the reference's flat counts; q15 covers
+    ROLLUP). Null grouping markers coalesced identically both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
+    "q46_set_ops",
+    oracle="""
+    WITH long_docs AS (SELECT doc_id FROM documents WHERE n_chars >= 150),
+    en_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    both_sets AS (SELECT doc_id FROM long_docs INTERSECT SELECT doc_id FROM en_docs),
+    only_long AS (SELECT doc_id FROM long_docs EXCEPT SELECT doc_id FROM en_docs)
+    SELECT doc_id, 'both' AS membership FROM both_sets
+    UNION ALL
+    SELECT doc_id, 'long_only' AS membership FROM only_long
+    """,
+)
+def q46_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect/except (SURVEY §2.6 notes them absent from the
+    reference; Spark supplies them natively)."""
+    docs = load_table(spark, sf_dir, "documents")
+    long_docs = docs.filter(F.col("n_chars") >= 150).select("doc_id")
+    en_docs = docs.filter(F.col("lang") == "en").select("doc_id")
+    both = long_docs.intersect(en_docs).withColumn("membership", F.lit("both"))
+    only_long = long_docs.exceptAll(en_docs).withColumn(
+        "membership", F.lit("long_only")
+    )
+    return both.unionByName(only_long)
+
+
 def _qd_sql(q: float) -> str:
     """Discrete quantile of n_chars inside a GROUP BY, spelled as
     sorted-list indexing (identical convention both engines; the
