@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.hashing import P, polyhash
+from anime_data_pipeline_spark.functions.hashing import polyhash
 
 
 def salted_join(

@@ -39,7 +39,6 @@ from anime_data_pipeline_spark.registry import register
 
 # LSH configuration shared by the Spark plan and the DuckDB oracle.
 _K, _BANDS, _NGRAM, _THRESH = 12, 4, 3, 0.5
-_ROWS = _K // _BANDS
 
 _NEARDUP_SUFFIX = " qq ww ee rr"
 

@@ -22,8 +22,6 @@ from pyspark.sql import Window as W
 
 from anime_data_pipeline_spark.sources.images import path_stem
 
-_ENTRY = T.MapType(T.StringType(), T.DoubleType())
-
 
 def read_aesthetic_scores(spark: SparkSession, files: list[str]) -> DataFrame:
     """(image_id, score), deduped last-write-wins by (file order, index
