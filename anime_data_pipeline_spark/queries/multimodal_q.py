@@ -1,7 +1,11 @@
-"""Multimodal + ML-inference gate queries (rows-only: the binary
-decode/inference path runs through Arrow-batched Python workers whose
-stub-model float output has no DuckDB spelling; the driver records the
-weaker rows-only check for these — SURVEY §2.9 M1/M5, S7).
+"""Multimodal + ML-inference gate queries (SURVEY §2.9 M1/M5, S7).
+
+q71 is fully oracle-checked: the expected decode output is recomputed
+from doc_id in SQL, closing the loop over the binary encode →
+mapInPandas decode → resize plan. q72/q73 stay rows-only: their stub
+models hash raw BYTES with sha256, and DuckDB's sha256 only accepts
+VARCHAR (UTF-8) — no blob spelling exists, so the driver records the
+weaker rows-only check for those two.
 
 The binary corpus is synthesized deterministically from `documents`
 (FIMG container with doc_id-derived dimensions, text-derived payload),
@@ -47,7 +51,34 @@ def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", make_blob("doc_id", "text").alias("content"))
 
 
-@register("q71_multimodal_decode")
+# The oracle recomputes the expected decode output directly from
+# doc_id — an end-to-end check of the synthesize → encode → mapInPandas
+# decode → resize-plan roundtrip (any header/byte-order/null-handling
+# bug in the binary path breaks the match).
+_Q71_ORACLE = """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(256 + (doc_id * 97) % 1792 AS INTEGER) AS width,
+             CAST(256 + (doc_id * 131) % 1280 AS INTEGER) AS height,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA'
+               WHEN 2 THEN 'L' ELSE 'P' END AS mode
+      FROM documents WHERE doc_id % 29 <> 28
+    )
+    SELECT doc_id, width, height, mode,
+           CAST(floor(width * scale + 0.5) AS INTEGER) AS resized_w,
+           CAST(floor(height * scale + 0.5) AS INTEGER) AS resized_h
+    FROM (
+      SELECT *,
+             CASE WHEN CAST(1024 AS DOUBLE) / 1024 > CAST(width AS DOUBLE) / height
+                  THEN CAST(1024 AS DOUBLE) / height
+                  ELSE CAST(1024 AS DOUBLE) / width END AS scale
+      FROM meta
+    )
+"""
+
+
+@register("q71_multimodal_decode", oracle=_Q71_ORACLE)
 def q71_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: binary decode → typed metadata; corrupt rows surface as null
     meta and are dropped with a countable audit (P6)."""
