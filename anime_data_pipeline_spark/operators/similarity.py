@@ -185,21 +185,27 @@ def srp_lsh_topk(
 
 
 def ivf_assign(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id (max cosine, min-id tiebreak) via a scan
-    over the (small, driver-resident) centroid list — the IVF-flat
-    coarse quantizer as a pure expression. ``v`` must be a
-    materialized double-array column."""
-    best_id, best_score = None, None
+    """Nearest-centroid id (max cosine, min-id tiebreak) via array_max
+    over per-centroid (score, -id) structs — the IVF-flat coarse
+    quantizer as a pure expression. ``v`` must be a materialized
+    double-array column.
+
+    Deliberately NOT a chained when(score > best, ...) scan: that form
+    re-embeds the running best into every successor, tripling the
+    expression tree per centroid — it analyzed fine with 5 centroids
+    and blew up Catalyst with 50. The struct-array form is linear in
+    the centroid count; struct comparison is (score, then -id), i.e.
+    highest score with the smallest id on ties.
+    """
+    entries = []
     for cid, cv in centroids:
         lit_c = F.array(*[F.lit(float(x)) for x in cv])
         score = dot(v, lit_c) / (F.sqrt(sq_norm(v)) * F.sqrt(sq_norm(lit_c)))
-        if best_id is None:
-            best_id, best_score = F.lit(cid), score
-        else:
-            better = score > best_score
-            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-            best_score = F.when(better, score).otherwise(best_score)
-    return best_id
+        entries.append(
+            F.struct(score.alias("s"), F.lit(-int(cid)).cast("long").alias("negid"))
+        )
+    best = F.array_max(F.array(*entries))
+    return (-best["negid"]).cast("long")
 
 
 def ivf_topk(

@@ -132,7 +132,7 @@ def stream_stream_join(
 
 
 def run_available_now(
-    stream_df: DataFrame, output_mode: str, timeout_s: int = 120
+    stream_df: DataFrame, output_mode: str, timeout_s: int = 300
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion; return the memory-sink
     table as a batch DataFrame."""
