@@ -4,6 +4,10 @@ DuckDB-oracle parity helper mirroring the driver's correctness gate."""
 from __future__ import annotations
 
 import os
+import sys
+
+# Make the suite runnable from any cwd (python -m pytest /root/repo/tests).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
