@@ -148,6 +148,37 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# q66 — stream-static enrichment: the event stream joined to the
+# (batch) customer dimension — broadcast into every micro-batch, no
+# stream state — then aggregated per market segment.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n, {dround_sql("sum(e.value)", 2)} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def q66_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.catalog import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = events.join(
+        customers, customers.c_custkey == events.user_id + 1, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value")
+    )
+    out = run_available_now(agg, "complete")
+    return out.withColumn("total_value", dround(F.col("total_value"), 2))
+
+
 @register(
     "q64_stream_dedup",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
