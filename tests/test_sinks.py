@@ -42,3 +42,19 @@ def test_parquet_upsert(spark, tmp_path):
     assert len(got) == 11
     assert got[5] == "new5" and got[6] == "new6" and got[99] == "new99"
     assert got[0] == "old0"
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (pruned directories), not a post-scan predicate."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(90)],
+        "id int, src string, v double",
+    )
+    out = str(tmp_path / "t3")
+    write_table(df, out, partition_by=["src"])
+    back = spark.read.parquet(out).filter(F.col("src") == "a")
+    jdf = back._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "src" in plan.split("PartitionFilters", 1)[1][:120], plan
