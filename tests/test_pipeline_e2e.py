@@ -168,3 +168,20 @@ def test_keyed_json_roundtrip(spark, tmp_path, fixture_dir, images_df):
     assert joined.filter(
         ~(F.col("ordered_tags").eqNullSafe(F.col("expect")))
     ).count() == 0
+
+
+def test_keyed_json_escaping(spark, tmp_path):
+    """Keys/values with quotes, backslashes, newlines, unicode must
+    survive the keyed-JSON round trip (escaping rides on to_json)."""
+    rows = [
+        ('/data/we"ird".jpg', 'va"l'),
+        ("/data/back\\slash.jpg", "v\\2"),
+        ("/data/uni—código.jpg", "café"),
+        ("/data/tab\there.jpg", "line1\nline2"),
+    ]
+    df = spark.createDataFrame(rows, "image_key string, val string")
+    out = str(tmp_path / "esc")
+    write_keyed_json(df, "image_key", out)
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    payload = json.loads(open(os.path.join(out, part)).read())
+    assert payload == {k: {"val": v} for k, v in rows}
