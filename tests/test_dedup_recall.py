@@ -1,0 +1,79 @@
+"""Recall guarantees of the near-dup operators: oracle parity proves
+Spark ≡ DuckDB, these prove the algorithms actually CATCH the
+duplicates the mutated corpus plants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    to_double_array,
+)
+from anime_data_pipeline_spark.plans.curation import curate_corpus
+from anime_data_pipeline_spark.queries.dedup_q import (
+    _BANDS,
+    _K,
+    _NGRAM,
+    _THRESH,
+    mutated_corpus,
+)
+from anime_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+
+def test_lsh_catches_every_exact_copy(spark, sf_dir):
+    """An exact copy has an identical signature → collides in EVERY
+    band → must be reported with jaccard 1.0, no exceptions."""
+    corpus = mutated_corpus(spark, sf_dir)
+    base_ids = {
+        r["doc_id"] for r in corpus.filter(F.col("doc_id") < 100000).collect()
+    }
+    expected = {(i, i + 100000) for i in base_ids if i % 3 == 0}
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS, threshold=_THRESH
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in pairs.filter(F.col("id_b") - F.col("id_a") == 100000).collect()
+    }
+    missing = expected - set(got)
+    assert not missing, f"exact copies not caught: {sorted(missing)[:5]}"
+    assert all(got[p] == pytest.approx(1.0) for p in expected)
+
+
+def test_curation_removes_all_exact_copies(spark, sf_dir):
+    """After curation no two surviving docs share identical text."""
+    corpus = mutated_corpus(spark, sf_dir)
+    curated = curate_corpus(corpus, "doc_id", "text", quality_threshold=0.0)
+    n = curated.count()
+    assert n == curated.select("text").distinct().count()
+    # and the kept representative is always the smallest id of its group
+    survivors = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not any(i + 100000 in survivors and i in survivors
+                   for i in range(0, 100000, 3))
+
+
+def test_srp_catches_every_scaled_copy(spark, sf_dir):
+    """A scaled copy points the same direction → identical SRP signs →
+    same bucket → must be verified at cosine ≈ 1."""
+    from anime_data_pipeline_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    scaled = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    corpus = base.unionByName(scaled)
+    pairs = embedding_neardup_pairs(corpus, "vec_id", "v", threshold=0.99)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.filter(F.col("id_b") - F.col("id_a") == 100000).collect()
+    }
+    expected = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in base.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    assert expected <= got, f"missing {sorted(expected - got)[:5]}"
