@@ -254,23 +254,32 @@ def ngram_jaccard_pairs(
     the standard hot-key bound (a shingle shared by 1M docs would
     otherwise produce 10^12 candidate pairs). Shingles are carried as
     64-bit hashes, not strings: the blocking join shuffles 8 bytes/key."""
+    from pyspark.sql import Window as W
+
     sh = shingle_hash_sets(df, id_col, text_col, n).select(
         "doc", F.explode(F.col("hashes")).alias("sh")
     )
     if max_df is not None:
         rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
         sh = sh.join(F.broadcast(rare), "sh")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # Per-doc set size attached via window (one shuffle by doc) and
+    # CARRIED THROUGH the blocking join — the groupBy(doc)+join-back
+    # alternative costs two more exchanges per side. sz is functionally
+    # dependent on doc, so grouping by (doc, sz) pairs is exact.
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza")), "id_a")
-        .join(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb")), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter")),
         )
