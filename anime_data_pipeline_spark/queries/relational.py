@@ -643,3 +643,44 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running window aggregates (extension surface: lag/lead + cumulative
+# frames, absent from the reference — its only window-shaped op is the
+# per-bucket shuffle, bucket_manager.py:57-59). Partition by customer,
+# order by (date, key): the shuffle moves each customer's orders once and
+# both the running sum and the lag read the same sorted partition — one
+# shuffle, one sort, two window functions. At 100 TB the partition key is
+# high-cardinality (customers), so the window state per key stays tiny.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_running_window",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {_R2.format(
+               "sum(o_totalprice) OVER ("
+               "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+           )} AS running_spend,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    """,
+)
+def q47_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_date = F.lag(F.col("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
