@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q11_topk_per_group",
     "q13_star_join_revenue",
     "q19_sessionize",
+    "q47_running_window",
     "q21_bucket_assign",
     "q23_bucket_stats",
     "q24_novelai_order",
