@@ -127,3 +127,13 @@ def test_range_join_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_running_window_single_shuffle(spark, sf_dir):
+    """q47: the cumulative sum and the lag share one partitioning/ordering,
+    so the plan must contain exactly one Exchange and one Sort — two window
+    specs must not double the shuffle."""
+    plan = plan_of(QUERIES["q47_running_window"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1, plan[:1200]
+    assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.M)) == 1, plan[:1200]
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1, plan[:1200]
