@@ -36,6 +36,16 @@ def polyhash(col: Column) -> Column:
     )
 
 
+def polyhash_py(s: str) -> int:
+    """Pure-Python twin of :func:`polyhash` / :func:`polyhash_sql` —
+    used by stub models (operators/multimodal.py, operators/inference.py)
+    so that their fake logits are recomputable by the DuckDB oracle."""
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % P
+    return acc
+
+
 def polyhash_sql(expr: str) -> str:
     """The identical hash as DuckDB SQL text."""
     return (

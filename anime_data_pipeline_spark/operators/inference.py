@@ -25,7 +25,6 @@ repartition('bucket_reso') first so batches share tensor shape (M5).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -33,6 +32,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from anime_data_pipeline_spark.functions.hashing import P, polyhash_py
+from anime_data_pipeline_spark.operators.multimodal import payload_text
 
 # ---------------------------------------------------------------------------
 # Pluggable executor-cached model. The loader callable travels INSIDE
@@ -53,9 +55,11 @@ def _load_cached(key: str, loader: Callable[[], Callable]) -> Callable:
 
 
 def _stub_loader(n_labels: int) -> Callable[[], Callable]:
-    """Deterministic fake logits: per-row sha256(content) → n_labels
-    probs in [0, 1). Stands in for the ONNX session; the real loader
-    would build onnxruntime.InferenceSession once per executor."""
+    """Deterministic fake logits: prob of label i = polyhash(payload
+    '#' i) / P in [0, 1) over the FIMG payload text — recomputable by
+    the DuckDB oracle from the source documents (see q73). Stands in
+    for the ONNX session; the real loader would build
+    onnxruntime.InferenceSession once per executor."""
 
     def load() -> Callable[[list[bytes | None]], np.ndarray]:
         def predict(batch: list[bytes | None]) -> np.ndarray:
@@ -63,11 +67,9 @@ def _stub_loader(n_labels: int) -> Callable[[], Callable]:
             for r, content in enumerate(batch):
                 if content is None:
                     continue
-                h = hashlib.sha256(bytes(content)).digest()
-                raw = np.frombuffer(
-                    (h * ((4 * n_labels) // len(h) + 1))[: 4 * n_labels], dtype="<u4"
-                )
-                out[r] = raw.astype(np.float64) / 2**32
+                pay = payload_text(bytes(content))
+                for i in range(n_labels):
+                    out[r, i] = float(polyhash_py(f"{pay}#{i}")) / float(P)
             return out
 
         return predict
@@ -183,15 +185,25 @@ def tag_inference_stage(
     loader: Callable[[], Callable] | None = None,
 ) -> DataFrame:
     """Full M1 stage: batched inference + native postprocessing →
-    ``synth_tags`` (confidence-ordered, escaped, comma-joined —
-    tagger.py:84-93's output contract)."""
+    ``synth_tags`` (escaped, comma-joined — tagger.py:84-93's output
+    contract).
+
+    Ordering matches the reference synthesize path (run.py:100-106):
+    CHARACTER tags first, then general tags, each category independently
+    sorted by confidence desc. Threshold defaults are tagger.predict's
+    (tagger.py:43-44: 0.35 general / 0.8 character); NOTE run.py's
+    synthesize path overrides both to 0.4/0.4 — pass those explicitly to
+    reproduce the EP1 CLI end-to-end."""
     scored = predict_tag_probs(df, labels, content_col, loader)
     gen = F.array(*[F.lit(x) for x in general_names])
     char = F.array(*[F.lit(x) for x in character_names])
-    kept = sort_by_confidence(
-        threshold_tags(
-            F.col("tag_probs"), gen, char, general_threshold, character_threshold
-        )
+    entries = threshold_tags(
+        F.col("tag_probs"), gen, char, general_threshold, character_threshold
+    )
+    is_char = lambda e: F.array_contains(char, e["key"])  # noqa: E731
+    kept = F.concat(
+        sort_by_confidence(F.filter(entries, is_char)),
+        sort_by_confidence(F.filter(entries, lambda e: ~is_char(e))),
     )
     return scored.withColumn(
         "synth_tags",

@@ -27,7 +27,6 @@ in for pixels; features derive from it deterministically.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -36,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from anime_data_pipeline_spark.functions.hashing import P, polyhash_py
 
 FIMG_MAGIC = b"FIMG"
 _MODES = {82: "RGB", 65: "RGBA", 76: "L", 80: "P"}
@@ -109,15 +110,27 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 FEATURE_DIM = 16
 
 
+def payload_text(content: bytes) -> str:
+    """The 'pixels' a stub model sees: the FIMG payload decoded as UTF-8
+    (for FIMG blobs), else the latin-1 view of the raw bytes. Stub
+    models hash THIS via the cross-engine polyhash family so a DuckDB
+    oracle can recompute their outputs from the source `documents.text`
+    (the corpora synthesize payloads as text[:64])."""
+    if content[:4] == FIMG_MAGIC and len(content) >= 13:
+        return content[13:].decode("utf-8", errors="replace")
+    return content.decode("latin-1")
+
+
 def extract_features(
     df: DataFrame, content_col: str = "content", dim: int = FEATURE_DIM
 ) -> DataFrame:
     """mapInPandas feature extraction: binary → float32 embedding.
 
-    Stub model: bytes → sha256 → ``dim`` floats in [-1, 1). A real
-    vision encoder slots into ``_embed_batch`` (per-executor model
-    cache, batched forward pass — same shape as the M1 tagger stage in
-    operators/inference.py)."""
+    Stub model: component j = polyhash(payload ':' j) / P * 2 - 1 —
+    ``dim`` floats in [-1, 1), recomputable in SQL (see q72's oracle).
+    A real vision encoder slots into ``_embed_batch`` (per-executor
+    model cache, batched forward pass — same shape as the M1 tagger
+    stage in operators/inference.py)."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
@@ -128,9 +141,16 @@ def extract_features(
             if content is None:
                 out.append(None)
                 continue
-            h = hashlib.sha256(bytes(content)).digest()
-            raw = np.frombuffer((h * ((4 * dim) // len(h) + 1))[: 4 * dim], dtype="<u4")
-            out.append((raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32))
+            pay = payload_text(bytes(content))
+            out.append(
+                np.array(
+                    [
+                        float(polyhash_py(f"{pay}:{j}")) / float(P) * 2 - 1
+                        for j in range(dim)
+                    ],
+                    dtype=np.float32,
+                )
+            )
         return out
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

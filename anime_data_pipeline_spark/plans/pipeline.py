@@ -45,20 +45,28 @@ def bucketing_stage(images: DataFrame, cfg: BucketConfig) -> DataFrame:
     if "is_corrupt" in images.columns:
         ok = images.filter(~F.coalesce(F.col("is_corrupt"), F.lit(False)))
     assigned = assign_bucket_columns(ok, cfg=cfg)
+    # train_resolution derives from the SELECTED BUCKET reso, not the
+    # original image size (bucket_manager.py:196: reso[0] - reso[0] % 8).
+    # assign_bucket_columns already computes train_w/train_h from
+    # bucket_w/bucket_h; reuse those columns verbatim.
     return assigned.withColumn(
         "train_resolution",
-        F.struct(
-            (F.col("width") - F.col("width") % 8).alias("w"),
-            (F.col("height") - F.col("height") % 8).alias("h"),
-        ),
+        F.struct(F.col("train_w").alias("w"), F.col("train_h").alias("h")),
     )
 
 
 def sidecar_join_stage(images: DataFrame, sidecars: DataFrame) -> DataFrame:
-    """J1: metadata ⋈ sidecar tags/ratings — left join on image_stem
-    (the reference's lookup always succeeds by construction; ours keeps
-    sidecar-less rows with null tags for the P9 audit)."""
-    return images.join(sidecars, "image_stem", "left")
+    """J1: metadata ⋈ sidecar tags/ratings — left join on image_id, the
+    stem before the first '_' (run.py:51-52 resolves
+    '{image_dir}/{image_name}.txt' after stripping the _p0 page suffix,
+    so one sidecar serves every page of a multi-page post). Sidecar-less
+    rows are kept with null tags for the P9 audit."""
+    side = sidecars
+    if "image_id" not in side.columns:
+        side = side.withColumn(
+            "image_id", F.split(F.col("image_stem"), "_").getItem(0)
+        )
+    return images.join(side.drop("image_stem"), "image_id", "left")
 
 
 def aesthetic_stage(

@@ -156,7 +156,7 @@ def q29_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(lang, '<all>') AS lang,
            coalesce(source, '<all>') AS source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY CUBE (lang, source)
     """,
 )

@@ -1,29 +1,32 @@
 """Multimodal + ML-inference gate queries (SURVEY §2.9 M1/M5, S7).
 
-q71 is fully oracle-checked: the expected decode output is recomputed
-from doc_id in SQL, closing the loop over the binary encode →
-mapInPandas decode → resize plan. q72/q73 stay rows-only: their stub
-models hash raw BYTES with sha256, and DuckDB's sha256 only accepts
-VARCHAR (UTF-8) — no blob spelling exists, so the driver records the
-weaker rows-only check for those two.
-
-The binary corpus is synthesized deterministically from `documents`
-(FIMG container with doc_id-derived dimensions, text-derived payload),
-so results are stable run-to-run even without an oracle.
+All three are fully oracle-checked: the synthetic binary corpus derives
+from `documents` (FIMG container, doc_id-derived dimensions, payload =
+text[:64]), and every stub model output is a polyhash-family function
+of that payload — so DuckDB recomputes the expected decode metadata
+(q71), stub embeddings (q72), and stub tag inference incl. per-category
+threshold + character-first confidence ordering (q73) straight from
+`documents.text`, closing the loop over encode → mapInPandas decode /
+inference → native postprocessing.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.hashing import P, polyhash_sql
 from anime_data_pipeline_spark.operators.inference import (
     collate_by_bucket,
     tag_inference_stage,
 )
 from anime_data_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
     decode_image_meta,
     encode_fimg,
     extract_features,
@@ -36,19 +39,32 @@ _LABELS = ["long hair", "blue eyes", "smile", "standing", "hatsune miku"]
 
 def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, content: binary): FIMG blobs with
-    deterministic dims; every 29th row corrupt (P6 path)."""
+    deterministic dims and payload = text[:64]; every 29th row corrupt
+    (P6 path). Arrow-batched mapInPandas (not a per-row UDF) — the
+    synthesis is in the benched path for q71-q73."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
 
-    @F.udf(T.BinaryType())
-    def make_blob(doc_id: int, text: str) -> bytes:
-        if doc_id % 29 == 28:
-            return b"corrupt" + bytes([doc_id % 256])
-        w = 256 + (doc_id * 97) % 1792
-        h = 256 + (doc_id * 131) % 1280
-        mode = ["RGB", "RGBA", "L", "P"][doc_id % 4]
-        return encode_fimg(w, h, mode, text[:64].encode())
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                if i % 29 == 28:
+                    blobs.append(b"corrupt" + bytes([i % 256]))
+                    continue
+                w = 256 + (i * 97) % 1792
+                h = 256 + (i * 131) % 1280
+                mode = ["RGB", "RGBA", "L", "P"][i % 4]
+                blobs.append(encode_fimg(w, h, mode, (text or "")[:64].encode()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.select("doc_id", make_blob("doc_id", "text").alias("content"))
+    return docs.mapInPandas(gen, schema=schema)
 
 
 # The oracle recomputes the expected decode output directly from
@@ -95,24 +111,81 @@ def q71_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q72_multimodal_features")
-def q72_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary content (Arrow-batched); output
-    is the embedding norm + first component per doc (scalar columns —
-    stable schema for the driver's rows-only check)."""
-    feats = extract_features(_binary_corpus(spark, sf_dir))
-    v = F.transform(F.col("features"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+# The stub embedding is polyhash(payload ':' j) / P * 2 - 1 cast to
+# float32 (operators/multimodal.py); the oracle replays that per
+# component from text[:64] with the identical left-fold summation order
+# for the norm (list_reduce mirrors F.aggregate).
+_Q72_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, 64) AS pay
+      FROM documents WHERE doc_id % 29 <> 28
+    ),
+    feats AS (
+      SELECT doc_id,
+             list_transform(range(0, {FEATURE_DIM}),
+               j -> CAST(CAST({polyhash_sql("pay || ':' || CAST(j AS VARCHAR)")} AS DOUBLE)
+                         / {P} * 2 - 1 AS FLOAT)) AS f
+      FROM base
     )
-    return feats.filter(F.col("features").isNotNull()).select(
+    SELECT doc_id,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(f, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) AS feat_norm,
+           CAST(f[1] AS DOUBLE) AS feat_0
+    FROM feats
+"""
+
+
+@register("q72_multimodal_features", oracle=_Q72_ORACLE)
+def q72_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over decodable binary content (Arrow-batched);
+    output is the embedding norm + first component per doc."""
+    corpus = _binary_corpus(spark, sf_dir)
+    ok = decode_image_meta(corpus).filter(F.col("image_meta").isNotNull())
+    feats = extract_features(ok.drop("image_meta"))
+    v = F.transform(F.col("features"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return feats.select(
         "doc_id",
         norm.alias("feat_norm"),
         F.element_at(v, 1).alias("feat_0"),
     )
 
 
-@register("q73_tag_inference")
+# The stub tagger's prob for label i is polyhash(payload '#' i) / P; the
+# oracle replays the per-category thresholds (general 0.35 / character
+# 0.8, tagger.py:43-44) and the synthesize ordering (character block
+# first, each block confidence-desc, name-asc tiebreak — run.py:100-106)
+# via one ordered string_agg.
+_Q73_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, 64) AS pay
+      FROM documents WHERE doc_id % 29 <> 28
+    ),
+    lab(i, name, is_char) AS (
+      VALUES (0, 'long hair', false), (1, 'blue eyes', false),
+             (2, 'smile', false), (3, 'standing', false),
+             (4, 'hatsune miku', true)
+    ),
+    scored AS (
+      SELECT b.doc_id, l.name, l.is_char,
+             CAST({polyhash_sql("b.pay || '#' || CAST(l.i AS VARCHAR)")} AS DOUBLE)
+               / {P} AS p
+      FROM base b CROSS JOIN lab l
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE (is_char AND p > 0.8) OR ((NOT is_char) AND p > 0.35)
+    )
+    SELECT b.doc_id,
+           coalesce(string_agg(k.name, ', '
+             ORDER BY k.is_char DESC, k.p DESC, k.name ASC), '') AS synth_tags
+    FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+    GROUP BY b.doc_id
+"""
+
+
+@register("q73_tag_inference", oracle=_Q73_ORACLE)
 def q73_tag_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M5: bucket-collated batched stub inference + native
     threshold/sort/escape postprocessing."""

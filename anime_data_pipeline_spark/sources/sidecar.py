@@ -33,8 +33,14 @@ def read_sidecar_files(spark: SparkSession, dir: str, ext: str) -> DataFrame:
     df = spark.read.text(f"{dir}/*.{ext}", wholetext=True).withColumn(
         "_file", F.input_file_name()
     )
+    stem = path_stem(F.col("_file"))
+    # image_id = stem before the first '_': run.py:51-52 resolves
+    # '{image_dir}/{image_name}.txt' with the page suffix stripped, so a
+    # sidecar named img123.txt serves img123_p0.jpg, img123_p1.jpg, ...
+    # (for reference-layout files the stem has no suffix and id == stem).
     return df.select(
-        path_stem(F.col("_file")).alias("image_stem"),
+        stem.alias("image_stem"),
+        F.split(stem, "_").getItem(0).alias("image_id"),
         F.split(F.col("value"), "\n").getItem(0).alias("raw_line"),
     )
 

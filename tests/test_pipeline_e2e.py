@@ -39,6 +39,8 @@ VOCAB = ["long hair", "short hair", "blue eyes", "smile", "1girl", "standing"]
 def fixture_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("ep1")
     # --- sidecar .txt files: '<rating>, tag1, tag2, ...' (run.py:58-63)
+    # Reference layout: sidecars are named by image_id (img123.txt serves
+    # img123_p0.jpg) — run.py:51-52 strips the page suffix before lookup.
     side = root / "sidecars"
     side.mkdir()
     for i in range(N_IMAGES):
@@ -46,7 +48,7 @@ def fixture_dir(tmp_path_factory):
             continue  # ~10% of images lack a sidecar
         rating = ["general", "sensitive", "questionable", "explicit"][i % 4]
         tags = [VOCAB[i % len(VOCAB)], f"char{i % 7}", " smile ", ""]
-        (side / f"img{i:03d}_p0.txt").write_text(rating + ", " + ", ".join(tags))
+        (side / f"img{i:03d}.txt").write_text(rating + ", " + ", ".join(tags))
     # --- aesthetic JSON files: list of single-entry dicts (run.py:72-76)
     f0 = [{f"/data/img{i:03d}_p0.jpg": round(0.3 + (i % 7) * 0.1, 2)}
           for i in range(0, N_IMAGES, 2)]
@@ -78,7 +80,8 @@ def test_sidecar_source(spark, fixture_dir):
     tags = read_sidecar_tags(spark, os.path.join(fixture_dir, "sidecars"))
     rows = {r["image_stem"]: r for r in tags.collect()}
     assert len(rows) == N_IMAGES - N_IMAGES // 10
-    r0 = rows["img000_p0"]
+    r0 = rows["img000"]
+    assert r0["image_id"] == "img000"
     assert r0["rating"] == "general"
     # trimmed, empties dropped (P3)
     assert r0["tags"] == ["long hair", "char0", "smile"]
@@ -130,7 +133,12 @@ def test_ep1_end_to_end(spark, fixture_dir, images_df):
         ref["bucket_w"],
         ref["bucket_h"],
     )
-    assert row["train_resolution"] == {"w": w - w % 8, "h": h - h % 8}
+    # train_resolution derives from the selected bucket reso
+    # (bucket_manager.py:196), not the original image size
+    assert row["train_resolution"] == {
+        "w": ref["bucket_w"] - ref["bucket_w"] % 8,
+        "h": ref["bucket_h"] - ref["bucket_h"] % 8,
+    }
     if row["tags"]:
         assert row["ordered_tags"] == novelai_order_py(row["tags"], set(vocab_names))
 
