@@ -89,9 +89,11 @@ def _plane_component_sql(j: int) -> str:
     return f"(CAST(({a} * i + {b}) % {P} AS DOUBLE) / {float(P)} - 0.5)"
 
 
-def srp_bucket(v: Column, planes: int = 8) -> Column:
-    """SRP bucket id in [0, 2^planes): bit j = sign(dot(v, plane_j)).
+def srp_bucket(v: Column, planes: int = 8, first_plane: int = 0) -> Column:
+    """SRP bucket id in [0, 2^planes): bit j = sign(dot(v, plane_{j+first_plane})).
 
+    ``first_plane`` selects a disjoint slice of the deterministic plane
+    family — the banded multi-table LSH uses slice t*planes for table t.
     ``v`` must be a materialized double-array column attribute — it is
     referenced once per plane.
     """
@@ -106,16 +108,18 @@ def srp_bucket(v: Column, planes: int = 8) -> Column:
 
     out = F.lit(0)
     for j in range(planes):
-        out = out + F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = out + F.when(plane_dot(first_plane + j) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
     return out.cast("int")
 
 
-def srp_bucket_sql(v: str, planes: int = 8) -> str:
+def srp_bucket_sql(v: str, planes: int = 8, first_plane: int = 0) -> str:
     terms = []
     for j in range(planes):
         d = (
             f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({v})), "
-            f"i -> {v}[i] * {_plane_component_sql(j)})), (x, y) -> x + y)"
+            f"i -> {v}[i] * {_plane_component_sql(first_plane + j)})), (x, y) -> x + y)"
         )
         terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
@@ -253,27 +257,56 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.99,
-    planes: int = 8,
+    planes_per_table: int = 16,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Near-duplicate (id_a < id_b) pairs by cosine ≥ threshold, SRP
-    blocking: only same-bucket pairs are verified — sub-quadratic as
-    long as buckets stay balanced (add planes to shrink buckets)."""
-    c = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
-        )
-        .withColumn("bucket", srp_bucket(F.col("v"), planes))
+    """Near-duplicate (id_a < id_b) pairs by cosine ≥ threshold, banded
+    multi-table SRP blocking (the MinHash band design transplanted to
+    cosine space, dedup.py:85-93's shape):
+
+    - table t buckets on planes [t*p, (t+1)*p) — p=16 planes ⇒ 2^16
+      buckets per table, so expected bucket occupancy is N/65536 (vs
+      N/256 for the old single-table planes=8 default, which was
+      quadratic-within-bucket at 100 TB);
+    - a pair is a candidate if it collides in ANY table — n_tables
+      recovers the recall that narrower buckets give up. For
+      cosine ≥ 0.99 pairs: P[1-plane collide] ≈ 1 - acos(.99)/π ≈ .955,
+      per-table .955^16 ≈ .48, over 4 tables 1-(1-.48)^4 ≈ .93 (exact
+      duplicates and same-direction scaled copies collide with
+      probability ~1 in every table);
+    - candidates are verified with exact cosine, then de-duplicated
+      across tables (identical double math ⇒ identical cosine on every
+      collision of the same pair, so DISTINCT collapses them).
+
+    Shuffle shape: one explode (×n_tables, map-side) + one equi-join on
+    the (table, bucket) key + one distinct — all sub-quadratic while
+    buckets stay balanced; raise planes_per_table to shrink buckets,
+    raise n_tables to buy recall.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
     )
-    a = c.select(
-        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket(
+                    F.col("v"), planes_per_table, first_plane=t * planes_per_table
+                ).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    b = c.select(
-        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    keyed = c.select("vec_id", "v", F.explode(tables).alias("tb")).select(
+        "vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )
+    a = keyed.select("t", "b", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = keyed.select("t", "b", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["t", "b"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )

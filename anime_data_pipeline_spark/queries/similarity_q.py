@@ -151,6 +151,8 @@ def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q43_THRESH = 0.99
+_Q43_PPT = 16  # planes per table (2^16 buckets/table — the scale default)
+_Q43_TABLES = 4
 
 _Q43_CORPUS_SQL = """
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -160,13 +162,29 @@ _Q43_CORPUS_SQL = """
     FROM embeddings WHERE vec_id % 7 = 0
 """
 
+# Mirror of the banded multi-table SRP design: table t buckets on the
+# plane slice [t*p, (t+1)*p); candidate pairs collide in ANY table and
+# are de-duplicated before the final result (identical double math ⇒
+# identical cosine per collision, so DISTINCT collapses tables).
+_Q43_KEYED_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT {t} AS t, vec_id, v,
+           {srp_bucket_sql("v", _Q43_PPT, first_plane=t * _Q43_PPT)} AS b
+    FROM corpus"""
+    for t in range(_Q43_TABLES)
+)
+
 _Q43_ORACLE = f"""
     WITH corpus AS ({_Q43_CORPUS_SQL}),
-    bucketed AS (SELECT vec_id, v, {srp_bucket_sql("v", _PLANES)} AS bucket FROM corpus),
-    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-              FROM bucketed a JOIN bucketed b
-                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-    scored AS (SELECT id_a, id_b, {cosine_sql("va", "vb")} AS cosine FROM pairs)
+    keyed AS (
+{_Q43_KEYED_SQL}
+    ),
+    pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM keyed a JOIN keyed b
+                ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+    scored AS (SELECT id_a, id_b, {cosine_sql("ca.v", "cb.v")} AS cosine
+               FROM pairs
+               JOIN corpus ca ON ca.vec_id = pairs.id_a
+               JOIN corpus cb ON cb.vec_id = pairs.id_b)
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_Q43_THRESH}
 """
 
@@ -182,5 +200,10 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(scaled)
     return embedding_neardup_pairs(
-        corpus, "vec_id", "v", threshold=_Q43_THRESH, planes=_PLANES
+        corpus,
+        "vec_id",
+        "v",
+        threshold=_Q43_THRESH,
+        planes_per_table=_Q43_PPT,
+        n_tables=_Q43_TABLES,
     )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.operators.similarity import (
     embedding_neardup_pairs,
+    srp_bucket,
     to_double_array,
 )
 from anime_data_pipeline_spark.plans.curation import curate_corpus
@@ -77,3 +78,35 @@ def test_srp_catches_every_scaled_copy(spark, sf_dir):
         for r in base.filter(F.col("vec_id") % 7 == 0).collect()
     }
     assert expected <= got, f"missing {sorted(expected - got)[:5]}"
+
+
+def test_banded_srp_bucket_occupancy_bounded(spark, sf_dir):
+    """Scale property of the banded blocking (16 planes × 4 tables):
+    the candidate-pair count — sum over tables of within-bucket pairs —
+    must stay a small fraction of the quadratic all-pairs count. This
+    is the guard against the old planes=8 default, whose 256 buckets
+    made every bucket quadratic at scale."""
+    from anime_data_pipeline_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    n = base.count()
+    all_pairs = n * (n - 1) / 2
+    total_cand = 0
+    for t in range(4):
+        hist = (
+            base.withColumn("b", srp_bucket(F.col("v"), 16, first_plane=t * 16))
+            .groupBy("b")
+            .count()
+        )
+        cand = hist.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
+        ).collect()[0]["c"]
+        total_cand += cand or 0
+    # real embeddings are not uniform over sign patterns, so allow slack
+    # over the uniform N/2^16 expectation — but quadratic blowup (the
+    # planes=8 failure mode put ~N²/256 per table) must be impossible.
+    assert total_cand < 0.05 * all_pairs * 4, (
+        f"banded SRP produced {total_cand} candidates vs {all_pairs} all-pairs"
+    )
