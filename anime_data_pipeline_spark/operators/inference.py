@@ -77,6 +77,65 @@ def _stub_loader(n_labels: int) -> Callable[[], Callable]:
     return load
 
 
+def _preprocess_batch(batch: list[bytes | None]) -> np.ndarray:
+    """Pixel preprocessing contract for the REAL tagger (the reference's
+    dbimutils.py:29-43 + tagger.py:57):
+
+    1. decode to RGB uint8 (codec layer — see
+       multimodal.pil_decoder_loader);
+    2. pad to a centered square on a WHITE background
+       (make_square, dbimutils.py:29-37);
+    3. resize to the model's input size, cv2.INTER_AREA when shrinking
+       (smart_resize, dbimutils.py:39-43);
+    4. RGB → BGR channel swap, float32, NHWC batch (tagger.py:57).
+
+    Pixel codecs are absent in this container, so this raises; inject a
+    ``preprocess`` into :func:`session_predict` (or a whole loader into
+    :func:`predict_tag_probs`) to supply a real implementation."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def session_predict(
+    session, preprocess: Callable[[list[bytes | None]], np.ndarray] | None = None
+) -> Callable[[list[bytes | None]], np.ndarray]:
+    """Adapt an ``onnxruntime.InferenceSession``-SHAPED object
+    (``.get_inputs()[0].name`` + ``.run(None, {name: batch})`` —
+    tagger.py:21-32's usage) to the batch-predict callable contract.
+    The adapter is model-agnostic; the contract test drives it with a
+    fake session, and a real session drops in without touching operator
+    code."""
+    input_name = session.get_inputs()[0].name
+    prep = preprocess or _preprocess_batch
+
+    def predict(batch: list[bytes | None]) -> np.ndarray:
+        return np.asarray(session.run(None, {input_name: prep(batch)})[0])
+
+    return predict
+
+
+def onnx_loader(
+    model_path: str,
+    providers: list[str] | None = None,
+    preprocess: Callable[[list[bytes | None]], np.ndarray] | None = None,
+) -> Callable[[], Callable]:
+    """Loader for the REAL ONNX path: builds one InferenceSession per
+    Python worker (memoized by predict_tag_probs' executor cache — the
+    cold start amortizes over every batch that worker processes, vs
+    per-row in the reference's driver-side loop, tagger.py:62).
+    onnxruntime is absent in this container; the loader imports lazily
+    so the seam ships as working code."""
+
+    def load() -> Callable[[list[bytes | None]], np.ndarray]:
+        import onnxruntime as ort  # absent here; executor-side import
+
+        session = ort.InferenceSession(
+            model_path, providers=providers or ["CPUExecutionProvider"]
+        )
+        return session_predict(session, preprocess)
+
+    return load
+
+
 # ---------------------------------------------------------------------------
 # Inference stage
 # ---------------------------------------------------------------------------

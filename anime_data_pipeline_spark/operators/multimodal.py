@@ -28,7 +28,7 @@ in for pixels; features derive from it deterministically.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -66,6 +66,36 @@ def _decode_real(content: bytes) -> tuple[int, int, str]:
     raise NotImplementedError("image codecs not available in this environment")
 
 
+def pil_decoder_loader() -> "Callable[[], Callable]":
+    """Loader for the REAL codec path, mirroring the model-loader
+    injection pattern (operators/inference.py): returns a zero-arg
+    callable that imports PIL ONCE per Python worker and yields the
+    per-blob decode function. Pass it to ``decode_image_meta`` when PIL
+    is available; everything else (schema, batching, null-for-corrupt)
+    is unchanged — the seam is the function boundary.
+
+    The real decode must reproduce the reference's handling
+    (dbimutils.py:6-26): animated GIF → first frame, 16-bit → 8-bit
+    scale-down, alpha → composite over white, palette → RGB.
+    """
+
+    def load() -> "Callable[[bytes], tuple[int, int, str] | None]":
+        import io
+
+        from PIL import Image  # absent in this container; the seam is real
+
+        def decode(content: bytes) -> tuple[int, int, str] | None:
+            try:
+                img = Image.open(io.BytesIO(content))
+                return img.width, img.height, img.mode
+            except Exception:
+                return None
+
+        return decode
+
+    return load
+
+
 def _decode_fimg(content: bytes | None) -> tuple[int, int, str] | None:
     """Deterministic stub decode; None for corrupt/foreign payloads
     (the reference maps decode failure to a dropped-with-count row,
@@ -79,17 +109,41 @@ def _decode_fimg(content: bytes | None) -> tuple[int, int, str] | None:
     return w, h, mode
 
 
-def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+_DECODER_CACHE: dict = {}
+
+
+def decode_image_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    decoder_loader=None,
+) -> DataFrame:
     """mapInPandas decode: binary → typed image_meta struct (null when
     undecodable). Schema = input schema + image_meta; Arrow moves the
-    binary column in vectorized batches."""
+    binary column in vectorized batches.
+
+    ``decoder_loader`` injects the codec (``pil_decoder_loader`` for
+    real images): a zero-arg callable returning ``bytes -> (w, h, mode)
+    | None``, built once per Python worker and memoized — the same
+    executor-cache pattern as the inference model loader. Default is
+    the deterministic FIMG stub."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META_SCHEMA)])
+    cache_key = (
+        f"{getattr(decoder_loader, '__module__', 'stub')}."
+        f"{getattr(decoder_loader, '__qualname__', 'fimg')}"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder_loader is None:
+            dec = _decode_fimg
+        else:
+            dec = _DECODER_CACHE.get(cache_key)
+            if dec is None:
+                dec = decoder_loader()
+                _DECODER_CACHE[cache_key] = dec
         for pdf in batches:
             metas = []
             for content in pdf[content_col]:
-                d = _decode_fimg(bytes(content) if content is not None else None)
+                d = dec(bytes(content)) if content is not None else None
                 metas.append(
                     None
                     if d is None

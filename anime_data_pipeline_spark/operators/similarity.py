@@ -160,23 +160,41 @@ def srp_lsh_topk(
     vec_col: str,
     k: int = 5,
     planes: int = 8,
+    hamming_probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's SRP bucket
-    are scored. Single-probe (recall < 1 by design); multi-probe = union
-    over neighboring buckets. The bucket join key is an int — at scale
-    the corpus side is bucketed/partitioned by it once and reused."""
+    """Approximate top-k: only corpus vectors in the query's probed SRP
+    bucket(s) are scored.
+
+    ``hamming_probes=0`` is single-probe (recall < 1 by design);
+    ``hamming_probes=1`` additionally probes every Hamming-1 neighbor
+    bucket (bucket XOR one bit — the planes whose sign a near-neighbor
+    most plausibly flips), multiplying candidates by ≤ planes+1 and
+    buying the recall knob a 100 TB user needs without re-bucketing the
+    corpus. The probe expansion happens on the SMALL (query) side only:
+    the corpus keeps exactly one bucket per vector, so at scale it is
+    bucketed/partitioned by the int key once and reused; each probe is
+    one more lookup against that same layout, and a corpus vector can
+    match a query at most once (probe buckets are distinct).
+    """
     c = (
         corpus.select(
             F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
         )
         .withColumn("bucket", srp_bucket(F.col("cv"), planes))
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket0", srp_bucket(F.col("qv"), planes))
+    if hamming_probes >= 1:
+        probe_set = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
         )
-        .withColumn("bucket", srp_bucket(F.col("qv"), planes))
-    )
+        q = q.select(
+            "query_id", "qv", F.explode(probe_set).alias("bucket")
+        )
+    else:
+        q = q.withColumnRenamed("bucket0", "bucket")
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine", cosine(F.col("qv"), F.col("cv"))
     )

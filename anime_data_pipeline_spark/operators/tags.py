@@ -110,7 +110,10 @@ def clean_tags_py(tags: list[str]) -> list[str]:
     re-expressed over a tag array:
 
     1. underscore → space, protecting the ``^_^`` emoticon;
-    2. truncate at the first tag starting with 'rating';
+    2. truncate at the first tag starting with 'rating' that FOLLOWS
+       another tag — the reference splits the joined string on
+       ', rating' (merge_all_to_metadata.py:63), so a rating-prefixed
+       FIRST tag is left untouched;
     3. if any tag mentions girls/boys: for each tag family, if ≥2 family
        members present remove them all (generic-hair counting excludes
        the at-most-one surviving hair-length tag, mirroring the @@@
@@ -120,8 +123,8 @@ def clean_tags_py(tags: list[str]) -> list[str]:
     """
     tags = [t if t == "^_^" else t.replace("_", " ") for t in tags]
     out: list[str] = []
-    for t in tags:
-        if t.startswith("rating"):
+    for idx, t in enumerate(tags):
+        if idx > 0 and t.startswith("rating"):
             break
         out.append(t)
     tags = out
@@ -227,12 +230,24 @@ def clean_tags_df(df: "DataFrame", tags: Column, out: str = "cleaned_tags") -> "
             tags, lambda t: F.when(t == "^_^", t).otherwise(F.regexp_replace(t, "_", " "))
         ),
     )
-    # 2. truncate at first 'rating*' tag (array_position is 1-based, 0 if none)
+    # 2. truncate at the first 'rating*' tag at 1-based position >= 2:
+    # the reference splits the joined string on ', rating'
+    # (merge_all_to_metadata.py:63), which can only match a rating tag
+    # preceded by a comma — a rating-prefixed FIRST tag never truncates.
+    df = df.withColumn(
+        "_ct_rtail",
+        F.array_position(
+            F.slice(
+                F.transform(F.col("_ct_norm"), lambda t: t.startswith("rating")),
+                2,
+                F.greatest(F.size(F.col("_ct_norm")) - 1, F.lit(0)),
+            ),
+            True,
+        ),
+    )
     df = df.withColumn(
         "_ct_rpos",
-        F.array_position(
-            F.transform(F.col("_ct_norm"), lambda t: t.startswith("rating")), True
-        ),
+        F.when(F.col("_ct_rtail") > 0, F.col("_ct_rtail") + 1).otherwise(F.lit(0)),
     )
     df = df.withColumn(
         "_ct_trunc",
@@ -296,8 +311,8 @@ def clean_tags_df(df: "DataFrame", tags: Column, out: str = "cleaned_tags") -> "
         ),
     )
     return df.drop(
-        "_ct_norm", "_ct_rpos", "_ct_trunc", "_ct_multi", "_ct_marked",
-        "_ct_counts", "_ct_pruned",
+        "_ct_norm", "_ct_rtail", "_ct_rpos", "_ct_trunc", "_ct_multi",
+        "_ct_marked", "_ct_counts", "_ct_pruned",
     )
 
 
@@ -311,11 +326,18 @@ def clean_tags_column(tags: Column) -> Column:
     tags = F.transform(
         tags, lambda t: F.when(t == "^_^", t).otherwise(F.regexp_replace(t, "_", " "))
     )
-    # 2. truncate at first 'rating*' tag: keep elements whose index is
-    # below the first rating index (array_position is 1-based, 0 if none).
-    rating_pos = F.array_position(
-        F.transform(tags, lambda t: t.startswith("rating")), True
+    # 2. truncate at the first 'rating*' tag at 1-based position >= 2
+    # (the reference's ', rating' split cannot match a rating-prefixed
+    # FIRST tag — merge_all_to_metadata.py:63).
+    rating_tail = F.array_position(
+        F.slice(
+            F.transform(tags, lambda t: t.startswith("rating")),
+            2,
+            F.greatest(F.size(tags) - 1, F.lit(0)),
+        ),
+        True,
     )
+    rating_pos = F.when(rating_tail > 0, rating_tail + 1).otherwise(F.lit(0))
     tags = F.when(rating_pos > 0, F.slice(tags, 1, (rating_pos - 1).cast("int"))).otherwise(
         tags
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.hashing import P, polyhash, polyhash_sql
+from anime_data_pipeline_spark.operators.profiling import corpus_profile
 from anime_data_pipeline_spark.operators.bucketing import (
     BucketConfig,
     assign_bucket_columns,
@@ -223,28 +224,24 @@ def _qd_sql(q: float) -> str:
     """,
 )
 def q40_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus profiling rollup (A-family extension): counts, exact
-    distinct cardinality, and discrete quantiles per source. At 100 TB
-    swap countDistinct → approx_count_distinct and the sorted-list
-    quantile → percentile_approx; the gate uses the exact forms so the
-    oracle can match bit-for-bit."""
+    """Corpus profiling rollup (A-family extension), EXACT oracle
+    variant of operators/profiling.corpus_profile — countDistinct +
+    sorted-list quantiles match the oracle bit-for-bit at test scale.
+    The scale default is the approx path (q49)."""
     docs = load_table(spark, sf_dir, "documents")
+    return corpus_profile(docs, approx=False)
 
-    def qd(q: float):
-        return F.element_at(
-            F.array_sort(F.collect_list("n_chars")),
-            F.ceil(F.lit(q) * F.count(F.lit(1))).cast("int"),
-        )
 
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-        qd(0.25).alias("p25_chars"),
-        qd(0.5).alias("p50_chars"),
-        qd(0.75).alias("p75_chars"),
-    )
+@register("q49_corpus_profile_approx")
+def q49_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE default of corpus profiling: percentile_approx
+    (Greenwald-Khanna) + approx_count_distinct (HLL++) — per-group
+    sketch state is bounded, so a hot `source` group cannot OOM an
+    executor at 100 TB. Sketch outputs are engine-specific, so this is
+    a rows-only gate (the exact twin q40 carries the value check; the
+    local parity test bounds approx-vs-exact error)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_profile(docs, approx=True)
 
 
 @register(

@@ -96,6 +96,47 @@ def q42_ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q48 — multi-probe SRP-LSH top-k: the query probes its own bucket PLUS
+# every Hamming-1 neighbor (bucket XOR one bit). Probe expansion is on
+# the broadcast query side only; the corpus bucketing is unchanged, so
+# the oracle mirrors the probe set with an unnested bucket list.
+# ---------------------------------------------------------------------------
+_Q48_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                 {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+          FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    qp AS (SELECT query_id, qv,
+                  unnest(list_prepend(bucket,
+                    list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+           FROM q),
+    scored AS (SELECT qp.query_id, corpus.vec_id,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN qp USING (bucket)),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q48_ann_multiprobe_topk", oracle=_Q48_ORACLE)
+def q48_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = srp_lsh_topk(
+        _corpus(spark, sf_dir),
+        _queries(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=5,
+        planes=_PLANES,
+        hamming_probes=1,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # q43 — embedding near-dup pairs (SRP blocking + exact cosine verify).
 # The base table has no near-dups, so the corpus adds scaled copies
 # (same direction ⇒ cosine ≈ 1) for vec_id % 7 — identical construction

@@ -155,10 +155,11 @@ def _q26_oracle() -> str:
         # underscore normalize, protect ^_^
         "s1 AS (SELECT doc_id, list_transform(tags, t -> CASE WHEN t = '^_^' THEN t "
         "ELSE replace(t, '_', ' ') END) AS tags FROM docs)",
-        # truncate at first rating* tag
+        # truncate at the first rating* tag at position >= 2 (the
+        # reference's ', rating' split never matches a rating FIRST tag)
         "s2 AS (SELECT doc_id, CASE WHEN list_position(list_transform(tags, "
-        "t -> t LIKE 'rating%'), true) > 0 THEN tags[1:list_position("
-        "list_transform(tags, t -> t LIKE 'rating%'), true) - 1] ELSE tags END AS tags "
+        "t -> t LIKE 'rating%')[2:], true) > 0 THEN tags[1:list_position("
+        "list_transform(tags, t -> t LIKE 'rating%')[2:], true)] ELSE tags END AS tags "
         "FROM s1)",
         "s3 AS (SELECT doc_id, tags, (contains(array_to_string(tags, ', '), 'girls') OR "
         "contains(array_to_string(tags, ', '), 'boys')) AS multi FROM s2)",

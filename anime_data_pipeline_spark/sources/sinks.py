@@ -72,6 +72,36 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def merge_condition(
+    key_cols: list[str], target_alias: str = "t", updates_alias: str = "u"
+) -> str:
+    """The MERGE INTO match condition for a composite key — the
+    semantics core of the J5 upsert, extracted so it is unit-testable
+    without the delta-spark package."""
+    if not key_cols:
+        raise ValueError("upsert requires at least one key column")
+    for k in key_cols:
+        if not k.replace("_", "a").isalnum():
+            raise ValueError(f"unsafe key column name: {k!r}")
+    return " AND ".join(f"{target_alias}.{k} = {updates_alias}.{k}" for k in key_cols)
+
+
+def build_merge(target_table, updates: DataFrame, key_cols: list[str]):
+    """Compose the Delta MERGE builder chain (update-all on key match,
+    insert-all otherwise) against any DeltaTable-shaped object.
+
+    Takes the duck-typed table rather than a path so a contract test
+    can drive it with a fake; production passes
+    ``DeltaTable.forPath(spark, path)``. Returns the un-executed
+    builder — callers ``.execute()`` it."""
+    return (
+        target_table.alias("t")
+        .merge(updates.alias("u"), merge_condition(key_cols))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+    )
+
+
 def upsert_table(
     spark: SparkSession,
     updates: DataFrame,
@@ -81,22 +111,17 @@ def upsert_table(
 ) -> None:
     """J5 upsert sink: new rows inserted, matching keys overwritten.
 
-    Delta: a real MERGE INTO (row-level, ACID). Parquet fallback:
-    full-outer rewrite — anti-join the existing table against the
-    updates and union (correct, but rewrites the table; Delta is the
-    scale path)."""
+    Delta: a real MERGE INTO (row-level, ACID) — the scale path.
+    Parquet fallback: full rewrite — anti-join the existing table
+    against the updates, union, write to a sibling dir, then swap via
+    two directory renames. The swap assumes a LOCAL/POSIX filesystem
+    (rename is atomic per directory; the window between the two renames
+    is crash-recoverable from `path + '__tmp_upsert'`). On object
+    stores use Delta — plain parquet has no atomic commit there."""
     if fmt == "delta":
         if not HAS_DELTA:
             raise NotImplementedError("delta-spark not installed")
-        target = DeltaTable.forPath(spark, path)
-        cond = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
-        (
-            target.alias("t")
-            .merge(updates.alias("u"), cond)
-            .whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
+        build_merge(DeltaTable.forPath(spark, path), updates, key_cols).execute()
         return
     try:
         existing = spark.read.parquet(path)
@@ -107,9 +132,15 @@ def upsert_table(
     merged = keep.unionByName(updates)
     # Rewrite through a temp dir: the plan reads `path` lazily, so an
     # in-place overwrite would consume its own partially-deleted input.
-    tmp = path.rstrip("/") + "__tmp_upsert"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    # The old data stays intact until the new table is fully written;
+    # the swap is two renames, not a delete-then-copy.
+    import os
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = path.rstrip("/") + "__tmp_upsert"
+    old = path.rstrip("/") + "__old_upsert"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)

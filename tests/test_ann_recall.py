@@ -1,0 +1,63 @@
+"""Recall of the approximate ANN variants against the exact brute-force
+baseline (q41's operator): Hamming-1 multi-probe must dominate
+single-probe — its candidate set is a strict superset — and clear an
+empirical recall floor on the real embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    srp_lsh_topk,
+)
+
+_K = 5
+_PLANES = 8
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    num = den = 0
+    for qid, ex in exact.items():
+        num += len(approx.get(qid, set()) & ex)
+        den += len(ex)
+    return num / den
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 97 == 0)
+    exact = _topk_sets(
+        brute_force_topk(corpus, queries, "vec_id", "embedding", k=_K)
+    )
+    single = _topk_sets(
+        srp_lsh_topk(corpus, queries, "vec_id", "embedding", k=_K, planes=_PLANES)
+    )
+    multi = _topk_sets(
+        srp_lsh_topk(
+            corpus,
+            queries,
+            "vec_id",
+            "embedding",
+            k=_K,
+            planes=_PLANES,
+            hamming_probes=1,
+        )
+    )
+    r_single, r_multi = _recall(single, exact), _recall(multi, exact)
+    # multi-probe candidates ⊇ single-probe candidates per query
+    assert r_multi >= r_single, (r_single, r_multi)
+    # empirical floor on the synthetic embeddings (measured at sf0.001:
+    # single 0.20, multi 0.30 — the near-random vectors have weak
+    # neighbor structure, so even the exact top-k sits at low cosine and
+    # single-probe misses most of it; the multiprobe lift is the point)
+    print(f"recall single={r_single:.3f} multi={r_multi:.3f}")
+    assert r_multi >= 0.25

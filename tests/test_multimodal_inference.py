@@ -139,6 +139,86 @@ def test_full_inference_stage(media_df):
     assert out["bad1"] is None  # null probs stay null (undecodable row)
 
 
+def test_decoder_loader_injection(media_df):
+    """A 'real codec' stand-in with a DIFFERENT container format (magic
+    'JPEG') drops into the decode seam without touching
+    decode_image_meta. (Defined inline so cloudpickle ships it by value
+    to the Python workers.)"""
+    from anime_data_pipeline_spark.operators.multimodal import decode_image_meta
+
+    def fake_codec_loader():
+        def decode(content: bytes):
+            if content[:4] == b"JPEG":
+                return (111, 222, "RGB")
+            return None
+
+        return decode
+
+    out = {
+        r["image_key"]: r["image_meta"]
+        for r in decode_image_meta(media_df, decoder_loader=fake_codec_loader).collect()
+    }
+    # the injected codec decodes what the stub calls corrupt, and vice versa
+    assert out["bad0"]["width"] == 111 and out["bad0"]["height"] == 222
+    assert out["img0"] is None and out["bad1"] is None
+
+
+def test_real_session_seam_contract(media_df):
+    """session_predict adapts an InferenceSession-shaped object into the
+    loader contract and predict_tag_probs runs it unmodified — a real
+    onnxruntime session (onnx_loader) drops in the same way. Fakes are
+    defined inline so cloudpickle ships them by value to workers."""
+    from anime_data_pipeline_spark.operators.inference import session_predict
+
+    def loader():
+        import numpy as np
+
+        class FakeOrtInput:
+            name = "input_1:0"
+
+        class FakeSession:
+            """InferenceSession-shaped: .get_inputs / .run only."""
+
+            def get_inputs(self):
+                return [FakeOrtInput()]
+
+            def run(self, _out, feeds):
+                arr = feeds["input_1:0"]
+                # fake logits: a function of the preprocessed tensor
+                return [
+                    np.stack(
+                        [
+                            (arr[i].sum() % 97) / 97.0 * np.ones(5)
+                            for i in range(len(arr))
+                        ]
+                    )
+                ]
+
+        def fake_preprocess(batch):
+            """Stands in for the pad-square/BGR/resize pixel contract
+            (absent codecs): bytes → deterministic fixed-shape tensor."""
+            out = np.zeros((len(batch), 4), dtype=np.float32)
+            for i, b in enumerate(batch):
+                if b is not None:
+                    out[i] = [len(b) % 7, len(b) % 5, len(b) % 3, 1.0]
+            return out
+
+        return session_predict(FakeSession(), preprocess=fake_preprocess)
+
+    out = {
+        r["image_key"]: r["tag_probs"]
+        for r in predict_tag_probs(media_df, LABELS, loader=loader).collect()
+    }
+    assert set(out["img0"].keys()) == set(LABELS)
+    assert all(0.0 <= p <= 1.0 for p in out["img0"].values())
+    # determinism through the executor cache
+    again = {
+        r["image_key"]: r["tag_probs"]
+        for r in predict_tag_probs(media_df, LABELS, loader=loader).collect()
+    }
+    assert out == again
+
+
 def test_collate_by_bucket_partitioning(spark):
     df = spark.createDataFrame(
         [(i, (512 + 64 * (i % 3), 768)) for i in range(60)],

@@ -1,0 +1,38 @@
+"""Approx-vs-exact parity of the corpus profiler: the sketch path
+(q49's operator default) must agree with the exact oracle path (q40)
+within the sketches' error bounds at test scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.operators.profiling import corpus_profile
+
+
+def test_approx_profile_tracks_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r["source"]: r for r in corpus_profile(docs, approx=False).collect()}
+    approx = {r["source"]: r for r in corpus_profile(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        # counts and min/max are not sketched — must be identical
+        assert a["n_docs"] == e["n_docs"]
+        assert a["min_chars"] == e["min_chars"]
+        assert a["max_chars"] == e["max_chars"]
+        # HLL++ at rsd=0.05 on tiny cardinalities is near-exact
+        assert abs(a["n_langs"] - e["n_langs"]) <= max(1, 0.1 * e["n_langs"])
+        # GK at accuracy=10000 with groups << 10000 values is exact
+        for q in ("p25_chars", "p50_chars", "p75_chars"):
+            assert abs(a[q] - e[q]) <= max(2, 0.02 * e["max_chars"]), (src, q)
+
+
+def test_approx_profile_plan_has_no_collect_list(spark, sf_dir):
+    """The scale guard itself: the default path's physical plan must
+    contain the sketch aggregates and no collect_list/sort-based
+    quantile (the r1 OOM risk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = corpus_profile(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "approx_count_distinct" in plan or "HyperLogLog" in plan

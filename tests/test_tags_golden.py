@@ -34,6 +34,8 @@ CLEAN_CASES = [
     ["hair ornament", "red hair ornament"],
     ["blue-grey hair", "hair"],
     ["1girl", "rating safe", "extra tag"],
+    ["rating_explicit", "1girl", "smile"],  # rating FIRST tag survives
+    ["rating safe", "foo", "rating explicit", "bar"],  # truncate at 2nd
     ["multiple boys", "long sleeves", "short sleeves", "sleeveless"],
     ["2girls", "bob cut", "hime cut", "single hair bun"],
     ["solo", "white dress", "dress"],
@@ -82,6 +84,12 @@ def test_clean_tags_spec_semantics():
     assert clean_tags_py(["blue-grey hair", "hair"]) == ["blue-grey hair", "hair"]
     assert clean_tags_py(["1girl", "rating safe", "extra tag"]) == ["1girl"]
     assert clean_tags_py(["hair ornament", "red hair ornament"]) == ["red hair ornament"]
+    # the reference splits on ', rating' — a rating FIRST tag never
+    # truncates (merge_all_to_metadata.py:63), later ones still do
+    assert clean_tags_py(["rating_explicit", "1girl", "smile"]) == [
+        "rating explicit", "1girl", "smile"]
+    assert clean_tags_py(["rating safe", "foo", "rating explicit", "bar"]) == [
+        "rating safe", "foo"]
 
 
 def test_clean_caption_fixpoint(spark):
