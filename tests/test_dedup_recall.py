@@ -110,3 +110,27 @@ def test_banded_srp_bucket_occupancy_bounded(spark, sf_dir):
     assert total_cand < 0.05 * all_pairs * 4, (
         f"banded SRP produced {total_cand} candidates vs {all_pairs} all-pairs"
     )
+
+
+def test_simhash_arrow_matches_native(spark):
+    """The Arrow-batched numpy bit-fold (q33's default) must be
+    bit-identical to the Catalyst expression fold (the oracle-mirrored
+    form), including the edge rows the batched reduceat has to special-
+    case: empty token lists, null text, and single-token docs."""
+    from anime_data_pipeline_spark.operators.dedup import simhash_df
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),  # no tokens
+        (2, None),  # null text
+        (3, "one"),  # single token
+        (4, "  "),  # whitespace only
+        (5, "repeat repeat repeat repeat"),
+    ] + [(10 + i, f"doc {i} filler text with shared words {i % 3}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    arrow = {r["doc_id"]: r["fp"] for r in simhash_df(df, "text", out="fp").collect()}
+    native = {
+        r["doc_id"]: r["fp"]
+        for r in simhash_df(df, "text", out="fp", impl="native").collect()
+    }
+    assert arrow == native
