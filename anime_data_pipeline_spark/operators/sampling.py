@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-mix construction.
+
+Training-data pipelines need REPRODUCIBLE samples — a rerun (or a
+resumed job) must select the same rows, so all sampling here is
+hash-based (seeded permutation-family hash of the row id), never
+``rand()``: no runtime randomness, no per-partition RNG state, and the
+sample is stable under repartitioning, speculative re-execution, and
+scale-out. Every variant is a map-only filter or a bounded window —
+oracle-checkable and 100 TB-safe.
+
+Reference parity note: the reference samples implicitly (shuffled
+bucket batches); these operators generalize that to corpus-level
+sampling (O8 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anime_data_pipeline_spark.functions.hashing import P, perm_constants
+
+
+def _seeded_hash(id_col: Column, seed: int) -> Column:
+    """(a*id + b) mod P with (a, b) drawn deterministically from the
+    permutation family at index ``seed`` — an integer hash both engines
+    compute with plain arithmetic."""
+    a, b = perm_constants(seed + 1)[seed]
+    return (F.lit(a) * id_col + F.lit(b)) % F.lit(P)
+
+
+def seeded_hash_sql(expr: str, seed: int) -> str:
+    a, b = perm_constants(seed + 1)[seed]
+    return f"(({a} * {expr} + {b}) % {P})"
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose seeded hash
+    falls in the bottom ``rate`` fraction of [0, P). Map-only."""
+    return df.filter(_seeded_hash(F.col(id_col), seed) < int(rate * P))
+
+
+def hash_sample_pred_sql(expr: str, rate: float, seed: int = 0) -> str:
+    return f"{seeded_hash_sql(expr, seed)} < {int(rate * P)}"
+
+
+def stratified_sample_n(
+    df: DataFrame, group_col: str, id_col: str, n_per_group: int, seed: int = 0
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group: rank rows inside each
+    group by seeded hash (id tiebreak) and keep the first n.
+
+    One shuffle on the group key; per-group state in the window sort is
+    the group's rows on one partition — for pathological hot groups,
+    pre-filter with :func:`hash_sample` at a rate that bounds the
+    expected group size before the exact top-n pass (double-sampling),
+    keeping the windowed partition small at any corpus size."""
+    w = Window.partitionBy(group_col).orderBy(
+        _seeded_hash(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_ss_rank", F.row_number().over(w))
+        .filter(F.col("_ss_rank") <= n_per_group)
+        .drop("_ss_rank")
+    )
+
+
+def stratified_sample_rates(
+    df: DataFrame, group_col: str, id_col: str, rates: dict[str, float], seed: int = 0
+) -> DataFrame:
+    """Per-group Bernoulli rates (training-mix reweighting): the rate
+    lookup is a literal CASE expression — map-only, no join, and the
+    mix spec travels inside the plan."""
+    h = _seeded_hash(F.col(id_col), seed)
+    expr: Column = F.lit(None).cast("long")
+    for g, r in rates.items():
+        expr = F.when(F.col(group_col) == g, int(r * P)).otherwise(expr)
+    return df.filter(h < expr)

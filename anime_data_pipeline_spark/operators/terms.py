@@ -1,0 +1,116 @@
+"""Term-level corpus statistics (LLM-pipeline extension surface):
+TF-IDF term ranking and n-gram repetition profiling.
+
+Both operators follow the same scale shape: EXPLODE terms to rows,
+then partial/final hash aggregation — never per-row Python loops and
+never a per-document in-memory term table. A 1 M-token document costs
+1 M narrow rows through a map-side-combining agg, not 1 M entries in
+one executor's hash map, so document length is bounded by the shuffle,
+not by executor memory.
+
+Repetition profiling is the Gopher-style quality family (Rae et al.
+2021 §A1.1: duplicate n-gram fraction, top n-gram fraction) — the
+signals used to drop boilerplate/spam before LLM training.
+
+Reference parity note: the reference has no term-statistics operators;
+this module extends its curation surface (BASELINE "text analysis"
+north star) with the standard corpus-quality designs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anime_data_pipeline_spark.functions.hashing import polyhash, shingle_hashes
+from anime_data_pipeline_spark.functions.text import tokens
+
+
+def _exploded_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term) rows — one per token occurrence."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    score = tf * ln(N / df) with tf = in-doc occurrences, df = number
+    of documents containing the term, N = corpus size.
+
+    Plan shape: ONE explode feeding one (doc, term) partial/final agg;
+    document-frequency then derives from the tf aggregate itself
+    (df(term) = rows in tf per term — tf's key set IS the distinct
+    (doc, term) pairs), so the corpus is tokenized exactly once and
+    Spark's ReuseExchange serves dfreq from tf's shuffle output instead
+    of a second scan+distinct. The df table is |vocabulary|-sized; the
+    tf ⋈ df join shuffles on high-cardinality `term` keys and AQE
+    handles any hot stopword-like term.
+
+    Determinism: ties broken by term asc so top-k membership is stable
+    across partitionings (registry convention)."""
+    terms = _exploded_terms(df, id_col, text_col)
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def ngram_repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition metrics (Gopher §A1.1 family):
+
+    - ``total_ngrams``: n-gram occurrences in the doc;
+    - ``distinct_ngrams``;
+    - ``top_ngram_frac``: occurrences of the most frequent n-gram /
+      total (Gopher's "top n-gram fraction");
+    - ``dup_ngram_frac``: fraction of occurrences belonging to n-grams
+      seen more than once (Gopher's "duplicate n-gram fraction").
+
+    Token n-grams are hashed (shingle fold over token hashes) so the
+    grouped key is an 8-byte long, not a string — the same shuffle-width
+    trick as the dedup family. Two-level agg: (doc, gram) counts, then
+    per-doc rollup; both partial-aggregate map-side, and no stage ever
+    holds a whole document's term table in one hash-map entry."""
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(tokens(F.col(text_col)), polyhash).alias("_th"),
+        )
+        .withColumn("gram", F.explode(shingle_hashes(F.col("_th"), n)))
+        .select("doc", "gram")
+    )
+    per_gram = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        (F.max("c") / F.sum("c")).alias("top_ngram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c")
+        ).alias("dup_ngram_frac"),
+    )

@@ -240,3 +240,43 @@ def winnow_fingerprints_sql(corpus_sql: str, id_expr: str, text_expr: str,
             FROM kgs)
     SELECT doc, unnest(fp) AS fingerprint FROM fps
     """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (map-only; the pre-training scrub pass). Patterns are
+# restricted to the regex subset with identical semantics in Java
+# (Spark) and RE2-ish (DuckDB) engines: no backrefs, no lookaround.
+# ---------------------------------------------------------------------------
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str, out: str = "redacted") -> DataFrame:
+    """Replace emails/phone numbers with typed placeholder tokens and
+    count the hits per document (the audit trail a compliance pass
+    needs). One scan-project; both counts come from the SAME
+    regexp_extract_all arrays the replacement logically performs, so
+    redaction and audit cannot drift apart."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long"))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long"))
+        .withColumn(
+            out,
+            F.regexp_replace(
+                F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
+def redact_pii_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB mirror: {column: SQL expression}."""
+    return {
+        "n_emails": f"CAST(len(regexp_extract_all({text_expr}, '{EMAIL_RE}')) AS BIGINT)",
+        "n_phones": f"CAST(len(regexp_extract_all({text_expr}, '{PHONE_RE}')) AS BIGINT)",
+        "redacted": (
+            f"regexp_replace(regexp_replace({text_expr}, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{PHONE_RE}', '<PHONE>', 'g')"
+        ),
+    }

@@ -1,0 +1,317 @@
+"""Training-mix construction gate queries: repetition profiling,
+TF-IDF ranking, deterministic sampling, sequence packing, PII
+redaction, and near-dup cluster resolution.
+
+These are the steps between "deduped corpus" and "training batches" in
+a 100 TB pipeline: score and drop repetitive boilerplate (q50), surface
+characteristic terms (q56), draw reproducible stratified mixes (q57),
+pack documents into context-window chunks (q58 concatenative, q67
+document-preserving), scrub PII with an audit trail (q59), and collapse
+each near-dup cluster to its best member (q60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.hashing import polyhash_sql, shingle_hashes_sql
+from anime_data_pipeline_spark.functions.text import tokens_sql
+from anime_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from anime_data_pipeline_spark.operators.packing import chunk_by_budget, pack_greedy
+from anime_data_pipeline_spark.operators.sampling import (
+    seeded_hash_sql,
+    stratified_sample_n,
+)
+from anime_data_pipeline_spark.operators.terms import (
+    ngram_repetition_profile,
+    tfidf_topk,
+)
+from anime_data_pipeline_spark.operators.textstats import (
+    quality_columns,
+    quality_sql_projection,
+    redact_pii,
+    redact_pii_sql,
+    ws_token_count,
+    ws_token_count_sql,
+)
+from anime_data_pipeline_spark.queries.dedup_q import (
+    _CORPUS_SQL,
+    _BANDS,
+    _K,
+    _NGRAM,
+    _THRESH,
+    minhash_pairs_sql,
+    mutated_corpus,
+)
+from anime_data_pipeline_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# q50 — n-gram repetition profile (Gopher-style quality signals).
+# Mutation appends each doc's own head back onto itself for 1/3 of
+# docs, planting real duplicate bigrams for the metrics to find.
+# ---------------------------------------------------------------------------
+_REP_MUT_SQL = """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN text || ' ' || substr(text, 1, 40) || ' ' || substr(text, 1, 40)
+       ELSE text END AS text FROM documents"""
+
+
+def _rep_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 40)
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "), head, F.lit(" "), head),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_REP_N = 2
+
+_Q50_ORACLE = f"""
+    WITH corpus AS ({_REP_MUT_SQL}),
+    tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    tha AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM tok),
+    grams AS (SELECT doc, unnest({shingle_hashes_sql("th", _REP_N)}) AS gram FROM tha),
+    per_gram AS (SELECT doc, gram, count(*) AS c FROM grams GROUP BY doc, gram)
+    SELECT doc,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           count(*) AS distinct_ngrams,
+           {dround_sql("CAST(max(c) AS DOUBLE) / sum(c)", 6)} AS top_ngram_frac,
+           {dround_sql("CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)", 6)} AS dup_ngram_frac
+    FROM per_gram GROUP BY doc
+"""
+
+
+@register("q50_ngram_repetition", oracle=_Q50_ORACLE)
+def q50_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_repetition_profile(_rep_mutated(spark, sf_dir), "doc_id", "text", n=_REP_N)
+    return out.select(
+        "doc",
+        "total_ngrams",
+        "distinct_ngrams",
+        dround(F.col("top_ngram_frac"), 6).alias("top_ngram_frac"),
+        dround(F.col("dup_ngram_frac"), 6).alias("dup_ngram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — TF-IDF top-k characteristic terms per document.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+_Q56_ORACLE = f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
+    dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc, term FROM tok) GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc, tf.term, tf.tf, dfq.df,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY doc ORDER BY tfidf DESC, term) AS rank
+               FROM scored)
+    SELECT doc, term, tf, df, {dround_sql("tfidf", 6)} AS tfidf, rank
+    FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+@register("q56_tfidf_topk", oracle=_Q56_ORACLE)
+def q56_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", k=_TFIDF_K)
+    return out.select(
+        "doc",
+        "term",
+        "tf",
+        "df",
+        dround(F.col("tfidf"), 6).alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — deterministic stratified sample: exactly n docs per source,
+# selected by seeded hash (rerun-stable, partition-stable).
+# ---------------------------------------------------------------------------
+_STRAT_N, _STRAT_SEED = 20, 1
+
+_Q57_ORACLE = f"""
+    SELECT doc_id, source, lang, n_chars FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source
+      ORDER BY {seeded_hash_sql("doc_id", _STRAT_SEED)}, doc_id) <= {_STRAT_N}
+"""
+
+
+@register("q57_stratified_sample", oracle=_Q57_ORACLE)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_n(
+        docs, "source", "doc_id", _STRAT_N, seed=_STRAT_SEED
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q58 — concatenative sequence packing: cut each source's doc stream
+# (ordered by doc_id) every `budget` whitespace tokens.
+# ---------------------------------------------------------------------------
+_BUDGET = 256
+
+_Q58_ORACLE = f"""
+    WITH weighted AS (
+      SELECT doc_id, source, {ws_token_count_sql("text")} AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+      FROM weighted)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(CAST(cum_before AS DOUBLE) / {_BUDGET}) AS BIGINT) AS chunk_id,
+           CAST(cum_before % {_BUDGET} AS BIGINT) AS chunk_offset
+    FROM cum
+"""
+
+
+@register("q58_pack_chunks", oracle=_Q58_ORACLE)
+def q58_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    out = chunk_by_budget(docs, "source", "doc_id", "n_tokens", _BUDGET)
+    return out.select(
+        "doc_id", "source", "n_tokens", F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_offset",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — PII redaction with audit counts. Mutation plants emails/phones
+# deterministically (1/4 of docs each), identically in both engines.
+# ---------------------------------------------------------------------------
+_PII_MUT_SQL = """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN text || ' contact alice.b@example.com or bob@mail.example.org'
+    WHEN 1 THEN text || ' call 555-867-5309 now'
+    WHEN 2 THEN text || ' mail carol@example.net at 111-222-3333'
+    ELSE text END AS text FROM documents"""
+
+
+def _pii_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact alice.b@example.com or bob@mail.example.org")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(" call 555-867-5309 now")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(" mail carol@example.net at 111-222-3333")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", m.alias("text"))
+
+
+def _q59_oracle() -> str:
+    cols = redact_pii_sql("text")
+    proj = ", ".join(f"{expr} AS {name}" for name, expr in cols.items())
+    return f"WITH docs AS ({_PII_MUT_SQL}) SELECT doc_id, {proj} FROM docs"
+
+
+@register("q59_pii_redact", oracle=_q59_oracle())
+def q59_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(_pii_mutated(spark, sf_dir), "text").select(
+        "doc_id", "n_emails", "n_phones", "redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — near-dup cluster resolution: connected components over the
+# verified MinHash-LSH pairs, then keep each cluster's best-quality
+# member (quality desc, doc_id asc tiebreak). The full curation
+# endgame: clusters in, one survivor per cluster out.
+# ---------------------------------------------------------------------------
+_Q60_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs_sql(_CORPUS_SQL, _NGRAM, _K, _BANDS, _THRESH)}),
+    corpus AS ({_CORPUS_SQL}),
+    nodes AS (SELECT doc_id FROM corpus),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+    scored AS (SELECT doc_id, {quality_sql_projection("text")["quality_score"]} AS q
+               FROM corpus),
+    ranked AS (SELECT component, doc_id, q, row_number() OVER (
+                 PARTITION BY component ORDER BY q DESC, doc_id) AS rn
+               FROM comp JOIN scored USING (doc_id)),
+    best AS (SELECT component, doc_id AS keeper_id FROM ranked WHERE rn = 1),
+    stats AS (SELECT component, count(*) AS n_members,
+                     {dround_sql("max(q)", 6)} AS best_q
+              FROM ranked GROUP BY component)
+    SELECT component, n_members, keeper_id, best_q
+    FROM stats JOIN best USING (component)
+"""
+
+
+@register("q60_cluster_resolve", oracle=_Q60_ORACLE)
+def q60_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS, threshold=_THRESH
+    )
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")), pairs
+    ).select(F.col("node").alias("doc_id"), "component")
+    scored = quality_columns(corpus, "text").select(
+        "doc_id", F.col("quality_score").alias("q")
+    )
+    joined = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("component", F.col("doc_id").alias("keeper_id"))
+    )
+    stats = joined.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        dround(F.max("q"), 6).alias("best_q"),
+    )
+    return stats.join(best, "component").select(
+        "component", "n_members", "keeper_id", "best_q"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — document-preserving greedy packing (applyInPandas stateful
+# custom operator). The running-remainder state is inherently
+# sequential per group — not ANSI-SQL-expressible — so this is a
+# rows-only gate; tests/test_packing.py pins the distributed output to
+# the pure-Python spec (pack_greedy_py) group by group.
+# ---------------------------------------------------------------------------
+@register("q67_pack_greedy")
+def q67_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy(docs, "source", "doc_id", "n_tokens", _BUDGET)

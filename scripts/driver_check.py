@@ -4,7 +4,10 @@ Runs ``entry(spark)`` as a smoke check, then every ``queries()`` entry
 at the given sf dir side-by-side with its ``oracle_sql()`` in DuckDB,
 comparing row count, column names, and (order-insensitively) values.
 
-Usage: python scripts/driver_check.py [sf_dir]
+Usage: python scripts/driver_check.py [sf_dir] [name_substring ...]
+
+With name substrings, only matching queries run (fast iteration on a
+query under development); the driver itself always runs everything.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import duckdb
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -48,6 +52,8 @@ def main() -> int:
     qs, oracles = ent.queries(), ent.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(qs):
+        if ONLY and not any(s in name for s in ONLY):
+            continue
         try:
             sdf = qs[name](spark, SF_DIR)
             if name not in oracles:
