@@ -188,3 +188,75 @@ def q64_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = s.unionByName(read_events_stream(spark, sf_dir))
     out = run_available_now(dedup_stream(doubled, ["event_id"]), "append")
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# q68 — custom stateful operator (streaming/stateful.running_user_totals,
+# applyInPandasWithState): per-user running (count, total), replayed as
+# 4 REAL micro-batches (time-ordered file splits) so the StateStore
+# commits state across batches. The running fields are cumulative, so
+# each key's final emission equals the batch aggregate — the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_stream_stateful_stats",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           {dround_sql("sum(value)", 2)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q68_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.streaming.pipeline import (
+        read_split_stream,
+        resplit_events,
+    )
+    from anime_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    split = resplit_events(spark, sf_dir, n_files=4)
+    out = run_available_now(running_user_totals(read_split_stream(spark, split)), "update")
+    # one emission per key per batch; the last (max running count) is
+    # the final state — both fields ride the same max-count row.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            dround(F.col("total_value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — foreachBatch sink: the stream upserts each micro-batch's latest
+# row per user into a parquet table; resolution is by value
+# (max (ts, event_id)), so the final table is identical under any batch
+# split. The oracle is the batch argmax per user.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q69_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from anime_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_upsert_latest,
+        read_split_stream,
+        resplit_events,
+    )
+
+    split = resplit_events(spark, sf_dir, n_files=4)
+    table = tempfile.mkdtemp(prefix="stream_upsert_") + "/latest"
+    foreach_batch_upsert_latest(read_split_stream(spark, split), table, "user_id")
+    return spark.read.parquet(table).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )

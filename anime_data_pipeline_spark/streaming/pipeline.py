@@ -152,3 +152,118 @@ def run_available_now(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch replay + custom stateful operators
+# ---------------------------------------------------------------------------
+def resplit_events(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Re-split events.parquet into ``n_files`` time-ordered files with
+    strictly increasing modification times, so a file-source stream
+    with ``maxFilesPerTrigger=1`` replays them as ``n_files`` REAL
+    micro-batches in time order — per-key state genuinely evolves
+    across StateStore commits instead of collapsing into one batch.
+
+    Replay-harness code (like run_available_now), not a product
+    operator: at a real deployment the source is Kafka/files arriving
+    over time and this step does not exist."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="events_split_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # deterministic time-ordered slices: rank by (ts, event_id)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    sliced = df.withColumn("_rn", F.row_number().over(w))
+    total = sliced.count()
+    per = (total + n_files - 1) // n_files
+    base = 1_700_000_000
+    for i in range(n_files):
+        part = sliced.filter(
+            (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+        ).drop("_rn")
+        pdir = os.path.join(out, f"slice_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        src = next(
+            f for f in os.listdir(pdir) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(out, f"{i:03d}.parquet")
+        os.rename(os.path.join(pdir, src), dst)
+        os.utime(dst, (base + i * 60, base + i * 60))
+    return out
+
+
+def read_split_stream(spark: SparkSession, split_dir: str) -> DataFrame:
+    """Stream the re-split events dir one file per micro-batch (oldest
+    modification time first — the deterministic order resplit_events
+    stamped)."""
+    schema = spark.read.parquet(split_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split_dir)
+    )
+
+
+def foreach_batch_upsert_latest(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    timeout_s: int = 300,
+) -> None:
+    """Streaming → table sink via ``foreachBatch``: each micro-batch is
+    reduced to its latest row per key (max (ts, event_id)), then merged
+    into the parquet table at ``path`` keeping the overall latest.
+
+    The resolution is by VALUE (ts, event_id), not by arrival order,
+    so the result is identical under any batch split or ordering —
+    exactly-once per key regardless of replay. foreachBatch is the
+    standard bridge from a stream to batch-only sinks (JDBC, MERGE
+    into Delta, multi-table writes); at scale the merge body below
+    would be the Delta MERGE path of sources/sinks.upsert_table."""
+    from pyspark.sql.window import Window
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = latest(batch_df)
+        try:
+            existing = spark.read.parquet(path)
+            merged = latest(existing.unionByName(updates))
+        except Exception:  # first batch — no table yet
+            merged = updates
+        tmp = path.rstrip("/") + "__tmp_stream"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"foreachBatch stream still running after {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
