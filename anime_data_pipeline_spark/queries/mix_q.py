@@ -315,3 +315,41 @@ def q67_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
     )
     return pack_greedy(docs, "source", "doc_id", "n_tokens", _BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# q70 — WebDataset tar-shard roundtrip: documents → 8 byte-stable tar
+# shards (.txt text + .json metadata per sample) → distributed unpack →
+# reconstructed table. Oracle = the source table itself, so a hash
+# match proves the sink/source pair is lossless end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_webdataset_roundtrip",
+    oracle="SELECT doc_id, lang, source, n_chars, text FROM documents",
+)
+def q70_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from anime_data_pipeline_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.format_string("%09d", F.col("doc_id")).alias("key"),
+        F.col("text"),
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("meta"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="wds_")
+    manifest = write_webdataset(
+        docs, out_dir, "key", text_members={"txt": "text", "json": "meta"}, n_shards=8
+    )
+    manifest.collect()  # materialize = execute the shard writes
+    back = read_webdataset(spark, out_dir, text_exts=("txt", "json"))
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.get_json_object("json", "$.lang").alias("lang"),
+        F.get_json_object("json", "$.source").alias("source"),
+        F.get_json_object("json", "$.n_chars").cast("long").alias("n_chars"),
+        F.col("txt").alias("text"),
+    )
