@@ -79,3 +79,61 @@ def stratified_sample_rates(
     for g, r in rates.items():
         expr = F.when(F.col(group_col) == g, int(r * P)).otherwise(expr)
     return df.filter(h < expr)
+
+
+def mix_rebalance(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample groups toward TARGET corpus shares (training-mix
+    reweighting by proportion rather than absolute rate): group g gets
+    keep-rate ``min(1, share_g * N_total / N_g)`` — over-represented
+    groups shrink toward their share, under-represented ones pass
+    through whole.
+
+    Fully distributed: group counts are one partial-aggregated groupBy
+    (a |groups|-sized table), the rates join back via broadcast, and
+    the keep decision is the same seeded-hash predicate as hash_sample
+    — no collect, rerun-stable, one scan + one broadcast join. The
+    rate threshold is floor()'d to an integer in [0, P] so engines
+    agree bit-for-bit."""
+    share = F.lit(None).cast("double")
+    for g, s in target_shares.items():
+        share = F.when(F.col(group_col) == g, F.lit(float(s))).otherwise(share)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    totals = counts.agg(F.sum("_n_g").alias("_n_total"))
+    rates = (
+        counts.join(F.broadcast(totals))
+        .withColumn(
+            "_keep_below",
+            F.floor(
+                F.least(
+                    F.lit(1.0), share * F.col("_n_total") / F.col("_n_g")
+                )
+                * F.lit(P)
+            ),
+        )
+        .select(group_col, "_keep_below")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_seeded_hash(F.col(id_col), seed) < F.col("_keep_below"))
+        .drop("_keep_below")
+    )
+
+
+def mix_rebalance_pred_sql(
+    group_expr: str, id_expr: str, target_shares: dict[str, float], seed: int = 0
+) -> str:
+    """DuckDB spelling of the keep predicate, given window-computed
+    ``n_g`` / ``n_total`` columns in scope."""
+    share = "CAST(NULL AS DOUBLE)"
+    for g, s in target_shares.items():
+        share = f"CASE WHEN {group_expr} = '{g}' THEN {float(s)} ELSE {share} END"
+    return (
+        f"{seeded_hash_sql(id_expr, seed)} < "
+        f"floor(least(1.0, ({share}) * n_total / n_g) * {P})"
+    )

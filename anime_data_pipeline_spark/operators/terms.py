@@ -49,16 +49,26 @@ def tfidf_topk(
     Plan shape: ONE explode feeding one (doc, term) partial/final agg;
     document-frequency then derives from the tf aggregate itself
     (df(term) = rows in tf per term — tf's key set IS the distinct
-    (doc, term) pairs), so the corpus is tokenized exactly once and
-    Spark's ReuseExchange serves dfreq from tf's shuffle output instead
-    of a second scan+distinct. The df table is |vocabulary|-sized; the
-    tf ⋈ df join shuffles on high-cardinality `term` keys and AQE
-    handles any hot stopword-like term.
+    (doc, term) pairs). tf is consumed twice (the join side and dfreq),
+    and ReuseExchange does not unify the two consumers' differing
+    parent requirements — so tf persists (MEMORY_AND_DISK, same call
+    as the 4×-consumed MinHash signature table): the corpus is
+    tokenized and exploded exactly once, and what persists is the
+    already-aggregated (doc, term, tf) table, far smaller than the
+    exploded stream. The df table is |vocabulary|-sized; the tf ⋈ df
+    join shuffles on high-cardinality `term` keys and AQE handles any
+    hot stopword-like term.
 
     Determinism: ties broken by term asc so top-k membership is stable
     across partitionings (registry convention)."""
+    from pyspark import StorageLevel
+
     terms = _exploded_terms(df, id_col, text_col)
-    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -26,6 +26,8 @@ from anime_data_pipeline_spark.operators.dedup import (
 )
 from anime_data_pipeline_spark.operators.packing import chunk_by_budget, pack_greedy
 from anime_data_pipeline_spark.operators.sampling import (
+    mix_rebalance,
+    mix_rebalance_pred_sql,
     seeded_hash_sql,
     stratified_sample_n,
 )
@@ -353,3 +355,100 @@ def q70_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("json", "$.n_chars").cast("long").alias("n_chars"),
         F.col("txt").alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — snapshot diff (CDC): old = documents; new = documents with 1/7
+# deleted, 1/5 text-modified, 1/11 re-keyed as additions. The change
+# feed (added/deleted/modified + changed column names) drives
+# incremental recomputation downstream.
+# ---------------------------------------------------------------------------
+_NEW_SNAP_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+           lang,
+           CASE WHEN doc_id % 9 = 0 THEN 'src_moved' ELSE source END AS source
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, text, lang, source
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    kept = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("src_moved"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    added = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text", "lang", "source"
+    )
+    return kept.unionByName(added)
+
+
+_Q74_ORACLE = f"""
+    WITH old AS (SELECT doc_id, text, lang, source FROM documents),
+    new AS ({_NEW_SNAP_SQL}),
+    j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                 old.doc_id IS NOT NULL AS in_old,
+                 new.doc_id IS NOT NULL AS in_new,
+                 list_sort(list_filter(
+                   [CASE WHEN old.text IS DISTINCT FROM new.text THEN 'text' END,
+                    CASE WHEN old.lang IS DISTINCT FROM new.lang THEN 'lang' END,
+                    CASE WHEN old.source IS DISTINCT FROM new.source THEN 'source' END],
+                   x -> x IS NOT NULL)) AS diffs
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT doc_id,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'deleted'
+                WHEN len(diffs) > 0 THEN 'modified'
+                ELSE 'unchanged' END AS change_type,
+           coalesce(array_to_string(CASE WHEN in_old AND in_new THEN diffs ELSE [] END, ','), '') AS changed_cols
+    FROM j
+    WHERE NOT (in_old AND in_new AND len(diffs) = 0)
+"""
+
+
+@register("q74_snapshot_diff", oracle=_Q74_ORACLE)
+def q74_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    out = snapshot_diff(
+        old, _new_snapshot(spark, sf_dir), ["doc_id"], ["text", "lang", "source"]
+    )
+    # arrays don't survive the driver's column-sorted value hash;
+    # project the changed-column list to a joined string on both sides
+    return out.withColumn("changed_cols", F.array_join("changed_cols", ","))
+
+
+# ---------------------------------------------------------------------------
+# q75 — training-mix rebalance: downsample each lang toward target
+# corpus shares (min(1, share*N/N_g) keep-rate, seeded-hash keep set).
+# ---------------------------------------------------------------------------
+_MIX_SHARES = {"en": 0.30, "zh": 0.20, "es": 0.15, "fr": 0.15, "de": 0.20}
+_MIX_SEED = 3
+
+
+@register(
+    "q75_mix_rebalance",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang, source,
+             count(*) OVER (PARTITION BY lang) AS n_g,
+             count(*) OVER () AS n_total
+      FROM documents)
+    SELECT doc_id, lang, source FROM counted
+    WHERE {mix_rebalance_pred_sql("lang", "doc_id", _MIX_SHARES, _MIX_SEED)}
+    """,
+)
+def q75_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mix_rebalance(docs, "lang", "doc_id", _MIX_SHARES, seed=_MIX_SEED)

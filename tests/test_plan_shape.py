@@ -137,3 +137,49 @@ def test_running_window_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1, plan[:1200]
     assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.M)) == 1, plan[:1200]
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1, plan[:1200]
+
+
+def test_new_map_only_operators_no_exchange(spark, sf_dir):
+    """PII redaction is a pure scan-project; the repetition profile's
+    plan must be explode + two hash aggs with nothing extra."""
+    plan = plan_of(QUERIES["q59_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_repetition_profile_is_two_level_agg(spark, sf_dir):
+    # simple (non-formatted) plan string: formatted mode lists every
+    # node twice (tree + details), which would double the count
+    plan = (
+        QUERIES["q50_ngram_repetition"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two-level agg: (doc, gram) then doc — partial/final pairs = 4
+    # HashAggregate nodes; anything more means a redundant stage.
+    n_agg = len(re.findall(r"HashAggregate", plan))
+    assert n_agg == 4, f"expected 4 HashAggregate nodes, got {n_agg}"
+    assert "SortAggregate" not in plan
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """dfreq derives from the persisted tf aggregate, so the corpus
+    text is scanned/tokenized exactly once; the only other scan is the
+    doc_id-only corpus count."""
+    df = QUERIES["q56_tfidf_topk"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both tf consumers (join side and dfreq) must read the cached
+    # aggregate, not re-tokenize the corpus. (FileScan counting is
+    # unreliable here: the plan printer includes each InMemoryRelation's
+    # cached subtree, so the corpus scan appears once per cache mention.)
+    cached = len(re.findall(r"InMemoryTableScan", plan))
+    assert cached >= 2, f"tf not served from cache:\n{plan[:1200]}"
+
+
+def test_stratified_sample_prunes_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["q57_stratified_sample"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "text" not in cols, "sampling must not read the text column"
