@@ -328,3 +328,59 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregates (label centroids + cohesion)
+# ---------------------------------------------------------------------------
+def label_centroids(df: "DataFrame", label_col: str, vec_col: str) -> "DataFrame":
+    """Element-wise mean vector per label via POSITION-EXPLODED rows:
+    (label, pos, val) → groupBy (label, pos) avg.
+
+    The explode trades d× row volume for the shape aggregation scales
+    on: partial aggs combine map-side, no executor ever materializes a
+    per-label dense accumulator in Python, and skewed labels split
+    across partitions like any hash agg. The result is |labels|×d rows
+    — broadcastable for everything downstream."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(to_double_array(F.col(vec_col))).alias("pos", "val"),
+    )
+    return e.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+
+
+def centroid_cohesion(
+    df: "DataFrame", id_col: str, label_col: str, vec_col: str
+) -> "DataFrame":
+    """Per-label cohesion: mean cosine(vector, label centroid) + size.
+
+    Plan: one exploded pass builds centroids; the centroid table
+    (|labels|×d) and its norms broadcast back onto a second exploded
+    pass — dot products and norms come from one groupBy per vector,
+    then one tiny agg per label. Everything is partial-aggregated
+    column arithmetic; no UDF, no per-label state."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(to_double_array(F.col(vec_col))).alias("pos", "val"),
+    )
+    cent = label_centroids(df, label_col, vec_col)
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    per_vec = (
+        e.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+        )
+    )
+    return (
+        per_vec.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg(F.col("dot") / (F.col("vn") * F.col("cn"))).alias("avg_cos"),
+        )
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.functions.hashing import P, polyhash, polyhash_sql
 from anime_data_pipeline_spark.operators.profiling import corpus_profile
 from anime_data_pipeline_spark.operators.bucketing import (
@@ -335,4 +336,58 @@ def q30_map_zip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted = F.transform_keys(filtered, lambda k, v: F.upper(k))
     return df.select(
         "doc_id", F.explode(inverted).alias("tag_norm", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — salted large⋈large join under a planted hot key: 1/4 of
+# lineitem rows are re-keyed onto ONE orderkey, then joined to orders
+# through the 8-way salted join (operators/skew.salted_join). The
+# oracle is the PLAIN SQL join — a hash match proves salting is
+# semantically invisible while spreading the hot key over 8 shuffle
+# partitions (the plan property tests/test_plan_shape.py pins).
+# ---------------------------------------------------------------------------
+_HOT_KEY = 1
+
+
+@register(
+    "q76_salted_join_hot_key",
+    oracle=f"""
+    WITH li AS (
+      SELECT CASE WHEN l_orderkey % 4 = 0 THEN {_HOT_KEY} ELSE l_orderkey END AS okey,
+             l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem)
+    SELECT o.o_orderstatus,
+           count(*) AS n_rows,
+           {{dround}} AS revenue
+    FROM li JOIN orders o ON li.okey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """.replace("{dround}", dround_sql("sum(l_extendedprice)", 2)),
+)
+def q76_salted_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(_HOT_KEY))
+        .otherwise(F.col("l_orderkey"))
+        .alias("okey"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    # lineitem holds the hot key → it takes the salt (high-cardinality
+    # source: its own original (orderkey, linenumber)); orders explodes 8×.
+    joined = salted_join(
+        orders,
+        li,
+        "okey",
+        salts=8,
+        salt_source=None,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine_sql,
@@ -247,4 +248,42 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_Q43_THRESH,
         planes_per_table=_Q43_PPT,
         n_tables=_Q43_TABLES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — label centroids + cohesion: element-wise mean vector per label
+# and the mean cosine of members to their centroid — the embedding-
+# space health check (cluster tightness / label noise) run before
+# using labels for curation. Position-exploded aggregation on both
+# sides; the oracle mirrors it with unnest + generate_subscripts.
+# ---------------------------------------------------------------------------
+_Q77_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label,
+                      unnest(CAST(embedding AS DOUBLE[])) AS val,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings),
+    cent AS (SELECT label, pos, avg(val) AS c FROM e GROUP BY label, pos),
+    cnorm AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label),
+    pv AS (SELECT e.vec_id, e.label,
+                  sum(e.val * cent.c) AS dot,
+                  sqrt(sum(e.val * e.val)) AS vn
+           FROM e JOIN cent USING (label, pos)
+           GROUP BY e.vec_id, e.label)
+    SELECT label,
+           count(*) AS n_vecs,
+           {dround_sql("avg(dot / (vn * cn))", 6)} AS avg_cos
+    FROM pv JOIN cnorm USING (label)
+    GROUP BY label
+"""
+
+
+@register("q77_label_centroid_cohesion", oracle=_Q77_ORACLE)
+def q77_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import centroid_cohesion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = centroid_cohesion(emb, "vec_id", "label", "embedding")
+    return out.select(
+        "label", "n_vecs", dround(F.col("avg_cos"), 6).alias("avg_cos")
     )
