@@ -343,3 +343,48 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Benchmark-contamination check (the pre-training hygiene pass:
+    Brown et al. 2020 §C, Touvron et al. 2023 §5.1 measure train/eval
+    n-gram overlap before trusting eval numbers): for every corpus
+    document, the fraction of its n-token shingles that appear ANYWHERE
+    in the benchmark set.
+
+    Scale shape: the benchmark shingle universe (eval suites are tiny —
+    MBs against a 100 TB corpus) collapses to a distinct 8-byte-hash
+    set and BROADCASTS; corpus docs explode to (doc, shingle) rows and
+    the hit count is one partial-aggregated groupBy after a map-side
+    broadcast join — the corpus is never shuffled on text. Returns
+    (doc, n_shingles, n_hits, overlap_frac) for every corpus doc with
+    overlap_frac >= ``min_overlap`` (0.0 = report all)."""
+    c = shingle_hash_sets(corpus, id_col, text_col, n)
+    bench_universe = (
+        shingle_hash_sets(bench, id_col, text_col, n)
+        .select(F.explode("hashes").alias("sh"))
+        .distinct()
+    )
+    exploded = c.select("doc", F.explode("hashes").alias("sh"))
+    hits = (
+        exploded.join(F.broadcast(bench_universe), "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        c.select("doc", F.size("hashes").alias("n_shingles"))
+        .join(hits, "doc", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn(
+            "overlap_frac",
+            F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap)
+    )

@@ -335,3 +335,77 @@ def frame_sample_plan(
     return df.withColumn("_frames", idx).select(
         "*", F.posexplode("_frames").alias("sample_pos", "frame_no")
     ).drop("_frames")
+
+
+# ---------------------------------------------------------------------------
+# Video columns (FVID stub container): frame sampling
+# ---------------------------------------------------------------------------
+FVID_MAGIC = b"FVID"
+
+FRAME_SCHEMA_FIELDS = [
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_hash", T.LongType()),
+]
+
+
+def encode_fvid(n_frames: int, fps: int = 24, payload: bytes = b"") -> bytes:
+    """Build an FVID blob (synthetic corpora / fixtures)."""
+    return FVID_MAGIC + struct.pack("<ii", n_frames, fps) + payload
+
+
+def _decode_fvid(content: bytes | None) -> tuple[int, int, bytes] | None:
+    """Stub video header decode → (n_frames, fps, payload); None for
+    corrupt. A real decoder (pyav/ffmpeg) drops in through the same
+    loader-injection seam as decode_image_meta."""
+    if content is None or len(content) < 12 or content[:4] != FVID_MAGIC:
+        return None
+    n_frames, fps = struct.unpack("<ii", content[4:12])
+    if n_frames <= 0 or fps <= 0:
+        return None
+    return n_frames, fps, content[12:]
+
+
+def sample_video_frames(
+    df: DataFrame, content_col: str = "content", every_k: int = 4
+) -> DataFrame:
+    """Frame sampling over video binary columns: one output row per
+    sampled frame (every ``every_k``-th), carrying a deterministic
+    frame fingerprint — the Spark-side plumbing (schema, Arrow
+    batching, per-row explode inside mapInPandas, corrupt → zero rows)
+    for the decode-and-sample stage of a video pipeline.
+
+    The stub "frame" is a polyhash-family function of (payload, index),
+    so the whole operator is DuckDB-oracle-checkable; a real decoder
+    (frame extraction via pyav) replaces ``_decode_fvid`` through
+    loader injection without touching the explode/batch mechanics.
+
+    At scale this is the row-multiplying stage (≥1 row per sampled
+    frame): keep it AFTER pushed-down metadata filters, and size
+    ``spark.sql.files.maxPartitionBytes`` for the multiplied output,
+    not the input."""
+    passthrough = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(passthrough + FRAME_SCHEMA_FIELDS)
+    pass_names = [f.name for f in passthrough]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in pass_names}
+            idxs: list[int] = []
+            hashes: list[int] = []
+            for i in range(len(pdf)):
+                content = pdf[content_col].iloc[i]
+                d = _decode_fvid(bytes(content) if content is not None else None)
+                if d is None:
+                    continue
+                n_frames, _fps, payload = d
+                ph = polyhash_py(payload.decode("utf-8", errors="replace"))
+                for fi in range(0, n_frames, every_k):
+                    for c in pass_names:
+                        out[c].append(pdf[c].iloc[i])
+                    idxs.append(fi)
+                    hashes.append((ph * 31 + fi) % P)
+            out["frame_idx"] = idxs
+            out["frame_hash"] = hashes
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(sample, schema=out_schema)

@@ -124,3 +124,28 @@ def ngram_repetition_profile(
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c")
         ).alias("dup_ngram_frac"),
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own unigram LM — the classic perplexity-proxy quality
+    signal (CCNet-style: surprising docs are junk or gems; both
+    deserve a look before training).
+
+    p(term) = corpus_count(term) / corpus_tokens, self-estimated so no
+    external model ships. Plan: the (term, count) vocab is one explode
+    + agg; token rows join the vocab on high-cardinality `term` (at a
+    real 100 TB run the vocab is Zipf-truncated and broadcast; here it
+    rides a shuffle join) and the per-doc mean is one partial agg."""
+    terms = _exploded_terms(df, id_col, text_col)
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = vocab.agg(F.sum("n_term").alias("n_total"))
+    scored = (
+        terms.join(vocab, "term")
+        .join(F.broadcast(total))
+        .withColumn("_nll", -F.log(F.col("n_term") / F.col("n_total")))
+    )
+    return scored.groupBy(F.col("doc")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_nll").alias("mean_nll"),
+    )

@@ -452,3 +452,103 @@ _MIX_SEED = 3
 def q75_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return mix_rebalance(docs, "lang", "doc_id", _MIX_SHARES, seed=_MIX_SEED)
+
+
+# ---------------------------------------------------------------------------
+# q78 — benchmark-contamination check: 1/29 of docs play the eval set;
+# 1/13 of the remaining corpus is contaminated with a 120-char slice of
+# a benchmark doc. Per-doc 8-gram overlap fraction against the
+# benchmark shingle universe (broadcast), reported for every doc.
+# ---------------------------------------------------------------------------
+_CONTAM_N = 8
+
+_Q78_CORPUS_SQL = """
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 13 = 0
+                THEN d.text || ' ' || substr(b.text, 1, 120)
+                ELSE d.text END AS text
+    FROM documents d
+    JOIN documents b ON b.doc_id = 29 * (d.doc_id % 2)
+    WHERE d.doc_id % 29 <> 0
+"""
+
+_Q78_ORACLE = f"""
+    WITH bench_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+    corpus AS ({_Q78_CORPUS_SQL}),
+    ctok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    cth AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM ctok),
+    chash AS (SELECT doc, list_distinct({shingle_hashes_sql("th", _CONTAM_N)}) AS hashes FROM cth),
+    btok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM bench_raw),
+    bth AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM btok),
+    bhash AS (SELECT doc, list_distinct({shingle_hashes_sql("th", _CONTAM_N)}) AS hashes FROM bth),
+    universe AS (SELECT DISTINCT unnest(hashes) AS sh FROM bhash),
+    ex AS (SELECT doc, unnest(hashes) AS sh FROM chash),
+    hits AS (SELECT doc, count(*) AS n_hits FROM ex JOIN universe USING (sh) GROUP BY doc)
+    SELECT c.doc,
+           CAST(len(c.hashes) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {dround_sql("coalesce(h.n_hits, 0) / greatest(len(c.hashes), 1)", 6)} AS overlap_frac
+    FROM chash c LEFT JOIN hits h USING (doc)
+"""
+
+
+def _q78_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    bsrc = bench.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(bsrc), F.col("b_id") == 29 * (F.col("doc_id") % 2))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.substring("b_text", 1, 120)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return corpus, bench
+
+
+@register("q78_contamination_check", oracle=_Q78_ORACLE)
+def q78_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import benchmark_contamination
+
+    corpus, bench = _q78_tables(spark, sf_dir)
+    out = benchmark_contamination(corpus, bench, "doc_id", "text", n=_CONTAM_N)
+    return out.select(
+        "doc",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        dround(F.col("overlap_frac"), 6).alias("overlap_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — unigram-LM negative log-likelihood per doc (perplexity-proxy
+# quality signal; the LM is the corpus's own unigram distribution).
+# ---------------------------------------------------------------------------
+_Q79_ORACLE = f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS n_term FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(n_term) AS DOUBLE) AS n_total FROM vocab),
+    scored AS (SELECT doc, -ln(n_term / n_total) AS nll
+               FROM tok JOIN vocab USING (term) CROSS JOIN tot)
+    SELECT doc, count(*) AS n_tokens, {dround_sql("avg(nll)", 6)} AS mean_nll
+    FROM scored GROUP BY doc
+"""
+
+
+@register("q79_unigram_logprob", oracle=_Q79_ORACLE)
+def q79_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.terms import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc", "n_tokens", dround(F.col("mean_nll"), 6).alias("mean_nll")
+    )

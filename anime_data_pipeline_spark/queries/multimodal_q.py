@@ -208,3 +208,62 @@ def q73_tag_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         character_threshold=0.8,
     )
     return staged.select("doc_id", "synth_tags")
+
+
+# ---------------------------------------------------------------------------
+# q80 — video frame sampling: FVID blobs (1 + doc_id % 60 frames,
+# payload = text[:64], every 31st corrupt) → every-4th-frame explode
+# with deterministic frame fingerprints. The oracle recomputes the
+# sampled index lattice and the (polyhash(payload)*31 + idx) % P
+# fingerprints straight from documents.text.
+# ---------------------------------------------------------------------------
+_FRAME_K = 4
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import encode_fvid
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                if i % 31 == 30:
+                    blobs.append(b"notavid" + bytes([i % 256]))
+                    continue
+                blobs.append(
+                    encode_fvid(1 + i % 60, 24, text[:64].encode("utf-8"))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register(
+    "q80_video_frame_sample",
+    oracle=f"""
+    WITH vids AS (SELECT doc_id, 1 + doc_id % 60 AS n_frames,
+                         substr(text, 1, 64) AS payload
+                  FROM documents WHERE doc_id % 31 <> 30),
+    frames AS (SELECT doc_id,
+                      CAST(unnest(range(0, n_frames, {_FRAME_K})) AS INTEGER) AS frame_idx,
+                      payload
+               FROM vids)
+    SELECT doc_id, frame_idx,
+           ({polyhash_sql("payload")} * 31 + frame_idx) % {P} AS frame_hash
+    FROM frames
+    """,
+)
+def q80_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import sample_video_frames
+
+    vids = _video_corpus(spark, sf_dir)
+    return sample_video_frames(vids, "content", every_k=_FRAME_K)
