@@ -183,3 +183,19 @@ def test_stratified_sample_prunes_columns(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "text" not in cols, "sampling must not read the text column"
+
+
+def test_contamination_broadcasts_bench_universe(spark, sf_dir):
+    """q78: the benchmark shingle universe must BROADCAST to the corpus
+    side (eval suites are tiny vs a 100 TB corpus) — the corpus shingle
+    explosion must never ride a sort-merge join."""
+    plan = plan_of(QUERIES["q78_contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+
+
+def test_video_frame_sample_no_exchange(spark, sf_dir):
+    """q80: frame sampling is a map-only row-multiplying stage — the
+    whole plan (synth corpus + decode + explode) must have no shuffle."""
+    plan = plan_of(QUERIES["q80_video_frame_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:1200]
