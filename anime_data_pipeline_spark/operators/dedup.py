@@ -388,3 +388,53 @@ def benchmark_contamination(
         )
         .filter(F.col("overlap_frac") >= min_overlap)
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame, id_col: str, text_col: str, min_dup: int = 2
+) -> DataFrame:
+    """C4-style duplicated-line removal (Raffel et al. 2020 §2.2 drop
+    repeated spans; RefinedWeb/CCNet drop boilerplate lines): every
+    line whose exact text occurs ``min_dup``+ times across the corpus
+    is removed from all documents EXCEPT its first occurrence (first =
+    lexicographic min of (doc, position)) — cookie banners and nav
+    chrome vanish, one canonical copy survives.
+
+    Scale shape: lines ride every exchange as 8-byte polyhashes, never
+    text. Plan = posexplode (map-only) → one groupBy on line_hash
+    (map-side partial agg collapses dup lines before the exchange) →
+    hash-join stats back → one per-doc agg to reassemble. First-
+    occurrence choice is an argmin inside the same agg, not a window,
+    so no global sort anywhere. Hash collisions (p ≈ n²/2P) conflate
+    distinct lines; at 100 TB widen to a 128-bit hash.
+
+    Returns (doc, text, n_lines, n_removed) with ``text`` rebuilt from
+    the surviving lines in original order."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", polyhash(F.col("line")))
+    stats = lines.groupBy("lh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc", "pos")).alias("first_occ"),
+    )
+    kept = lines.join(stats, "lh").withColumn(
+        "_keep",
+        (F.col("n_occ") < min_dup)
+        | (F.struct("doc", "pos") == F.col("first_occ")),
+    )
+    return kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_removed"),
+    )

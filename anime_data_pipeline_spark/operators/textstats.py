@@ -280,3 +280,151 @@ def redact_pii_sql(text_expr: str) -> dict[str, str]:
             f"'{PHONE_RE}', '<PHONE>', 'g')"
         ),
     }
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1) and stop list.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+BULLETS = ("-", "*")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1 — the
+    standard pre-training document filter): per-doc rule metrics, one
+    boolean per rule, and the conjunction ``pass_gopher``.
+
+    Map-only column expressions end to end (no UDF, no shuffle): at
+    100 TB this runs at scan speed and the filter pushes into the same
+    stage as the parquet read. DuckDB twin: :func:`gopher_sql_projection`.
+    """
+    text = F.col(text_col)
+    df = df.withColumn("_g_toks", tokens(text)).withColumn(
+        "_g_lines", F.split(text, "\n")
+    )
+    toks, lns = F.col("_g_toks"), F.col("_g_lines")
+    n_words = F.size(toks).cast("long")
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("double") / safe_n
+    n_hash = _count_class(text, "#")
+    n_ellipsis = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_n
+    n_lines = F.greatest(F.size(lns), F.lit(1))
+    bullet_lit = F.array(*[F.lit(b) for b in BULLETS])
+    bullet_frac = F.size(
+        F.filter(
+            lns,
+            lambda l: F.array_contains(bullet_lit, F.substring(F.ltrim(l), 1, 1)),
+        )
+    ).cast("double") / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lns, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("double") / n_lines
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("double") / safe_n
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    stop_hits = F.size(
+        F.filter(stop_lit, lambda w: F.array_contains(toks, w))
+    ).cast("long")
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "r_bullet": bullet_frac <= max_bullet_frac,
+        "r_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "r_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits)
+    )
+    passed = None
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = cond if passed is None else (passed & cond)
+    return out.withColumn("pass_gopher", passed).drop("_g_toks", "_g_lines")
+
+
+def gopher_sql_projection(
+    text_expr: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, str]:
+    """DuckDB spelling of every gopher_rules output, keyed by name."""
+    toks = f"list_filter(string_split({text_expr}, ' '), t -> t <> '')"
+    n_words = f"CAST(len({toks}) AS BIGINT)"
+    safe_n = f"greatest({n_words}, 1)"
+    mean_wl = (
+        f"CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> length(t))),"
+        f" (a, b) -> a + b) AS DOUBLE) / {safe_n}"
+    )
+    n_hash = _count_class_sql(text_expr, "#")
+    n_ellipsis = f"((length({text_expr}) - length(replace({text_expr}, '...', ''))) / 3)"
+    symbol_ratio = f"CAST({n_hash} + {n_ellipsis} AS DOUBLE) / {safe_n}"
+    lns = f"string_split({text_expr}, chr(10))"
+    n_lines = f"greatest(len({lns}), 1)"
+    bullets = "[" + ", ".join(f"'{b}'" for b in BULLETS) + "]"
+    bullet_frac = (
+        f"CAST(len(list_filter({lns}, l -> list_contains({bullets},"
+        f" substr(ltrim(l), 1, 1)))) AS DOUBLE) / {n_lines}"
+    )
+    ellipsis_frac = (
+        f"CAST(len(list_filter({lns}, l -> rtrim(l) LIKE '%...'))"
+        f" AS DOUBLE) / {n_lines}"
+    )
+    alpha_frac = (
+        f"CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-zA-Z]')))"
+        f" AS DOUBLE) / {safe_n}"
+    )
+    stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
+    stop_hits = (
+        f"CAST(len(list_filter({stops}, w -> list_contains({toks}, w))) AS BIGINT)"
+    )
+    cols = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "r_word_count": f"({n_words} >= {min_words} AND {n_words} <= {max_words})",
+        "r_mean_word_len": f"(({mean_wl}) >= {min_mean_word_len}"
+        f" AND ({mean_wl}) <= {max_mean_word_len})",
+        "r_symbol_ratio": f"(({symbol_ratio}) <= {max_symbol_ratio})",
+        "r_bullet": f"(({bullet_frac}) <= {max_bullet_frac})",
+        "r_ellipsis": f"(({ellipsis_frac}) <= {max_ellipsis_frac})",
+        "r_alpha_words": f"(({alpha_frac}) >= {min_alpha_word_frac})",
+        "r_stopwords": f"({stop_hits} >= {min_stop_hits})",
+    }
+    cols["pass_gopher"] = "(" + " AND ".join(
+        cols[k] for k in cols if k.startswith("r_")
+    ) + ")"
+    return cols

@@ -13,4 +13,5 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     tags_q,
     temporal_q,
     text_q,
+    zorder_q,
 )

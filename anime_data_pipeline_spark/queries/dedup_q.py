@@ -254,3 +254,64 @@ def q36_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — C4-style duplicated-line removal: every doc gets one of 5
+# boilerplate lines appended (the cookie-banner scenario); the operator
+# strips every line occurring 2+ times corpus-wide except its first
+# occurrence, and rebuilds the doc text in original line order.
+# ---------------------------------------------------------------------------
+_BOILERPLATE = [
+    "accept all cookies to continue reading",
+    "subscribe to our newsletter for updates",
+    "copyright all rights reserved worldwide",
+    "click here to enable notifications now",
+    "share this article on social media",
+]
+
+_BP_SQL = "[" + ", ".join(f"'{b}'" for b in _BOILERPLATE) + "]"
+
+_Q81_ORACLE = f"""
+    WITH corpus AS (SELECT doc_id AS doc,
+                           text || chr(10) || ({_BP_SQL})[(doc_id % 5) + 1] AS text
+                    FROM documents),
+    ls AS (SELECT doc, string_split(text, chr(10)) AS lines FROM corpus),
+    lns AS (SELECT doc, unnest(lines) AS line,
+                   generate_subscripts(lines, 1) - 1 AS pos
+            FROM ls),
+    hashed AS (SELECT doc, pos, line, {polyhash_sql("line")} AS lh FROM lns),
+    stats AS (SELECT lh, count(*) AS n_occ,
+                     min(doc * 1000000 + pos) AS first_k
+              FROM hashed GROUP BY lh),
+    kept AS (SELECT h.doc, h.pos, h.line,
+                    (s.n_occ < 2) OR (h.doc * 1000000 + h.pos = s.first_k) AS keep
+             FROM hashed h JOIN stats s USING (lh))
+    SELECT doc,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM kept GROUP BY doc
+"""
+
+
+@register("q81_line_dedup", oracle=_Q81_ORACLE)
+def q81_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_lines
+
+    bp = F.array(*[F.lit(b) for b in _BOILERPLATE])
+    corpus = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"),
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.element_at(bp, (F.col("doc_id") % 5 + 1).cast("int")),
+        ).alias("text"),
+    )
+    out = remove_duplicate_lines(corpus, "doc", "text", min_dup=2)
+    return out.select(
+        "doc",
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

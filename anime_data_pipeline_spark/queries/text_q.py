@@ -161,3 +161,69 @@ def q55_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("quality_score"), 6).alias("avg_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — Gopher rule bundle (Rae et al. 2021 Table A1): deterministic
+# mutations give every rule both passing and failing docs (stop-word
+# phrase, bullet lines, ellipsis line endings, symbol runs).
+# ---------------------------------------------------------------------------
+_GOPHER_MUT_SQL = """
+    (CASE WHEN doc_id % 5 = 0 THEN text || ' the data of and that have with'
+          ELSE text END)
+    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet item' || chr(10) || '* second item'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'and the story trails off...'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 9 = 0 THEN ' ## ### ##' ELSE '' END)
+"""
+
+
+def _gopher_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" the data of and that have with")),
+    ).otherwise(t)
+    t = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n- bullet item\n* second item"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("\nand the story trails off..."),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" ## ### ##")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def _q82_oracle() -> str:
+    from anime_data_pipeline_spark.operators.textstats import gopher_sql_projection
+
+    proj = gopher_sql_projection("text")
+    frac_cols = ("mean_word_len", "symbol_ratio", "bullet_frac",
+                 "ellipsis_frac", "alpha_word_frac")
+    cols = ", ".join(
+        f"{dround_sql(expr, 6)} AS {name}" if name in frac_cols
+        else f"{expr} AS {name}"
+        for name, expr in proj.items()
+    )
+    return (
+        f"WITH docs AS (SELECT doc_id, ({_GOPHER_MUT_SQL}) AS text FROM documents) "
+        f"SELECT doc_id, {cols} FROM docs"
+    )
+
+
+@register("q82_gopher_rules", oracle=_q82_oracle())
+def q82_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.textstats import gopher_rules
+
+    out = gopher_rules(_gopher_mutated(spark, sf_dir), "text")
+    for c in ("mean_word_len", "symbol_ratio", "bullet_frac",
+              "ellipsis_frac", "alpha_word_frac"):
+        out = out.withColumn(c, dround(F.col(c), 6))
+    return out.drop("text")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -54,14 +55,16 @@ def main() -> int:
     for name in sorted(qs):
         if ONLY and not any(s in name for s in ONLY):
             continue
+        t0 = time.monotonic()
         try:
             sdf = qs[name](spark, SF_DIR)
             if name not in oracles:
                 n = sdf.count()
-                print(f"  {name}: rows-only ({n} rows)")
+                print(f"  {name}: rows-only ({n} rows) [{time.monotonic() - t0:.1f}s]")
                 n_rows_only += 1
                 continue
             a = norm(sdf.toPandas())
+            t_spark = time.monotonic() - t0
             e = norm(con.execute(oracles[name]).fetch_df())
             assert list(a.columns) == list(e.columns), (
                 f"cols {list(a.columns)} vs {list(e.columns)}"
@@ -76,7 +79,11 @@ def main() -> int:
                     se = e[c].astype(str).where(e[c].notna(), "<null>")
                     bad = (sa != se).sum()
                     assert bad == 0, f"col {c}: {bad} mismatched values"
-            print(f"  {name}: OK ({len(a)} rows)")
+            t_all = time.monotonic() - t0
+            print(
+                f"  {name}: OK ({len(a)} rows) "
+                f"[spark {t_spark:.1f}s, oracle {t_all - t_spark:.1f}s]"
+            )
             n_pass += 1
         except Exception as exc:  # noqa: BLE001
             print(f"  {name}: FAIL — {exc}")

@@ -100,3 +100,73 @@ def test_video_frame_sampling_lattice_and_hash(spark):
     expect = {i: (ph * 31 + i) % P for i in (0, 4, 8)}
     for r in by_doc[1]:
         assert r["frame_hash"] == expect[r["frame_idx"]]
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\nshared boilerplate"),
+            (2, "unique beta\nshared boilerplate"),
+            (3, "shared boilerplate\nunique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc"]: r
+        for r in remove_duplicate_lines(df, "doc_id", "text").collect()
+    }
+    # doc 1 holds the first occurrence (doc 1, pos 1) → keeps both lines
+    assert rows[1]["text"] == "unique alpha\nshared boilerplate"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["text"] == "unique beta"
+    assert rows[2]["n_removed"] == 1
+    assert rows[3]["text"] == "unique gamma"
+    assert rows[3]["n_removed"] == 1
+    assert all(r["n_lines"] == 2 for r in rows.values())
+
+
+def test_line_dedup_all_lines_removed_yields_empty_doc(spark):
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "dup line"), (2, "dup line")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc"]: r
+        for r in remove_duplicate_lines(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["text"] == "dup line"
+    assert rows[2]["text"] == ""
+    assert rows[2]["n_removed"] == 1
+
+
+def test_gopher_rules_reject_and_accept(spark):
+    from anime_data_pipeline_spark.operators.textstats import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with energy and grace of"] * 5
+    )
+    short = "too short"
+    symbols = "#### " * 30 + "the of and that have"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df, "text").collect()}
+    assert rows[1]["pass_gopher"]
+    assert not rows[2]["r_word_count"] and not rows[2]["pass_gopher"]
+    assert not rows[3]["r_symbol_ratio"] and not rows[3]["pass_gopher"]
+
+
+def test_gopher_bullet_and_ellipsis_line_rules(spark):
+    from anime_data_pipeline_spark.operators.textstats import gopher_rules
+
+    bullets = "\n".join(["- item one", "* item two", "- item three"])
+    trailing = "\n".join(["a line that just trails..."] * 4 + ["one solid line"])
+    df = spark.createDataFrame(
+        [(1, bullets), (2, trailing)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df, "text").collect()}
+    assert not rows[1]["r_bullet"]  # 100% bullet lines > 90% cap
+    assert not rows[2]["r_ellipsis"]  # 80% ellipsis endings > 30% cap

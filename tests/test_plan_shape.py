@@ -199,3 +199,27 @@ def test_video_frame_sample_no_exchange(spark, sf_dir):
     whole plan (synth corpus + decode + explode) must have no shuffle."""
     plan = plan_of(QUERIES["q80_video_frame_sample"](spark, sf_dir))
     assert "Exchange" not in plan, plan[:1200]
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """q82: the whole rule bundle is scan-speed column math — no
+    Exchange, no UDF (BatchEvalPython) anywhere."""
+    plan = plan_of(QUERIES["q82_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:900]
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_key_map_only(spark, sf_dir):
+    """q83: the Morton fold is pure shift/mask arithmetic — map-only."""
+    plan = plan_of(QUERIES["q83_zorder_key"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:900]
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """q81: the line-stats aggregation must group on the 8-byte line
+    hash with map-side partial aggregation, and never sort-merge-join
+    the exploded lines (stats side is small → broadcast or shuffled
+    hash join are both fine; SMJ means a wasted global sort)."""
+    plan = plan_of(QUERIES["q81_line_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, "no partial agg:\n" + plan[:900]
