@@ -41,11 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # Integer division, NOT `/`: long/long promotes to double,
             # which rounds at nanosecond-epoch magnitudes (~1.8e18 needs
             # 61 bits; double has 53) — observed off-by-1μs timestamps.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] parquet arrives as TIMESTAMP_NTZ in Spark 4.x;
+            # unix_micros() and withWatermark() both reject NTZ. The session
+            # timezone is pinned to UTC (session.py), so the cast is
+            # value-preserving vs the DuckDB oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -126,26 +126,69 @@ def ngram_repetition_profile(
     )
 
 
-def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, head_k: int = 50_000
+) -> DataFrame:
     """Per-document mean unigram negative log-likelihood under the
     corpus's own unigram LM — the classic perplexity-proxy quality
     signal (CCNet-style: surprising docs are junk or gems; both
     deserve a look before training).
 
     p(term) = corpus_count(term) / corpus_tokens, self-estimated so no
-    external model ships. Plan: the (term, count) vocab is one explode
-    + agg; token rows join the vocab on high-cardinality `term` (at a
-    real 100 TB run the vocab is Zipf-truncated and broadcast; here it
-    rides a shuffle join) and the per-doc mean is one partial agg."""
+    external model ships.
+
+    Scale shape (the skew problem and its fix): a naive token ⋈ vocab
+    join shuffles EVERY token occurrence on `term` — a Zipf-skewed key
+    space where "the"-class terms pin whole partitions. Two measures
+    make the plan skew-proof:
+
+    1. Token occurrences collapse to (doc, term, tf) FIRST (map-side
+       combining agg keyed by the pair — no single hot key), so the
+       join input carries each term at most once per document.
+    2. The Zipf HEAD (top ``head_k`` terms by corpus count — by
+       construction the only possible hot keys, and a bounded-size
+       table) is broadcast; only (doc, term) pairs whose term falls
+       OUTSIDE the head reach the shuffle join, and those keys are
+       rare by definition of not being in the head.
+
+    Both paths use the same full-corpus total, so scores are exactly
+    the all-shuffle result; head membership only routes rows.
+    ``head_k`` bounds broadcast memory (50k terms ≈ low MBs)."""
+    from pyspark import StorageLevel
+
     terms = _exploded_terms(df, id_col, text_col)
-    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    tf = (
+        terms.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # vocab has three consumers (corpus total, head selection, tail
+    # join); persist so the term agg runs once — it's |vocabulary|-sized.
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("n_term"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = vocab.agg(F.sum("n_term").alias("n_total"))
+    head = (
+        vocab.orderBy(F.col("n_term").desc(), F.col("term").asc())
+        .limit(head_k)
+        .withColumnRenamed("n_term", "_head_n")
+    )
+    routed = tf.join(F.broadcast(head), "term", "left")
+    head_hits = routed.filter(F.col("_head_n").isNotNull()).withColumn(
+        "n_term", F.col("_head_n")
+    )
+    tail_hits = (
+        routed.filter(F.col("_head_n").isNull()).drop("n_term").join(vocab, "term")
+    )
     scored = (
-        terms.join(vocab, "term")
+        head_hits.select("doc", "tf", "n_term")
+        .unionByName(tail_hits.select("doc", "tf", "n_term"))
         .join(F.broadcast(total))
         .withColumn("_nll", -F.log(F.col("n_term") / F.col("n_total")))
     )
     return scored.groupBy(F.col("doc")).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.avg("_nll").alias("mean_nll"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.sum(F.col("tf") * F.col("_nll")) / F.sum("tf")).alias("mean_nll"),
     )

@@ -45,9 +45,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # div, not `/`: see catalog.load_table (double rounds nano epochs).
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ event time; UTC session tz
+        # makes the cast value-preserving (see catalog.load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

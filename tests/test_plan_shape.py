@@ -223,3 +223,17 @@ def test_line_dedup_shuffles_hashes_not_text(spark, sf_dir):
     plan = plan_of(QUERIES["q81_line_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2, "no partial agg:\n" + plan[:900]
+
+
+def test_unigram_logprob_broadcasts_zipf_head(spark, sf_dir):
+    """q79: the Zipf head (the only possible hot keys) must route
+    through a broadcast join; the exploded token stream must collapse
+    to (doc, term, tf) before any term-keyed exchange, so no
+    full-corpus occurrence stream ever shuffles on `term`."""
+    plan = plan_of(QUERIES["q79_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    # The only hashpartitioning exchanges allowed on a bare `term` key
+    # are the two sides of the TAIL join (head-miss pairs ⋈ vocab).
+    # The occurrence stream itself aggregates on (doc, term) first.
+    term_only = re.findall(r"hashpartitioning\(term#\d+, ", plan)
+    assert len(term_only) <= 2, f"occurrence stream shuffling on term:\n{plan[:1500]}"
