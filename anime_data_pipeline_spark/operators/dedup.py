@@ -246,54 +246,96 @@ def simhash_df(
     return hashed.drop("_sh_th")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: for every node u, attach each STRICTLY LARGER
+    neighbor to m(u) = min(N(u) ∪ {u}). Emitted edges stay oriented
+    (big, small)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge (big, small); for every node
+    u attach ALL its smaller neighbors — and u itself — to
+    m(u) = min(N(u))."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = mins.select("src", F.col("m").alias("dst"))
+    return nbr.unionByName(self_edge).distinct()
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    ``(node) × (src, dst)`` → ``(node, component)`` where component =
-    min node id reachable. The canonical near-dup CLUSTERING step on
-    top of pair output (every pair family: MinHash, SimHash, n-gram,
-    embedding).
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): ``(node) × (id_a, id_b)`` → ``(node, component)`` where
+    component = min node id reachable. The canonical near-dup
+    CLUSTERING step on top of pair output (every pair family: MinHash,
+    SimHash, n-gram, embedding).
 
-    Spark-shaped iteration: each round joins labels across edges and
-    takes the min — label count halves at least geometrically, so
-    rounds ≈ log(diameter); dedup graphs have tiny diameters (2-4).
-    The loop is DRIVER-side control flow over DISTRIBUTED joins — the
-    standard Spark pattern for iterative algorithms (alternating with
-    localCheckpoint to cut the lineage). Converged when no label
-    changed; raises if max_iters is hit (pathological chain graphs).
+    Scale shape: each round is two groupBy-min + join passes over the
+    EDGE list only (never a per-node label table joined per round),
+    and the edge list contracts toward one star edge per non-root
+    node. Unlike min-label propagation — O(diameter) rounds, which
+    stalls on chain-shaped duplicate graphs — star contraction
+    converges in O(log n) rounds on ANY topology, so a pathological
+    100 TB near-dup graph costs ~log2(n) shuffles, not n. The loop is
+    DRIVER-side control flow over DISTRIBUTED ops (standard Spark
+    iterative pattern, localCheckpoint cuts lineage); convergence =
+    the oriented edge set reaches a fixpoint, checked by (count,
+    hash-sum) — an 8-byte aggregate, not a full set-difference join.
+    Raises if max_iters is hit.
+
+    Sets ``connected_components.last_rounds`` for round-count tests.
     """
-    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
-        edges.selectExpr("id_b AS src", "id_a AS dst")
+    e = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
-    for _ in range(max_iters):
-        # candidate labels: own + the minimum over neighbors' labels
-        via_edges = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(via_edges, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+    prev_sig: tuple[int, int] | None = None
+    for i in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode overflows summed 64-bit
+            # hashes; xor over a DISTINCT edge set can't overflow and
+            # only collides if two edge sets xor-cancel (count breaks
+            # the tie in practice).
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            connected_components.last_rounds = i + 1
+            # At the fixpoint every edge is (node, root); roots and
+            # isolated nodes label themselves.
+            star = e.groupBy(F.col("src").alias("node")).agg(
+                F.min("dst").alias("_root")
             )
-            .localCheckpoint()
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            return labels
+            return nodes.join(star, "node", "left").select(
+                "node", F.coalesce(F.col("_root"), F.col("node")).alias("component")
+            )
+        prev_sig = sig
     raise RuntimeError(f"connected_components: no convergence in {max_iters} iters")
 
 

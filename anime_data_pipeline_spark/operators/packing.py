@@ -73,20 +73,75 @@ def pack_greedy_py(weights: Iterable[int], budget: int) -> list[int]:
     return chunks
 
 
+def pack_greedy_np(weights, budget: int):
+    """Vectorized pack_greedy_py: chunk starts found by a searchsorted
+    CHASE over the prefix-sum array — the Python loop runs once per
+    CHUNK (≈ total_tokens/budget iterations), not once per document,
+    so a 10M-doc group costs ~10M/budget loop steps plus O(n log n)
+    vectorized work. Byte-identical to :func:`pack_greedy_py` for
+    non-negative weights (the golden property test pins it); negative
+    weights (no real token count is negative) fall back to the spec
+    loop because the chase needs a monotone prefix."""
+    import numpy as np
+
+    w = np.asarray(weights, dtype="int64")
+    n = len(w)
+    if n == 0:
+        return np.empty(0, dtype="int64")
+    if (w < 0).any():
+        return np.asarray(pack_greedy_py(w.tolist(), budget), dtype="int64")
+    prefix = np.cumsum(w)
+    starts = []
+    s = 0
+    while s < n:
+        starts.append(s)
+        base = prefix[s - 1] if s > 0 else 0
+        # first index whose inclusive prefix overflows the chunk
+        j = int(np.searchsorted(prefix, base + budget, side="right"))
+        if j >= n:
+            break
+        if j == s:
+            # chunk OPENS with an oversize doc: it stays (the spec only
+            # overflows when acc > 0), and every later doc overflows
+            s = s + 1
+        elif prefix[j - 1] == base:
+            # zero-weight run then an oversize doc: acc is still 0 at
+            # j, so doc j joins this chunk; the next doc starts fresh
+            s = j + 1
+        else:
+            s = j
+    return np.searchsorted(np.asarray(starts), np.arange(n), side="right") - 1
+
+
 def pack_greedy(
     df: DataFrame,
     group_col: str,
     order_col: str,
     weight_col: str,
     budget: int,
+    barrier_tokens: int | None = None,
 ) -> DataFrame:
-    """Distributed greedy packing: one ``applyInPandas`` per group.
+    """Distributed greedy packing: ``applyInPandas`` per packing unit.
 
-    The state (current chunk's remaining budget) is a single scalar
-    carried through a python loop over the group's weight array — the
-    loop is per GROUP, executors run groups in parallel, and the
-    sort feeding it is Spark's (spill-safe). Output schema = input +
-    ``chunk_id``."""
+    Default (``barrier_tokens=None``): one unit per group — exact
+    :func:`pack_greedy_py` semantics; the per-unit state scan is the
+    vectorized chunk-chase (:func:`pack_greedy_np`), so even a hot
+    group costs one loop step per CHUNK, not per document. Correct,
+    but one giant group still lands on one task.
+
+    Skew-safe mode (``barrier_tokens=k``, k >> budget): each group's
+    ordered token stream is pre-split at deterministic cumulative-token
+    barriers (a fresh chunk is forced at every k-token boundary), so
+    units are (group, barrier window) — a group holding 90% of the
+    corpus fans out over total_tokens/k independent tasks. Chunk ids
+    stitch back exactly: window-cumsum the per-unit chunk counts and
+    offset. Semantics are documented-and-tested: identical to
+    pack_greedy_py applied per barrier window; vs the global pack the
+    only divergence is at barrier crossings (a doc that would have
+    joined the last partial chunk starts a new one — the training-side
+    cost is one underfull context window per k tokens, the price of
+    unbounded parallelism).
+    """
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("chunk_id", T.LongType())]
     )
@@ -94,8 +149,41 @@ def pack_greedy(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         pdf["chunk_id"] = pd.array(
-            pack_greedy_py(pdf[weight_col].tolist(), budget), dtype="int64"
+            pack_greedy_np(pdf[weight_col].to_numpy(), budget), dtype="int64"
         )
         return pdf
 
-    return df.groupBy(group_col).applyInPandas(pack, out_schema)
+    if barrier_tokens is None:
+        return df.groupBy(group_col).applyInPandas(pack, out_schema)
+
+    if barrier_tokens < budget:
+        raise ValueError("barrier_tokens must be >= budget")
+    w_order = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    cum_before = F.sum(weight_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - F.col(weight_col)
+    with_bar = df.withColumn("_bar", F.floor(cum_before / barrier_tokens))
+    bar_schema = T.StructType(
+        with_bar.schema.fields + [T.StructField("chunk_id", T.LongType())]
+    )
+    packed = with_bar.groupBy(group_col, "_bar").applyInPandas(pack, bar_schema)
+    # Exact stitch: chunk_id += chunks emitted by earlier barriers of
+    # the same group. The counts table is ~(groups × windows) rows —
+    # tiny next to the data — and the offset join is keyed on the same
+    # (group, _bar) the units were computed on.
+    counts = packed.groupBy(group_col, "_bar").agg(
+        (F.max("chunk_id") + 1).alias("_n_chunks")
+    )
+    w_bar = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_bar").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.sum("_n_chunks").over(w_bar) - F.col("_n_chunks")
+    ).select(group_col, "_bar", "_offset")
+    return (
+        packed.join(offsets, [group_col, "_bar"])
+        .withColumn("chunk_id", F.col("chunk_id") + F.col("_offset"))
+        .drop("_bar", "_offset")
+    )

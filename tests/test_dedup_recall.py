@@ -134,3 +134,48 @@ def test_simhash_arrow_matches_native(spark):
         for r in simhash_df(df, "text", out="fp", impl="native").collect()
     }
     assert arrow == native
+
+
+def test_star_cc_path_graph_logarithmic_rounds(spark):
+    """A 256-node path is the adversarial case for min-label
+    propagation (O(diameter) = 255 rounds). Alternating
+    large-star/small-star must label it in O(log n) rounds — the
+    property that makes CC safe on 100 TB duplicate graphs."""
+    import math
+
+    from anime_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 256
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = connected_components(nodes, edges, max_iters=12)
+    assert labels.filter(F.col("component") != 0).count() == 0
+    rounds = connected_components.last_rounds
+    assert rounds <= math.log2(n) + 2, f"star CC took {rounds} rounds"
+
+
+def test_star_cc_matches_label_propagation_semantics(spark):
+    """Mixed topology: two cliques, a bridge, isolated nodes —
+    component must be the min reachable id for every node."""
+    from anime_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique 0-4
+        + [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]  # 10-13
+        + [(4, 10)]  # bridge merges them
+        + [(20, 21)]
+    )
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(5)) + list(range(10, 14)) + [20, 21, 30]],
+        "node long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    want = {i: 0 for i in list(range(5)) + list(range(10, 14))}
+    want.update({20: 20, 21: 20, 30: 30})
+    assert got == want
