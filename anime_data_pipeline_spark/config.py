@@ -3,8 +3,10 @@
 The reference ships a 386-line argparse→YAML→Munch bridge
 (dataruu/utils/make_config.py, Bittensor-derived) whose only job is
 nested dotted keys with file overlay. Not a data operation — here it
-is a flat dataclass + argparse + optional JSON overlay (~60 lines; no
-YAML parser in this environment, and JSON is a YAML subset).
+is a flat dataclass + argparse + a config-file overlay. YAML overlays
+(the reference's native format, make_config.py:141-149) load via
+PyYAML when present; JSON always works (and is the fallback parser,
+JSON being a YAML subset).
 
 Precedence (matching the reference's is_set semantics,
 make_config.py:141-222): explicit CLI flag > config file > default.
@@ -54,9 +56,33 @@ class RunConfig:
         )
 
 
+def load_overlay(path: str) -> dict:
+    """Parse a config overlay file: YAML via PyYAML when installed
+    (reference configs are YAML), else strict JSON. A YAML file with
+    no PyYAML fails with a pointed message instead of a JSON trace."""
+    text = open(path).read()
+    try:
+        import yaml
+    except ImportError:
+        try:
+            overlay = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise SystemExit(
+                f"{path}: not valid JSON and PyYAML is not installed "
+                f"(install pyyaml to load YAML configs): {e}"
+            ) from e
+    else:
+        overlay = yaml.safe_load(text)
+    if not isinstance(overlay, dict):
+        raise SystemExit(f"{path}: config overlay must be a mapping")
+    return overlay
+
+
 def parse_args(argv: list[str] | None = None) -> RunConfig:
     p = argparse.ArgumentParser(description="EP1 pipeline (Spark)")
-    p.add_argument("--config", type=str, default=None, help="JSON config overlay")
+    p.add_argument(
+        "--config", type=str, default=None, help="YAML/JSON config overlay"
+    )
     for f in fields(RunConfig):
         flag = f"--{f.name}"
         if f.type == "list[str]":
@@ -69,7 +95,7 @@ def parse_args(argv: list[str] | None = None) -> RunConfig:
 
     cfg = RunConfig()
     if ns.config:
-        overlay = json.load(open(ns.config))
+        overlay = load_overlay(ns.config)
         for k, v in overlay.items():
             if not hasattr(cfg, k):
                 raise SystemExit(f"unknown config key: {k}")

@@ -63,3 +63,41 @@ def test_cli_end_to_end(cli_fixtures):
     rec = payload[sorted(payload)[0]]
     assert {"rating", "tags", "ordered_tags", "train_resolution",
             "bucket_reso", "resized_size", "ar_error"} <= set(rec)
+
+
+def test_yaml_config_overlay(tmp_path):
+    """A reference-shaped YAML config round-trips through parse_args:
+    file values override defaults, explicit CLI flags override the
+    file (make_config.py is_set precedence)."""
+    from anime_data_pipeline_spark.config import parse_args
+
+    cfg_path = tmp_path / "run.yaml"
+    cfg_path.write_text(
+        "image_dirs:\n"
+        "  - /data/a\n"
+        "  - /data/b\n"
+        "aesthetic_threshold: 0.7\n"
+        "no_upscale: true\n"
+        "max_reso: 768,768\n"
+        "min_bucket_reso: 320\n"
+    )
+    cfg = parse_args(["--config", str(cfg_path)])
+    assert cfg.image_dirs == ["/data/a", "/data/b"]
+    assert cfg.aesthetic_threshold == 0.7
+    assert cfg.no_upscale is True
+    assert cfg.min_bucket_reso == 320
+    bc = cfg.pipeline_config().bucket
+    assert (bc.max_width, bc.max_height, bc.min_size) == (768, 768, 320)
+
+    # explicit CLI flag beats the file
+    cfg2 = parse_args(["--config", str(cfg_path), "--aesthetic_threshold", "0.9"])
+    assert cfg2.aesthetic_threshold == 0.9
+
+
+def test_yaml_overlay_rejects_unknown_key(tmp_path):
+    from anime_data_pipeline_spark.config import parse_args
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("not_a_real_knob: 1\n")
+    with pytest.raises(SystemExit):
+        parse_args(["--config", str(bad)])
