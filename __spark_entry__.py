@@ -63,6 +63,8 @@ _PRIORITY = [
     "q62_stream_sliding",
     "q63_stream_sessions",
     "q65_stream_stream_join",
+    # new this round
+    "q85_ann_ivf_kmeans",
     # (b) operators reworked this round
     "q36_neardup_clusters",
     "q60_cluster_resolve",
@@ -91,7 +93,6 @@ _PRIORITY = [
     "q73_tag_inference",
     "q71_multimodal_decode",
     "q72_multimodal_features",
-    "q81_line_dedup",
 ]
 
 

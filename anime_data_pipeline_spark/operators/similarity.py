@@ -230,6 +230,54 @@ def ivf_assign(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     return (-best["negid"]).cast("long")
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    round_dp: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of IVF centroids (spherical
+    k-means step: assign by max cosine, re-estimate as the per-cell
+    coordinate mean).
+
+    Scale shape — the standard Spark k-means pattern (what MLlib's
+    trainer does): centroids live on the DRIVER (k × dim doubles,
+    kilobytes) and are broadcast into a map-only assignment; the
+    re-estimation is one posexplode + (cell, pos) partial/final agg —
+    nothing driver-side ever touches the corpus, and each iteration is
+    one shuffle of |corpus| × dim narrow rows. Empty cells drop (their
+    seed attracted no points; both engines agree by construction).
+
+    Coordinates round to ``round_dp`` decimals so the refined
+    centroids are bit-identical across engines (partial-agg summation
+    order is partition-dependent; at 6 dp the ~1e-15 associativity
+    noise cannot surface, making downstream assignment + scoring
+    exactly reproducible by the DuckDB oracle)."""
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            to_double_array(F.col(vec_col)).alias("v")
+        ).withColumn("cell", ivf_assign(F.col("v"), centroids))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(dround(F.avg("val"), round_dp).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        centroids = sorted((r["cell"], list(r["cv"])) for r in means)
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

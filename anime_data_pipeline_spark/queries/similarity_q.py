@@ -287,3 +287,70 @@ def q77_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "label", "n_vecs", dround(F.col("avg_cos"), 6).alias("avg_cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — IVF with k-means-refined centroids: seeds → one distributed
+# Lloyd iteration (assign by max cosine, per-cell coordinate means,
+# rounded to 6 dp so both engines hold bit-identical centroids) →
+# IVF-flat top-k inside the refined cells. The oracle replays the
+# iteration in SQL: same argmin tie-break, same rounded means.
+# ---------------------------------------------------------------------------
+_Q85_ORACLE = f"""
+    WITH cents0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a0 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents0.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents0.cid) AS rn
+        FROM corpus CROSS JOIN cents0
+      ) WHERE rn = 1),
+    expl AS (SELECT a0.cell, generate_subscripts(corpus.v, 1) AS pos,
+                    unnest(corpus.v) AS val
+             FROM corpus JOIN a0 USING (vec_id)),
+    means AS (SELECT cell, pos, {dround_sql("avg(val)", 6)} AS m
+              FROM expl GROUP BY cell, pos),
+    cents1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cv
+               FROM means GROUP BY cell),
+    a1 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents1.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents1.cid) AS rn
+        FROM corpus CROSS JOIN cents1
+      ) WHERE rn = 1),
+    c AS (SELECT a.cell, corpus.vec_id, corpus.v AS cv2
+          FROM corpus JOIN a1 a USING (vec_id)),
+    q AS (SELECT a.cell, corpus.vec_id AS query_id, corpus.v AS qv
+          FROM corpus JOIN a1 a USING (vec_id)
+          WHERE corpus.vec_id % {_QUERY_MOD} = 0),
+    scored AS (SELECT q.query_id, c.vec_id,
+                      {cosine_sql("qv", "cv2")} AS cosine
+               FROM c JOIN q USING (cell)),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q85_ann_ivf_kmeans", oracle=_Q85_ORACLE)
+def q85_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import kmeans_refine
+
+    corpus = _corpus(spark, sf_dir)
+    seeds = (
+        corpus.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+    refined = kmeans_refine(corpus, "vec_id", "embedding", centroids, iters=1)
+    out = ivf_topk(
+        corpus, _queries(spark, sf_dir), refined, "vec_id", "embedding", k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
