@@ -65,6 +65,7 @@ _PRIORITY = [
     "q65_stream_stream_join",
     # new this round
     "q85_ann_ivf_kmeans",
+    "q86_semantic_dedup",
     # (b) operators reworked this round
     "q36_neardup_clusters",
     "q60_cluster_resolve",
@@ -92,7 +93,6 @@ _PRIORITY = [
     "q22_bucket_assign_noupscale",
     "q73_tag_inference",
     "q71_multimodal_decode",
-    "q72_multimodal_features",
 ]
 
 

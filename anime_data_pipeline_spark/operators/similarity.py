@@ -278,6 +278,51 @@ def kmeans_refine(
     return centroids
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into centroid cells, mine
+    cosine-≥-threshold pairs WITHIN each cell only, connect them into
+    components, keep one representative (the min id) per component.
+
+    Scale shape: the quadratic pair step is confined to single cells —
+    (N/cells)² per cell instead of N² global, the paper's core trick —
+    and the cell equi-join shuffles only (cell, id, vector) rows.
+    Components come from the O(log n) star-contraction CC, whose
+    labels are canonical min-ids, so the representative needs no extra
+    aggregation: keep ⇔ id == component.
+
+    Returns (vec_id, cell, component, keep)."""
+    from anime_data_pipeline_spark.operators.dedup import connected_components
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("cell", ivf_assign(F.col("v"), centroids))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    comp = connected_components(c.select(F.col("vec_id").alias("node")), pairs)
+    return c.join(comp, c.vec_id == comp.node).select(
+        "vec_id",
+        "cell",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("keep"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -223,10 +223,11 @@ def q34_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over the verified LSH pairs.
-# Spark runs driver-loop min-label propagation over distributed joins;
-# the oracle computes the same components with a recursive CTE — both
-# converge to the canonical labeling (min reachable id), so equality
-# is algorithm-independent.
+# Spark runs alternating large-star/small-star contraction (O(log n)
+# driver-loop rounds over distributed joins); the oracle computes the
+# same components with a recursive CTE — both converge to the
+# canonical labeling (min reachable id), so equality is
+# algorithm-independent.
 # ---------------------------------------------------------------------------
 _CC_ORACLE = f"""
     WITH RECURSIVE pairs AS ({minhash_pairs_sql(_CORPUS_SQL, _NGRAM, _K, _BANDS, _THRESH)}),

@@ -354,3 +354,79 @@ def q85_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, _queries(spark, sf_dir), refined, "vec_id", "embedding", k=5
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q86 — SemDeDup (Abbas et al. 2023): semantic dedup over a corpus
+# salted with exact-direction duplicates (scaled copies, cosine 1.0).
+# Cells from the q44 seed centroids; pairs mined within cells only;
+# representative = min id of each connected component. The oracle
+# replays assignment + pairing + a recursive-CTE CC.
+# ---------------------------------------------------------------------------
+_Q86_THRESH = 0.99
+
+_Q86_CORPUS_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+    FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+_Q86_ORACLE = f"""
+    WITH RECURSIVE corpus AS ({_Q86_CORPUS_SQL}),
+    cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+      ) WHERE rn = 1),
+    cc AS (SELECT corpus.vec_id, corpus.v, assign.cell
+           FROM corpus JOIN assign USING (vec_id)),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cc a JOIN cc b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE {cosine_sql("a.v", "b.v")} >= {_Q86_THRESH}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM cc
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT cc.vec_id, cc.cell, comp.component,
+           (cc.vec_id = comp.component) AS keep
+    FROM cc JOIN comp ON cc.vec_id = comp.node
+"""
+
+
+@register("q86_semantic_dedup", oracle=_Q86_ORACLE)
+def q86_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = _corpus(spark, sf_dir)
+    scaled = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            to_double_array(F.col("embedding")), lambda x: x * 2.0
+        ).alias("embedding"),
+    )
+    corpus = base.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("embedding")
+    ).unionByName(scaled)
+    seeds = (
+        base.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+    return semantic_dedup(
+        corpus, "vec_id", "embedding", centroids, threshold=_Q86_THRESH
+    )
