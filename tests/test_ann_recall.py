@@ -61,3 +61,40 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     # single-probe misses most of it; the multiprobe lift is the point)
     print(f"recall single={r_single:.3f} multi={r_multi:.3f}")
     assert r_multi >= 0.25
+
+
+def test_kmeans_refine_moves_centroids_to_cluster_means(spark):
+    """Two tight 2-D clusters, seeds off-center: one Lloyd iteration
+    must land each centroid on its cluster's coordinate mean (6 dp)."""
+    from anime_data_pipeline_spark.operators.similarity import kmeans_refine
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.2]) for i in range(9)]
+    rows += [(100 + i, [0.2, 20.0 + (i % 3) * 0.1]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    refined = kmeans_refine(df, "vec_id", "embedding", seeds, iters=1)
+    got = dict(refined)
+    assert got[0] == [10.1, 0.2]  # mean of 10.0/10.1/10.2 ×3 each
+    assert got[1] == [0.2, 20.1]
+
+
+def test_semantic_dedup_drops_scaled_copies_keeps_originals(spark):
+    """A scaled copy (cosine 1.0) must land in the same cell as its
+    original, join its component, and lose the keep flag; unrelated
+    vectors keep themselves."""
+    from anime_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),   # scaled copy of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(10, [1.0, 0.1, 0.0]), (20, [0.0, 1.0, 0.1]), (30, [0.1, 0.0, 1.0])]
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.99).collect()}
+    assert out[1]["component"] == 1 and out[1]["keep"]
+    assert out[2]["component"] == 1 and not out[2]["keep"]
+    assert out[1]["cell"] == out[2]["cell"] == 10
+    assert out[3]["keep"] and out[4]["keep"]
