@@ -66,6 +66,7 @@ _PRIORITY = [
     # new this round
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
+    "q87_audio_chunk_plan",
     # (b) operators reworked this round
     "q36_neardup_clusters",
     "q60_cluster_resolve",
@@ -92,7 +93,6 @@ _PRIORITY = [
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",
     "q73_tag_inference",
-    "q71_multimodal_decode",
 ]
 
 

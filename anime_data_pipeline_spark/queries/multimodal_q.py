@@ -267,3 +267,84 @@ def q80_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vids = _video_corpus(spark, sf_dir)
     return sample_video_frames(vids, "content", every_k=_FRAME_K)
+
+
+# ---------------------------------------------------------------------------
+# q87 — audio decode + whisper-style chunk plan: synthetic FAUD blobs
+# (doc_id-derived rate/samples/channels, every 29th corrupt, every
+# 31st empty) → mapInPandas binary decode → fixed-duration chunk
+# explode. The oracle recomputes chunks straight from doc_id, so any
+# header/endianness/empty-clip bug in the binary path breaks the match.
+# ---------------------------------------------------------------------------
+_CHUNK_S = 30
+
+_Q87_ORACLE = f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INTEGER) + 1]
+                  AS INTEGER) AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+      FROM documents WHERE doc_id % 29 <> 28
+    ),
+    sized AS (
+      SELECT doc_id, sample_rate, channels,
+             CASE WHEN doc_id % 31 = 30 THEN 0
+                  ELSE sample_rate * (5 + (doc_id * 13) % 120) END AS n_samples
+      FROM meta
+    ),
+    chunked AS (
+      SELECT s.doc_id, s.sample_rate, s.n_samples, s.channels,
+             unnest(range(0, greatest(
+               CAST(ceil(CAST(n_samples AS DOUBLE)
+                         / (sample_rate * {_CHUNK_S})) AS BIGINT), 1))) AS chunk_no
+      FROM sized s
+    )
+    SELECT doc_id, sample_rate, n_samples, channels,
+           CAST(chunk_no AS INTEGER) AS chunk_no,
+           chunk_no * sample_rate * {_CHUNK_S} AS start_sample,
+           least(n_samples, (chunk_no + 1) * sample_rate * {_CHUNK_S}) AS end_sample
+    FROM chunked
+"""
+
+
+@register("q87_audio_chunk_plan", oracle=_Q87_ORACLE)
+def q87_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import (
+        audio_chunk_plan,
+        decode_audio_meta,
+        encode_faud,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 29 == 28:
+                    blobs.append(b"RIFF-corrupt" + bytes([i % 256]))
+                    continue
+                rate = [8000, 16000, 22050, 44100][i % 4]
+                n = 0 if i % 31 == 30 else rate * (5 + (i * 13) % 120)
+                blobs.append(encode_faud(rate, n, 1 + i % 2, b"pcm"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    decoded = decode_audio_meta(docs.mapInPandas(gen, schema=schema))
+    ok = decoded.filter(F.col("audio_meta").isNotNull())
+    chunked = audio_chunk_plan(ok, chunk_s=float(_CHUNK_S))
+    return chunked.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.channels").alias("channels"),
+        "chunk_no",
+        "start_sample",
+        "end_sample",
+    )
