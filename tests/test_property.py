@@ -128,3 +128,67 @@ def test_novelai_order_random_equivalence(spark):
     got = {r["id"]: r["ordered"] for r in out.collect()}
     for i, tags in rowset:
         assert got[i] == novelai_order_py(list(tags), set(vocab)), (i, tags)
+
+
+# ---------------------------------------------------------------------------
+# greedy packing: vectorized chase ≡ sequential spec
+# ---------------------------------------------------------------------------
+@settings(max_examples=300, deadline=None)
+@given(
+    ws=st.lists(st.integers(min_value=0, max_value=500), max_size=200),
+    budget=st.integers(min_value=1, max_value=300),
+)
+def test_pack_chase_equals_spec(ws, budget):
+    from anime_data_pipeline_spark.operators.packing import (
+        pack_greedy_np,
+        pack_greedy_py,
+    )
+
+    assert pack_greedy_np(ws, budget).tolist() == pack_greedy_py(ws, budget)
+
+
+# ---------------------------------------------------------------------------
+# star-contraction CC ≡ union-find, randomized graphs batched into ONE
+# Spark job (disjoint node-id ranges per example)
+# ---------------------------------------------------------------------------
+def _union_find_components(n_nodes: int, edges: list) -> dict:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_star_cc_equals_union_find_on_random_graphs(spark):
+    from anime_data_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    all_edges, all_nodes, want = [], [], {}
+    base = 0
+    for trial in range(25):
+        n = rng.randrange(1, 60)
+        m = rng.randrange(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        labels = _union_find_components(n, edges)
+        want.update({base + v: base + c for v, c in labels.items()})
+        all_nodes += [base + v for v in range(n)]
+        all_edges += [(base + a, base + b) for a, b in edges]
+        base += n
+    nodes = spark.createDataFrame([(v,) for v in all_nodes], "node long")
+    edges_df = spark.createDataFrame(
+        all_edges or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges_df, max_iters=30).collect()
+    }
+    assert got == want
