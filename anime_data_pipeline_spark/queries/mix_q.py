@@ -306,12 +306,34 @@ def q60_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q67 — document-preserving greedy packing (applyInPandas stateful
-# custom operator). The running-remainder state is inherently
-# sequential per group — not ANSI-SQL-expressible — so this is a
-# rows-only gate; tests/test_packing.py pins the distributed output to
-# the pure-Python spec (pack_greedy_py) group by group.
+# custom operator). The running-remainder state is sequential per
+# group, but a recursive CTE replays the exact state machine row by
+# row (rn+1 self-join carrying (chunk_id, acc)) — so the gate is fully
+# oracle-checked; tests/test_packing.py additionally pins the
+# distributed output to the pure-Python spec (pack_greedy_py).
 # ---------------------------------------------------------------------------
-@register("q67_pack_greedy")
+_Q67_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, source, {ws_token_count_sql("text")} AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    step(source, rn, doc_id, n_tokens, chunk_id, acc) AS (
+      SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN s.acc > 0 AND s.acc + d.n_tokens > {_BUDGET}
+                  THEN s.chunk_id + 1 ELSE s.chunk_id END,
+             CASE WHEN s.acc > 0 AND s.acc + d.n_tokens > {_BUDGET}
+                  THEN d.n_tokens ELSE s.acc + d.n_tokens END
+      FROM step s JOIN docs d ON d.source = s.source AND d.rn = s.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, chunk_id FROM step
+"""
+
+
+@register("q67_pack_greedy", oracle=_Q67_ORACLE)
 def q67_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
