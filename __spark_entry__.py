@@ -23,11 +23,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The flagship is the composed curation pipeline (quality filter →
-    exact dedup → MinHash-LSH near-dup removal) — the engine's
-    LLM-training-data story in one oracle-checked plan."""
+    The flagship is the COMPLETE pretraining-corpus preparation chain
+    (language-ID + quality hygiene → exact dedup → MinHash-LSH
+    near-dup removal → benchmark decontamination → greedy sequence
+    packing) — the engine's LLM-training-data story in one
+    oracle-checked plan (q88)."""
     qs = all_queries()
-    return qs["q35_curation_pipeline"](spark, SMOKE_SF_DIR)
+    return qs["q88_pretraining_corpus"](spark, SMOKE_SF_DIR)
 
 
 # The driver's correctness gate samples a bounded prefix of queries()
@@ -64,6 +66,7 @@ _PRIORITY = [
     "q63_stream_sessions",
     "q65_stream_stream_join",
     # new this round
+    "q88_pretraining_corpus",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
     "q87_audio_chunk_plan",
@@ -92,7 +95,6 @@ _PRIORITY = [
     "q34_ngram_jaccard_neardup",
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",
-    "q73_tag_inference",
 ]
 
 

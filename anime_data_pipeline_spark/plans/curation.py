@@ -53,3 +53,79 @@ def curate_corpus(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return uniq.join(losers, id_col, "left_anti")
+
+
+def prepare_pretraining_corpus(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    lang: str = "en",
+    quality_threshold: float = 0.7,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    contam_n: int = 8,
+    budget: int = 256,
+) -> DataFrame:
+    """The COMPLETE pretraining-data preparation chain as one lazy DAG:
+
+        language-ID + quality filter     (map-only)
+      → exact dedup                      (8-byte hash shuffle)
+      → MinHash-LSH near-dup removal     (banded join on survivors)
+      → benchmark decontamination        (bench universe broadcast)
+      → greedy sequence packing          (per-source, budget tokens)
+
+    Each stage shrinks the data before the next shuffle; the stages
+    are the q51-q86 operators composed, and the whole chain is
+    oracle-checked end-to-end (q88). Returns
+    (id, group, n_tokens, chunk_id) — the packed training manifest."""
+    from anime_data_pipeline_spark.operators.dedup import benchmark_contamination
+    from anime_data_pipeline_spark.operators.packing import pack_greedy
+    from anime_data_pipeline_spark.operators.textstats import (
+        language_id,
+        ws_token_count,
+    )
+
+    from pyspark import StorageLevel
+
+    scored = quality_columns(language_id(docs, text_col), text_col)
+    kept = scored.filter(
+        (F.col("pred_lang") == lang)
+        & (F.col("quality_score") >= quality_threshold)
+    )
+
+    hashed = kept.withColumn("_ch", polyhash(F.col(text_col)))
+    keeper = F.min(id_col).over(W.partitionBy("_ch"))
+    # uniq feeds three consumers (LSH signatures, the anti-join left
+    # side, contamination) and its lineage holds the langid/quality
+    # expression forest — persist the already-shrunk survivor set
+    # rather than recompute the scan+filter chain per consumer. At
+    # 100 TB this is the stage boundary you'd parquet-checkpoint.
+    uniq = (
+        hashed.withColumn("_keeper", keeper)
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_ch", "_keeper")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    pairs = minhash_lsh_pairs(
+        uniq, id_col, text_col, n=n, k=k, bands=bands, threshold=jaccard_threshold
+    )
+    survivors = uniq.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    contaminated = (
+        benchmark_contamination(survivors, bench, id_col, text_col, n=contam_n)
+        .filter(F.col("n_hits") > 0)
+        .select(F.col("doc").alias(id_col))
+    )
+    clean = survivors.join(contaminated, id_col, "left_anti")
+
+    weighted = clean.select(
+        id_col, group_col, ws_token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return pack_greedy(weighted, group_col, id_col, "n_tokens", budget)

@@ -313,7 +313,7 @@ def q60_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed output to the pure-Python spec (pack_greedy_py).
 # ---------------------------------------------------------------------------
 _Q67_ORACLE = f"""
-    WITH RECURSIVE docs AS (
+    WITH RECURSIVE docs AS MATERIALIZED (
       SELECT doc_id, source, {ws_token_count_sql("text")} AS n_tokens,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents
