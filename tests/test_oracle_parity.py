@@ -35,3 +35,15 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_key_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_events_ts_normalized_to_timestamp(spark, sf_dir):
+    """events.ts parquet type has drifted across testdata generations
+    (NANOS → timestamp[us]/TIMESTAMP_NTZ). Both load paths must hand
+    downstream code a plain microsecond TIMESTAMP, whatever the file
+    says — unix_micros() and withWatermark() reject anything else."""
+    from anime_data_pipeline_spark.catalog import load_table
+    from anime_data_pipeline_spark.streaming.pipeline import read_events_stream
+
+    assert dict(load_table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+    assert dict(read_events_stream(spark, sf_dir).dtypes)["ts"] == "timestamp"
