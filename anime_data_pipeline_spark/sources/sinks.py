@@ -102,6 +102,60 @@ def build_merge(target_table, updates: DataFrame, key_cols: list[str]):
     )
 
 
+def upsert_table_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    fmt: str = "parquet",
+) -> None:
+    """J5 upsert against a PARTITIONED parquet table without Delta:
+    rewrite only the partitions the updates touch, atomically per
+    partition via dynamic partition overwrite.
+
+    The Delta-less scale pattern: at 100 TB a full-table rewrite per
+    merge is absurd — but updates almost always cluster in few
+    partitions (recent dt, one source). Plan shape:
+
+    1. affected = updates' distinct partition values (a tiny driver
+       list — partition columns are low-cardinality by layout rule);
+    2. read ONLY those partitions (partition pruning via filter);
+    3. anti-join existing rows against update keys, union updates;
+    4. write with ``partitionOverwriteMode=dynamic``: Spark replaces
+       exactly the partitions present in the written data, leaving
+       every untouched partition's files alone.
+
+    Rows whose ``partition_col`` CHANGES between snapshots land in the
+    new partition while the stale copy survives in the old one — same
+    caveat as Hive-style dynamic overwrite; keys must not migrate
+    partitions (true for dt-style layouts), or use Delta MERGE.
+    """
+    if fmt == "delta":
+        if not HAS_DELTA:
+            raise NotImplementedError("delta-spark not installed")
+        build_merge(DeltaTable.forPath(spark, path), updates, key_cols).execute()
+        return
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not affected:
+        return
+    try:
+        existing = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(affected)
+        )
+    except Exception:
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = keep.unionByName(updates).repartition(F.col(partition_col))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def upsert_table(
     spark: SparkSession,
     updates: DataFrame,

@@ -134,3 +134,44 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = jdf.queryExecution().explainString(mode)
     assert "PartitionFilters" in plan and "src" in plan.split("PartitionFilters", 1)[1][:120], plan
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Dynamic-overwrite upsert must (a) merge updates into their
+    partitions key-wise, (b) leave untouched partitions' FILES alone
+    (not rewritten), (c) bootstrap when the table doesn't exist."""
+    import os
+
+    from anime_data_pipeline_spark.sources.sinks import upsert_table_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k long, dt string, v long",
+    )
+    upsert_table_partitioned(spark, base, path, ["k"], "dt")  # bootstrap
+
+    untouched_files = {
+        f: os.path.getmtime(os.path.join(path, "dt=c", f))
+        for f in os.listdir(os.path.join(path, "dt=c"))
+        if f.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (5, "b", 50)], "k long, dt string, v long"
+    )
+    upsert_table_partitioned(spark, updates, path, ["k"], "dt")
+
+    got = {
+        r["k"]: (r["dt"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("a", 99), 3: ("b", 30),
+                   4: ("c", 40), 5: ("b", 50)}
+    # partition c was untouched: same files, same mtimes
+    after = {
+        f: os.path.getmtime(os.path.join(path, "dt=c", f))
+        for f in os.listdir(os.path.join(path, "dt=c"))
+        if f.endswith(".parquet")
+    }
+    assert after == untouched_files
