@@ -67,6 +67,7 @@ _PRIORITY = [
     "q65_stream_stream_join",
     # new this round
     "q88_pretraining_corpus",
+    "q89_temperature_mix",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
     "q87_audio_chunk_plan",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "q33_simhash_fingerprint",
     "q34_ngram_jaccard_neardup",
     "q21_bucket_assign",
-    "q22_bucket_assign_noupscale",
 ]
 
 

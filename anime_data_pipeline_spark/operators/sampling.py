@@ -137,3 +137,37 @@ def mix_rebalance_pred_sql(
         f"{seeded_hash_sql(id_expr, seed)} < "
         f"floor(least(1.0, ({share}) * n_total / n_g) * {P})"
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based source reweighting (the multilingual/domain
+    mix rule of Lample & Conneau 2019 §3.1, used Llama-style for
+    domain mixing): sampling probability p_g ∝ share_g^alpha, alpha<1
+    flattening the mix toward rare sources.
+
+    Returns per group: ``n_docs``, ``share`` (n_g/N), ``temp_weight``
+    (normalized p_g), and ``effective_epochs`` = p_g·N/n_g — how many
+    times the group would be replayed when drawing N samples under the
+    temperature mix (>1 ⇒ the rare source repeats).
+
+    Scale shape: one partial-aggregated groupBy to a |groups|-sized
+    table, then two scalar broadcasts — the corpus is scanned once and
+    nothing group-sized ever leaves the executors except the counts."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(F.sum("n_docs").alias("_n_total"))
+    shared = counts.join(F.broadcast(totals)).withColumn(
+        "share", F.col("n_docs") / F.col("_n_total")
+    )
+    powed = shared.withColumn("_p", F.pow(F.col("share"), F.lit(float(alpha))))
+    norm = powed.agg(F.sum("_p").alias("_z"))
+    return (
+        powed.join(F.broadcast(norm))
+        .withColumn("temp_weight", F.col("_p") / F.col("_z"))
+        .withColumn(
+            "effective_epochs",
+            F.col("temp_weight") * F.col("_n_total") / F.col("n_docs"),
+        )
+        .select(group_col, "n_docs", "share", "temp_weight", "effective_epochs")
+    )

@@ -574,3 +574,41 @@ def q79_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc", "n_tokens", dround(F.col("mean_nll"), 6).alias("mean_nll")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — temperature mix weights (share^alpha source reweighting,
+# Lample & Conneau 2019 §3.1): the sampling-probability table a
+# 100 TB mixer draws from. Pure aggregation; the oracle mirrors the
+# exact pow/normalize arithmetic.
+# ---------------------------------------------------------------------------
+_Q89_ALPHA = 0.3
+
+_Q89_ORACLE = f"""
+    WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total FROM counts),
+    shared AS (SELECT source, n_docs, n_docs / n_total AS share
+               FROM counts CROSS JOIN tot),
+    powed AS (SELECT *, pow(share, {_Q89_ALPHA}) AS p FROM shared),
+    z AS (SELECT sum(p) AS z FROM powed)
+    SELECT source, n_docs,
+           {dround_sql("share", 6)} AS share,
+           {dround_sql("p / z", 6)} AS temp_weight,
+           {dround_sql("p / z * (SELECT n_total FROM tot) / n_docs", 6)} AS effective_epochs
+    FROM powed CROSS JOIN z
+"""
+
+
+@register("q89_temperature_mix", oracle=_Q89_ORACLE)
+def q89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.sampling import temperature_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix_weights(docs, "source", alpha=_Q89_ALPHA)
+    return out.select(
+        "source",
+        "n_docs",
+        dround(F.col("share"), 6).alias("share"),
+        dround(F.col("temp_weight"), 6).alias("temp_weight"),
+        dround(F.col("effective_epochs"), 6).alias("effective_epochs"),
+    )
