@@ -283,7 +283,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -303,7 +303,8 @@ def connected_components(
     iterative pattern, localCheckpoint cuts lineage); convergence =
     the oriented edge set reaches a fixpoint, checked by (count,
     hash-sum) — an 8-byte aggregate, not a full set-difference join.
-    Raises if max_iters is hit.
+    Raises if max_iters is hit (default 50 covers n ≈ 2^48 worst-case;
+    convergence stops the loop as soon as the edge set is stable).
 
     Sets ``connected_components.last_rounds`` for round-count tests.
     """

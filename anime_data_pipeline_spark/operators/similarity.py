@@ -274,7 +274,10 @@ def kmeans_refine(
             )
             .collect()
         )
-        centroids = sorted((r["cell"], list(r["cv"])) for r in means)
+        refined = sorted((r["cell"], list(r["cv"])) for r in means)
+        if not refined:  # empty corpus: keep the seeds rather than
+            return centroids  # hand ivf_assign an empty centroid list
+        centroids = refined
     return centroids
 
 
