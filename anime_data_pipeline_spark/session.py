@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(computed_array) into a
+        # pushed-down size()>0 filter whose predicate INLINES the whole
+        # array expression once per element_at reference — measured 16×
+        # recompute of the tokenize→hash→shingle chain on the dedup/
+        # contamination paths (10.5 s → 2.1 s for the q78 universe at
+        # sf0.1 with the rule off). The rule only pre-skips empty-array
+        # rows, which the generator drops anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
