@@ -32,6 +32,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Harnesses may hand us a session not built by session.get_spark;
+    # re-apply the one optimizer exclusion correctness-neutral but
+    # load-bearing for perf (see session.py: InferFiltersFromGenerate
+    # re-inlines computed arrays into pushed-down filters, ~16× on the
+    # explode-heavy dedup/term/contamination paths). Runtime-settable,
+    # idempotent.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
