@@ -237,3 +237,16 @@ def test_unigram_logprob_broadcasts_zipf_head(spark, sf_dir):
     # The occurrence stream itself aggregates on (doc, term) first.
     term_only = re.findall(r"hashpartitioning\(term#\d+, ", plan)
     assert len(term_only) <= 2, f"occurrence stream shuffling on term:\n{plan[:1500]}"
+
+
+def test_pretraining_chain_plan_invariants(spark, sf_dir):
+    """q88 flagship: no cartesian products anywhere in the five-stage
+    chain (the b0/scalar joins must stay broadcast nested-loop over
+    1-row sides), at least one real broadcast hash join (contamination
+    universe / LSH band sides), and the persisted stage boundaries
+    (uniq, survivors) must serve downstream consumers from cache
+    instead of recomputing the scan+hygiene chain."""
+    plan = plan_of(QUERIES["q88_pretraining_corpus"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2, "stage persists not in plan"
