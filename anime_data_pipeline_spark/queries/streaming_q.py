@@ -260,3 +260,42 @@ def q69_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.read.parquet(table).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — streaming corpus hygiene: quality filter → stateful exact
+# dedup on (source, content_hash) → per-source rollup, executed
+# through the streaming engine. Duplicates are keyed within source so
+# the kept set is deterministic; the oracle aggregates the DISTINCT
+# (source, hash) universe, which equals any arrival order's result.
+# ---------------------------------------------------------------------------
+def _q90_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import polyhash_sql
+    from anime_data_pipeline_spark.operators.textstats import (
+        quality_sql_projection,
+        ws_token_count_sql,
+    )
+
+    score = quality_sql_projection("text")["quality_score"]
+    return f"""
+    WITH kept AS (SELECT source, text FROM documents WHERE ({score}) >= 0.7),
+    uniq AS (SELECT DISTINCT source, {polyhash_sql("text")} AS h,
+                    {ws_token_count_sql("text")} AS nt
+             FROM kept)
+    SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+    FROM uniq GROUP BY source
+    """
+
+
+@register("q90_stream_quality_dedup", oracle=_q90_oracle())
+def q90_stream_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.streaming.pipeline import (
+        read_documents_stream,
+        stream_quality_dedup_rollup,
+    )
+
+    out = run_available_now(
+        stream_quality_dedup_rollup(read_documents_stream(spark, sf_dir)),
+        "complete",
+    )
+    return out.withColumn("total_tokens", F.col("total_tokens").cast("long"))

@@ -272,3 +272,47 @@ def foreach_batch_upsert_latest(
     finally:
         if q.isActive:
             q.stop()
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay documents.parquet as a stream (same file-source pattern
+    as read_events_stream) — the ingest shape of a continuously-fed
+    corpus: new parquet drops appear, the curation query keeps up."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_quality_dedup_rollup(
+    stream: DataFrame, quality_threshold: float = 0.7
+) -> DataFrame:
+    """Streaming corpus hygiene: quality-filter (stateless column
+    exprs), stateful exact dedup on (source, content_hash), per-source
+    rollup — the LLM-curation chain's streaming front end.
+
+    Dedup keys on (source, content_hash), not hash alone: a text
+    appearing under two sources would otherwise keep whichever
+    arrived first — racy across partitions, and untestable. State is
+    one 16-byte key per distinct kept doc; production bounds it with
+    a watermark + dropDuplicatesWithinWatermark, the availableNow
+    replay keeps it exact."""
+    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.operators.textstats import (
+        quality_columns,
+        ws_token_count,
+    )
+
+    kept = quality_columns(stream, "text").filter(
+        F.col("quality_score") >= quality_threshold
+    )
+    deduped = kept.withColumn("content_hash", polyhash(F.col("text"))).dropDuplicates(
+        ["source", "content_hash"]
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col("text"))).alias("total_tokens"),
+    )
