@@ -69,6 +69,7 @@ _PRIORITY = [
     "q88_pretraining_corpus",
     "q89_temperature_mix",
     "q90_stream_quality_dedup",
+    "q91_leakage_safe_split",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
     "q87_audio_chunk_plan",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "q31_exact_dedup",
     "q32_minhash_lsh_neardup",
     "q33_simhash_fingerprint",
-    "q34_ngram_jaccard_neardup",
 ]
 
 

@@ -171,3 +171,52 @@ def temperature_mix_weights(
         )
         .select(group_col, "n_docs", "share", "temp_weight", "effective_epochs")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    component_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the split is a seeded hash of the DUPLICATE
+    COMPONENT (from connected_components over any near-dup pair
+    family), not of the document — every member of a duplicate
+    cluster lands in the same split. Splitting on doc id instead is
+    the classic eval-contamination bug (the val loss quietly scores
+    memorized training near-dups).
+
+    ``weights`` maps split name → fraction (must sum to ~1). Map-only
+    given the component column; deterministic and partition-stable
+    like every sampler here. Returns the input plus ``split``."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = _seeded_hash(F.col(component_col), seed)
+    expr = None
+    cum = 0.0
+    # half-open [cum, cum+w) bands over [0, P); the last band absorbs
+    # float residue so every hash lands somewhere
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        cum += w
+        bound = P if i == len(items) - 1 else int(cum * P)
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def leakage_safe_split_sql(
+    component_expr: str, weights: dict[str, float], seed: int = 0
+) -> str:
+    """DuckDB spelling of the split CASE over the same hash bands."""
+    h = seeded_hash_sql(component_expr, seed)
+    items = list(weights.items())
+    cases, cum = [], 0.0
+    for i, (name, w) in enumerate(items):
+        cum += w
+        bound = P if i == len(items) - 1 else int(cum * P)
+        cases.append(f"WHEN ({h}) < {bound} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " END"

@@ -316,3 +316,51 @@ def q81_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — leakage-safe split: assign train/val/test by hashing the
+# near-dup COMPONENT, so no duplicate cluster straddles splits (the
+# classic eval-contamination bug). Components from the same LSH chain
+# as q36; the oracle replays CC with a recursive CTE and applies the
+# identical hash-band CASE.
+# ---------------------------------------------------------------------------
+_Q91_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_Q91_SEED = 3
+
+
+def _q91_oracle() -> str:
+    from anime_data_pipeline_spark.operators.sampling import leakage_safe_split_sql
+
+    split_case = leakage_safe_split_sql("component", _Q91_WEIGHTS, seed=_Q91_SEED)
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs_sql(_CORPUS_SQL, _NGRAM, _K, _BANDS, _THRESH)}),
+    nodes AS (SELECT doc_id FROM ({_CORPUS_SQL})),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component, {split_case} AS split FROM comp
+    """
+
+
+@register("q91_leakage_safe_split", oracle=_q91_oracle())
+def q91_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.sampling import leakage_safe_split
+
+    corpus = mutated_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS, threshold=_THRESH
+    )
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")), pairs
+    ).select(F.col("node").alias("doc_id"), "component")
+    return leakage_safe_split(
+        comp, "doc_id", "component", _Q91_WEIGHTS, seed=_Q91_SEED
+    )

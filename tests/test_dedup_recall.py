@@ -179,3 +179,20 @@ def test_star_cc_matches_label_propagation_semantics(spark):
     want = {i: 0 for i in list(range(5)) + list(range(10, 14))}
     want.update({20: 20, 21: 20, 30: 30})
     assert got == want
+
+
+def test_leakage_safe_split_never_splits_a_component(spark, sf_dir):
+    """Every near-dup component must land entirely in ONE split, and
+    the split fractions must be roughly the configured weights."""
+    from anime_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q91_leakage_safe_split"](spark, sf_dir)
+    per_comp = out.groupBy("component").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_comp.filter(F.col("n_splits") > 1).count() == 0
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    total = sum(counts.values())
+    assert counts.get("train", 0) / total > 0.8
+    assert 0 < counts.get("val", 0) / total < 0.12
+    assert 0 < counts.get("test", 0) / total < 0.12
