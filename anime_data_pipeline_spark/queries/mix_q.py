@@ -612,3 +612,64 @@ def q89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("temp_weight"), 6).alias("temp_weight"),
         dround(F.col("effective_epochs"), 6).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — barriered greedy packing (the skew-safe mode): each source's
+# token stream is pre-split at cumulative-token barriers, packed fresh
+# per window, and stitched with a window-cumsum chunk offset — the
+# form that fans a hot group out over total_tokens/barrier tasks. The
+# oracle partitions the q67 recursive state replay by (source,
+# barrier window) and applies the same stitch.
+# ---------------------------------------------------------------------------
+_Q92_BARRIER = 2048
+
+_Q92_ORACLE = f"""
+    WITH RECURSIVE weighted AS MATERIALIZED (
+      SELECT doc_id, source, {ws_token_count_sql("text")} AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+      FROM weighted),
+    docs AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor(CAST(cum_before AS DOUBLE) / {_Q92_BARRIER}) AS BIGINT) AS b,
+             row_number() OVER (
+               PARTITION BY source, CAST(floor(CAST(cum_before AS DOUBLE) / {_Q92_BARRIER}) AS BIGINT)
+               ORDER BY doc_id) AS rn
+      FROM cum),
+    step(source, b, rn, doc_id, n_tokens, chunk_id, acc) AS (
+      SELECT source, b, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.b, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN s.acc > 0 AND s.acc + d.n_tokens > {_BUDGET}
+                  THEN s.chunk_id + 1 ELSE s.chunk_id END,
+             CASE WHEN s.acc > 0 AND s.acc + d.n_tokens > {_BUDGET}
+                  THEN d.n_tokens ELSE s.acc + d.n_tokens END
+      FROM step s JOIN docs d
+        ON d.source = s.source AND d.b = s.b AND d.rn = s.rn + 1
+    ),
+    n_chunks AS (SELECT source, b, max(chunk_id) + 1 AS nc
+                 FROM step GROUP BY source, b),
+    offsets AS (SELECT source, b,
+                       CAST(sum(nc) OVER (
+                         PARTITION BY source ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) - nc AS BIGINT) AS off
+                FROM n_chunks)
+    SELECT s.doc_id, s.source, s.n_tokens, s.chunk_id + o.off AS chunk_id
+    FROM step s JOIN offsets o ON s.source = o.source AND s.b = o.b
+"""
+
+
+@register("q92_pack_barriered", oracle=_Q92_ORACLE)
+def q92_pack_barriered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy(
+        docs, "source", "doc_id", "n_tokens", _BUDGET, barrier_tokens=_Q92_BARRIER
+    )
