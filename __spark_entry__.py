@@ -71,6 +71,7 @@ _PRIORITY = [
     "q90_stream_quality_dedup",
     "q91_leakage_safe_split",
     "q92_pack_barriered",
+    "q93_ann_ivf_multiprobe",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
     "q87_audio_chunk_plan",
@@ -94,7 +95,6 @@ _PRIORITY = [
     # flagship / signature operators — keep a fresh row every round
     "q35_curation_pipeline",
     "q31_exact_dedup",
-    "q32_minhash_lsh_neardup",
 ]
 
 

@@ -326,6 +326,26 @@ def semantic_dedup(
     )
 
 
+def ivf_probe_cells(
+    v: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest centroid ids (cosine desc, min-id ties)
+    as an array — the standard IVF recall knob: probing 2-4 cells
+    recovers the neighbors that straddle a cell boundary for a
+    proportional (not quadratic) extra scan cost."""
+    entries = []
+    for cid, cv in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cv])
+        score = dot(v, lit_c) / (F.sqrt(sq_norm(v)) * F.sqrt(sq_norm(lit_c)))
+        entries.append(
+            F.struct(score.alias("s"), F.lit(-int(cid)).cast("long").alias("negid"))
+        )
+    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda e: (-e["negid"]).cast("long")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,15 +353,17 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN: corpus partitioned into centroid cells once
-    (map-only); each query probes ONLY its nearest cell. The scale
-    path vs SRP-LSH when the corpus clusters (cells ≈ clusters): at
-    100 TB the cell assignment is written once (partitioned/bucketed
-    by cell id) and each query scans corpus/|cells| rows.
+    (map-only); each query probes its ``nprobe`` nearest cells
+    (default 1). The scale path vs SRP-LSH when the corpus clusters
+    (cells ≈ clusters): at 100 TB the cell assignment is written once
+    (partitioned/bucketed by cell id) and each query scans
+    nprobe × corpus/|cells| rows.
 
     Centroids come from any trainer; for determinism here they are
-    seed rows of the corpus itself (kmeans would drop in unchanged).
+    seed rows of the corpus itself (kmeans_refine drops in unchanged).
     """
     c = (
         corpus.select(
@@ -349,12 +371,15 @@ def ivf_topk(
         )
         .withColumn("cell", ivf_assign(F.col("cv"), centroids))
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
-        )
-        .withColumn("cell", ivf_assign(F.col("qv"), centroids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
     )
+    if nprobe <= 1:
+        q = q.withColumn("cell", ivf_assign(F.col("qv"), centroids))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(ivf_probe_cells(F.col("qv"), centroids, nprobe))
+        )
     scored = c.join(F.broadcast(q), "cell").withColumn(
         "cosine", cosine(F.col("qv"), F.col("cv"))
     )

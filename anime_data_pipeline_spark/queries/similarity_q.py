@@ -430,3 +430,67 @@ def q86_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         corpus, "vec_id", "embedding", centroids, threshold=_Q86_THRESH
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — IVF multi-probe: each query scans its TWO nearest cells
+# (nprobe=2), recovering neighbors that straddle a cell boundary for
+# 2× scan cost — the standard production IVF recall knob. Oracle:
+# rank cells per query, keep rn <= 2, same candidate union.
+# ---------------------------------------------------------------------------
+_Q93_NPROBE = 2
+
+_Q93_ORACLE = f"""
+    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+      ) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+        WHERE corpus.vec_id % {_QUERY_MOD} = 0
+      ) WHERE rn <= {_Q93_NPROBE}),
+    c AS (SELECT a.cell, corpus.vec_id, corpus.v AS cv2
+          FROM corpus JOIN assign a USING (vec_id)),
+    q AS (SELECT qp.cell, qp.query_id, corpus.v AS qv
+          FROM qprobe qp JOIN corpus ON corpus.vec_id = qp.query_id),
+    scored AS (SELECT q.query_id, c.vec_id,
+                      {cosine_sql("qv", "cv2")} AS cosine
+               FROM c JOIN q USING (cell)),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q93_ann_ivf_multiprobe", oracle=_Q93_ORACLE)
+def q93_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    seeds = (
+        corpus.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+    out = ivf_topk(
+        corpus,
+        _queries(spark, sf_dir),
+        centroids,
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=_Q93_NPROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
