@@ -72,6 +72,7 @@ _PRIORITY = [
     "q91_leakage_safe_split",
     "q92_pack_barriered",
     "q93_ann_ivf_multiprobe",
+    "q94_rag_chunking",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
     "q87_audio_chunk_plan",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "q66_stream_static_enrich",
     # flagship / signature operators — keep a fresh row every round
     "q35_curation_pipeline",
-    "q31_exact_dedup",
 ]
 
 

@@ -428,3 +428,41 @@ def gopher_sql_projection(
         cols[k] for k in cols if k.startswith("r_")
     ) + ")"
     return cols
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """RAG-ingestion chunking: overlapping token windows (size
+    ``chunk_tokens``, step ``stride`` < chunk_tokens for overlap) per
+    document — the retrieval-index preparation step between raw docs
+    and the embedding stage (each chunk embeds independently).
+
+    Map-only: tokens materialize once per row, window starts are a
+    sequence explode, each chunk is a slice+join — no shuffle, output
+    grows by ~n_tokens/stride per doc. Empty docs emit one empty
+    chunk (chunk_idx 0) so every input id stays present downstream."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    with_toks = df.select(
+        F.col(id_col).alias("doc"), toks.alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        with_toks.withColumn("start", F.explode(starts))
+        .withColumn("chunk_idx", (F.col("start") / stride).cast("long"))
+        .withColumn("chunk", F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens))
+        .select(
+            "doc",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.text import tokens_sql
 from anime_data_pipeline_spark.operators.textstats import (
     bpe_token_count,
     bpe_token_count_sql,
@@ -227,3 +228,38 @@ def q82_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
               "ellipsis_frac", "alpha_word_frac"):
         out = out.withColumn(c, dround(F.col(c), 6))
     return out.drop("text")
+
+
+# ---------------------------------------------------------------------------
+# q94 — RAG sliding-window chunking: overlapping token windows per
+# document (chunk 64, stride 48), the retrieval-index ingestion step.
+# Oracle mirrors the sequence-of-starts explode and slice+join.
+# ---------------------------------------------------------------------------
+_Q94_CHUNK, _Q94_STRIDE = 64, 48
+
+_Q94_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, {tokens_sql("text")} AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc, t, unnest(range(0, greatest(len(t), 1), {_Q94_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc,
+           CAST(s / {_Q94_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, s + 1, s + {_Q94_CHUNK})) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(t, s + 1, s + {_Q94_CHUNK}), ' ')
+             AS chunk_text
+    FROM starts
+"""
+
+
+@register("q94_rag_chunking", oracle=_Q94_ORACLE)
+def q94_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.textstats import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(
+        docs, "doc_id", "text", chunk_tokens=_Q94_CHUNK, stride=_Q94_STRIDE
+    )
