@@ -39,62 +39,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # last driver row predates the current testdata; stable/green queries
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
-    # (a) never sampled in r1/r2
-    "q24_novelai_order",
-    "q25_clean_caption",
-    "q26_clean_tags",
-    "q38_asof_join",
-    "q39_range_join",
-    "q48_ann_multiprobe_topk",
-    "q51_token_counts",
-    "q52_quality_score",
-    "q53_language_id",
-    "q54_winnow_fingerprints",
-    "q55_quality_rollup",
-    "q64_stream_dedup",
-    "q68_stream_stateful_stats",
-    "q69_stream_foreachbatch_upsert",
-    "q77_label_centroid_cohesion",
-    "q82_gopher_rules",
-    "q83_zorder_key",
-    "q84_zorder_skipping",
-    # (b) event-time family fixed this round (TIMESTAMP_NTZ cast)
-    "q19_sessionize",
-    "q20_tumbling_window",
-    "q61_stream_tumbling",
-    "q62_stream_sliding",
-    "q63_stream_sessions",
-    "q65_stream_stream_join",
-    # new this round
-    "q88_pretraining_corpus",
-    "q89_temperature_mix",
-    "q90_stream_quality_dedup",
-    "q91_leakage_safe_split",
-    "q92_pack_barriered",
+    # (b) similarity family REWORKED this round (fixed-k centroid
+    # seeding, literal SRP planes, norm precompute) — must be inside
+    # the sampled window
+    "q42_ann_srp_lsh_topk",
+    "q41_ann_bruteforce_topk",
+    "q44_ann_ivf_topk",
     "q93_ann_ivf_multiprobe",
-    "q94_rag_chunking",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
-    "q87_audio_chunk_plan",
-    # (b) operators reworked this round
+    "q43_embedding_neardup",
+    "q48_ann_multiprobe_topk",
+    "q77_label_centroid_cohesion",
+    # (b) depend on operators touched this round (CC convergence,
+    # unigram_logprob cache lifecycle, sink bootstrap check)
     "q36_neardup_clusters",
     "q60_cluster_resolve",
     "q79_unigram_logprob",
-    "q58_pack_chunks",
-    "q67_pack_greedy",
-    # (c) sampled only in round 1 (pre-regenerated testdata)
-    "q15_rollup",
-    "q16_pivot_status",
-    "q17_tokenize_normalize",
-    "q18_regex_extract",
-    "q47_running_window",
-    "q41_ann_bruteforce_topk",
-    "q42_ann_srp_lsh_topk",
-    "q44_ann_ivf_topk",
-    "q43_embedding_neardup",
-    "q66_stream_static_enrich",
-    # flagship / signature operators — keep a fresh row every round
+    "q27_upsert_merge",
+    # (c) stalest: last driver row predates the r3-regenerated testdata
+    "q01_pricing_summary",
+    "q02_threshold_filter",
+    "q03_inner_join_agg",
+    "q04_left_join_nulls",
+    "q05_semi_join",
+    "q06_anti_join_count",
+    "q07_union_dedup_last_wins",
+    "q08_conditional_audit",
+    "q09_distinct_pairs",
+    "q10_topk_global",
+    "q11_topk_per_group",
+    "q12_argmax_per_group",
+    "q13_star_join_revenue",
+    "q14_monthly_orders",
+    "q21_bucket_assign",
+    "q22_bucket_assign_noupscale",
+    "q23_bucket_stats",
+    "q28_crop_ltrb",
+    "q29_seeded_shuffle",
+    "q30_map_zip_filter",
+    "q31_exact_dedup",
+    "q32_minhash_lsh_neardup",
+    "q33_simhash_fingerprint",
+    "q34_ngram_jaccard_neardup",
     "q35_curation_pipeline",
+    "q37_name_series_parse",
+    "q40_corpus_profile",
+    "q45_cube_rollup",
+    "q46_set_ops",
+    "q49_corpus_profile_approx",
+    "q50_ngram_repetition",
+    "q56_tfidf_topk",
+    "q57_stratified_sample",
+    "q59_pii_redact",
+    "q66_stream_static_enrich",
+    "q70_webdataset_roundtrip",
+    "q71_multimodal_decode",
+    # (c) stale but past the 50-sample window this round — documented
+    # coverage gap, front of the queue for round 5
+    "q72_multimodal_features",
+    "q73_tag_inference",
+    "q74_snapshot_diff",
+    "q75_mix_rebalance",
+    "q76_salted_join_hot_key",
+    "q78_contamination_check",
+    "q80_video_frame_sample",
+    "q81_line_dedup",
+    "q87_audio_chunk_plan",
 ]
 
 

@@ -36,12 +36,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # re-apply the one optimizer exclusion correctness-neutral but
     # load-bearing for perf (see session.py: InferFiltersFromGenerate
     # re-inlines computed arrays into pushed-down filters, ~16× on the
-    # explode-heavy dedup/term/contamination paths). Runtime-settable,
-    # idempotent.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # explode-heavy dedup/term/contamination paths). APPENDED to any
+    # exclusions the caller already configured, not overwritten
+    # (r3 advice: a plain set() clobbered caller exclusions).
+    _rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        current = None
+    rules = [r for r in (current or "").split(",") if r.strip()]
+    if _rule not in rules:
+        rules.append(_rule)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's

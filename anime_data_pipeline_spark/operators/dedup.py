@@ -301,12 +301,17 @@ def connected_components(
     100 TB near-dup graph costs ~log2(n) shuffles, not n. The loop is
     DRIVER-side control flow over DISTRIBUTED ops (standard Spark
     iterative pattern, localCheckpoint cuts lineage); convergence =
-    the oriented edge set reaches a fixpoint, checked by (count,
-    hash-sum) — an 8-byte aggregate, not a full set-difference join.
-    Raises if max_iters is hit (default 50 covers n ≈ 2^48 worst-case;
-    convergence stops the loop as soon as the edge set is stable).
+    the oriented edge set reaches a fixpoint. Per round that is an
+    8-byte (count, xor-of-hashes) signature comparison; when the
+    signature repeats, the fixpoint is CONFIRMED with one exact
+    ``exceptAll``-emptiness job (equal counts + empty difference ⇒
+    equal sets), so an xor-cancelling hash collision between different
+    consecutive edge sets can delay but never corrupt the result
+    (r3 advice). Raises if max_iters is hit (default 50 covers
+    n ≈ 2^48 worst-case).
 
-    Sets ``connected_components.last_rounds`` for round-count tests.
+    Sets ``connected_components.last_rounds`` for round-count tests
+    (diagnostic only; not safe across concurrent jobs in one process).
     """
     e = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -315,18 +320,20 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig: tuple[int, int] | None = None
+    prev_e: DataFrame | None = None
     for i in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        prev_e, e = e, new_e
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor, not sum: ANSI mode overflows summed 64-bit
             # hashes; xor over a DISTINCT edge set can't overflow and
-            # only collides if two edge sets xor-cancel (count breaks
-            # the tie in practice).
+            # only collides if two edge sets xor-cancel (the exact
+            # confirmation below catches that).
             F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
+        if sig == prev_sig and e.exceptAll(prev_e).isEmpty():
             connected_components.last_rounds = i + 1
             # At the fixpoint every edge is (node, root); roots and
             # isolated nodes label themselves.

@@ -77,22 +77,131 @@ def _stub_loader(n_labels: int) -> Callable[[], Callable]:
     return load
 
 
+# ---------------------------------------------------------------------------
+# Pixel preprocessing — the tagger's tensor-prep contract implemented
+# CODEC-FREE in pure numpy (the reference composes it from PIL/cv2:
+# tagger.py:49-62 + dbimutils.py:29-43). Everything below operates on
+# already-decoded uint8 arrays; the ONLY environment-bound gap left is
+# the literal byte→pixel decode (see _preprocess_batch).
+# ---------------------------------------------------------------------------
+def normalize_pixels(img: np.ndarray) -> np.ndarray:
+    """uint8 RGB H×W×3 from the decode layer's variants (the
+    smart_24bit + alpha-compositing contract, dbimutils.py:16-26 and
+    tagger.py:49-54, in RGB order):
+
+    - uint16 → uint8 via integer /257 (65535 → 255);
+    - 2-D grayscale → replicated 3-channel;
+    - H×W×4 RGBA → composite onto WHITE where alpha == 0 (the
+      reference pastes onto a white canvas), drop alpha.
+    """
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        img = (img / 257).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img.copy()
+        img[img[:, :, 3] == 0] = [255, 255, 255, 255]
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img.astype(np.uint8))
+
+
+def make_square_white(img: np.ndarray, target_size: int) -> np.ndarray:
+    """Centered pad to a square WHITE canvas (make_square,
+    dbimutils.py:29-37): side = max(h, w, target_size); the odd pixel
+    of an odd delta goes to the bottom/right, matching the reference's
+    ``delta // 2`` / ``delta - delta // 2`` split."""
+    h, w = img.shape[:2]
+    side = max(h, w, target_size)
+    dh, dw = side - h, side - w
+    top, left = dh // 2, dw // 2
+    return np.pad(
+        img,
+        ((top, dh - top), (left, dw - left), (0, 0)),
+        mode="constant",
+        constant_values=255,
+    )
+
+
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out × n_in) row-stochastic box-overlap weights: output cell i
+    averages input cells over the span [i·s, (i+1)·s), s = n_in/n_out —
+    the box filter cv2.INTER_AREA computes (in float, not cv2's
+    fixed-point approximation)."""
+    s = n_in / n_out
+    w = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        lo, hi = i * s, (i + 1) * s
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, n_in)):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / s
+
+
+def area_resize(img: np.ndarray, size: int) -> np.ndarray:
+    """Area-average downscale of a square H×H×C image to size×size×C
+    (smart_resize's INTER_AREA branch, dbimutils.py:39-43 — after
+    make_square the image is never SMALLER than the target, so the
+    INTER_CUBIC upscale branch is unreachable in the tagger path).
+    Separable: out = W_r · img · W_cᵀ per channel, two matmuls."""
+    h, w = img.shape[:2]
+    if h == size and w == size:
+        return img.astype(np.float64)
+    wr = _area_weights(h, size)
+    wc = _area_weights(w, size)
+    # (size, h) @ (h, w, c) along axis 0, then columns
+    out = np.tensordot(wr, img.astype(np.float64), axes=(1, 0))
+    out = np.tensordot(out, wc, axes=(1, 1))  # (size, c, size)
+    return np.moveaxis(out, 1, 2)  # (size, size, c)
+
+
+def preprocess_rgb_batch(
+    images: list[np.ndarray | None], size: int
+) -> np.ndarray:
+    """Decoded RGB arrays → the tagger's NHWC float32 input tensor
+    (tagger.py:55-62): normalize variants, RGB→BGR channel swap, white
+    square pad, area resize to (size, size), float32 stack. ``None``
+    entries (corrupt/absent images) become all-white tensors so batch
+    geometry is stable; callers null out their outputs downstream."""
+    out = np.full((len(images), size, size, 3), 255.0, dtype=np.float32)
+    for r, img in enumerate(images):
+        if img is None:
+            continue
+        px = normalize_pixels(img)[:, :, ::-1]  # RGB → BGR (tagger.py:57)
+        px = make_square_white(px, size)
+        out[r] = area_resize(px, size).astype(np.float32)
+    return out
+
+
+def make_preprocess(
+    decode: Callable[[bytes], np.ndarray | None], size: int
+) -> Callable[[list[bytes | None]], np.ndarray]:
+    """Compose a byte decoder with :func:`preprocess_rgb_batch` into
+    the ``session_predict`` preprocess contract. The decoder is the
+    only codec-bound piece (e.g. multimodal.pil_decoder_loader's PIL
+    seam); everything after it is the pure-numpy math above."""
+
+    def prep(batch: list[bytes | None]) -> np.ndarray:
+        return preprocess_rgb_batch(
+            [None if b is None else decode(bytes(b)) for b in batch], size
+        )
+
+    return prep
+
+
 def _preprocess_batch(batch: list[bytes | None]) -> np.ndarray:
-    """Pixel preprocessing contract for the REAL tagger (the reference's
-    dbimutils.py:29-43 + tagger.py:57):
+    """Default preprocess: the full numpy pipeline above behind the one
+    remaining environment gap — byte→pixel DECODE (no PIL/cv2 in this
+    container). Inject a decoder via :func:`make_preprocess` (or a
+    whole ``preprocess`` into :func:`session_predict`) to go live."""
 
-    1. decode to RGB uint8 (codec layer — see
-       multimodal.pil_decoder_loader);
-    2. pad to a centered square on a WHITE background
-       (make_square, dbimutils.py:29-37);
-    3. resize to the model's input size, cv2.INTER_AREA when shrinking
-       (smart_resize, dbimutils.py:39-43);
-    4. RGB → BGR channel swap, float32, NHWC batch (tagger.py:57).
+    def _no_codec(_: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "image byte decoding needs a codec (PIL/cv2) not present in "
+            "this environment; see make_preprocess"
+        )
 
-    Pixel codecs are absent in this container, so this raises; inject a
-    ``preprocess`` into :func:`session_predict` (or a whole loader into
-    :func:`predict_tag_probs`) to supply a real implementation."""
-    raise NotImplementedError("image codecs not available in this environment")
+    return make_preprocess(_no_codec, 448)(batch)
 
 
 def session_predict(

@@ -153,7 +153,14 @@ def unigram_logprob(
 
     Both paths use the same full-corpus total, so scores are exactly
     the all-shuffle result; head membership only routes rows.
-    ``head_k`` bounds broadcast memory (50k terms ≈ low MBs)."""
+    ``head_k`` bounds broadcast memory (50k terms ≈ low MBs).
+
+    Cache lifecycle: the tf/vocab persists back the RETURNED lazy plan
+    (multiple consumers), so this operator cannot unpersist them itself
+    without forcing eager evaluation. CALLERS own the lifecycle — after
+    materializing the result, ``spark.catalog.clearCache()`` (what
+    bench.py does between queries) or unpersist via
+    ``spark.catalog.isCached``-listed tables frees the partitions."""
     from pyspark import StorageLevel
 
     terms = _exploded_terms(df, id_col, text_col)

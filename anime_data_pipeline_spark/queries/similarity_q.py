@@ -20,6 +20,8 @@ from anime_data_pipeline_spark.operators.similarity import (
     cosine_sql,
     embedding_neardup_pairs,
     ivf_topk,
+    seed_centroids,
+    seed_centroids_sql,
     srp_bucket_sql,
     srp_lsh_topk,
     to_double_array,
@@ -144,15 +146,23 @@ def q48_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in both engines, in double space so the scaling is exact.
 # ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
-# q44 — IVF-flat ANN: coarse quantizer = nearest of the seed centroids
-# (vec_id % 101 — a kmeans trainer would drop in unchanged); each query
-# probes only its cell. Assignment + probe mirrored exactly in SQL.
+# q44 — IVF-flat ANN: coarse quantizer = nearest of FIXED-K seeded-hash
+# centroids (seed_centroids — corpus-size-independent, so the driver
+# collect and the assignment plan are O(k) at any data scale; a kmeans
+# trainer would drop in unchanged); each query probes only its cell.
+# Seeding, assignment + probe mirrored exactly in SQL.
 # ---------------------------------------------------------------------------
-_CENTROID_MOD = 101
+_CENTROID_K = 16
+
+_SEED_SQL = seed_centroids_sql("embeddings", "vec_id", "embedding", _CENTROID_K)
+
+
+def _centroids(corpus: DataFrame) -> list[tuple[int, list[float]]]:
+    return seed_centroids(corpus, "vec_id", "embedding", _CENTROID_K)
+
 
 _Q44_ORACLE = f"""
-    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-                   FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    WITH cents AS ({_SEED_SQL}),
     corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     assign AS (
       SELECT vec_id, cid AS cell FROM (
@@ -180,14 +190,8 @@ _Q44_ORACLE = f"""
 @register("q44_ann_ivf_topk", oracle=_Q44_ORACLE)
 def q44_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    seeds = (
-        corpus.filter(F.col("vec_id") % _CENTROID_MOD == 0)
-        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
     out = ivf_topk(
-        corpus, _queries(spark, sf_dir), centroids, "vec_id", "embedding", k=5
+        corpus, _queries(spark, sf_dir), _centroids(corpus), "vec_id", "embedding", k=5
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -297,8 +301,7 @@ def q77_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration in SQL: same argmin tie-break, same rounded means.
 # ---------------------------------------------------------------------------
 _Q85_ORACLE = f"""
-    WITH cents0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-                    FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    WITH cents0 AS ({_SEED_SQL}),
     corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     a0 AS (
       SELECT vec_id, cid AS cell FROM (
@@ -343,13 +346,7 @@ def q85_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.operators.similarity import kmeans_refine
 
     corpus = _corpus(spark, sf_dir)
-    seeds = (
-        corpus.filter(F.col("vec_id") % _CENTROID_MOD == 0)
-        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
-    refined = kmeans_refine(corpus, "vec_id", "embedding", centroids, iters=1)
+    refined = kmeans_refine(corpus, "vec_id", "embedding", _centroids(corpus), iters=1)
     out = ivf_topk(
         corpus, _queries(spark, sf_dir), refined, "vec_id", "embedding", k=5
     )
@@ -375,8 +372,7 @@ _Q86_CORPUS_SQL = """
 
 _Q86_ORACLE = f"""
     WITH RECURSIVE corpus AS ({_Q86_CORPUS_SQL}),
-    cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    cents AS ({_SEED_SQL}),
     assign AS (
       SELECT vec_id, cid AS cell FROM (
         SELECT corpus.vec_id, cents.cid,
@@ -421,14 +417,8 @@ def q86_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.select(
         "vec_id", to_double_array(F.col("embedding")).alias("embedding")
     ).unionByName(scaled)
-    seeds = (
-        base.filter(F.col("vec_id") % _CENTROID_MOD == 0)
-        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
     return semantic_dedup(
-        corpus, "vec_id", "embedding", centroids, threshold=_Q86_THRESH
+        corpus, "vec_id", "embedding", _centroids(base), threshold=_Q86_THRESH
     )
 
 
@@ -441,8 +431,7 @@ def q86_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q93_NPROBE = 2
 
 _Q93_ORACLE = f"""
-    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-                   FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 0),
+    WITH cents AS ({_SEED_SQL}),
     corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     assign AS (
       SELECT vec_id, cid AS cell FROM (
@@ -478,16 +467,10 @@ _Q93_ORACLE = f"""
 @register("q93_ann_ivf_multiprobe", oracle=_Q93_ORACLE)
 def q93_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    seeds = (
-        corpus.filter(F.col("vec_id") % _CENTROID_MOD == 0)
-        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["v"])) for r in seeds)
     out = ivf_topk(
         corpus,
         _queries(spark, sf_dir),
-        centroids,
+        _centroids(corpus),
         "vec_id",
         "embedding",
         k=5,

@@ -16,6 +16,8 @@ Scale rules encoded here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,13 +141,17 @@ def upsert_table_partitioned(
     affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not affected:
         return
-    try:
-        existing = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(affected)
-        )
-    except Exception:
+    # Bootstrap ONLY on a positive "table does not exist" signal (path
+    # absence). A broad except here was an r3 advice finding: any
+    # transient read failure (permissions, corrupt footer, schema) would
+    # be mistaken for first-write and silently overwrite every existing
+    # partition with just the updates. Real read errors now propagate.
+    if not os.path.exists(path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(affected)
+    )
     keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
     merged = keep.unionByName(updates).repartition(F.col(partition_col))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -78,6 +78,115 @@ def test_kmeans_refine_moves_centroids_to_cluster_means(spark):
     assert got[1] == [0.2, 20.1]
 
 
+def test_seed_centroids_fixed_k_independent_of_corpus_size(spark):
+    """The r3 scale-killer fix: the centroid count (and the driver
+    collect) is the REQUESTED k at any corpus size — seeding at two
+    different scale factors yields exactly k rows each, and the shared
+    prefix of ids is deterministic (same seeded-hash ranking)."""
+    from anime_data_pipeline_spark.operators.similarity import seed_centroids
+
+    small = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    big = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cs = seed_centroids(small, "vec_id", "embedding", 8)
+    cb = seed_centroids(big, "vec_id", "embedding", 8)
+    assert len(cs) == 8 and len(cb) == 8
+    # determinism: re-seeding the same corpus gives the identical list
+    assert cs == seed_centroids(small, "vec_id", "embedding", 8)
+
+
+def test_assign_cells_join_path_matches_literal_path(spark, sf_dir):
+    """Strategy dispatch must never change a result: forcing the
+    broadcast-join assignment (literal_max=0) gives the identical
+    (vec_id → cell) map as the literal expression path."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        seed_centroids,
+        to_double_array,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cents = seed_centroids(corpus, "vec_id", "v", 12)
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(corpus, "vec_id", "v", cents).collect()
+    }
+    join = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(
+            corpus, "vec_id", "v", cents, literal_max=0
+        ).collect()
+    }
+    assert lit == join and len(lit) == corpus.count()
+
+
+def test_probe_cells_join_path_matches_literal_path(spark, sf_dir):
+    from anime_data_pipeline_spark.operators.similarity import (
+        probe_cells,
+        seed_centroids,
+        to_double_array,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cents = seed_centroids(corpus, "vec_id", "v", 12)
+
+    def pairs(literal_max):
+        return sorted(
+            (r["vec_id"], r["cell"])
+            for r in probe_cells(
+                corpus, "vec_id", "v", cents, nprobe=2, literal_max=literal_max
+            ).collect()
+        )
+
+    lit, join = pairs(64), pairs(0)
+    assert lit == join and len(lit) == 2 * corpus.count()
+
+
+def test_assign_cells_join_path_plan_is_broadcast(spark, sf_dir):
+    """Above literal_max the assignment must be a BroadcastHashJoin on
+    the centroid table (O(1) plan size in k), not an inlined literal
+    expression tree."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        seed_centroids,
+        to_double_array,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cents = seed_centroids(corpus, "vec_id", "v", 12)
+    plan = (
+        assign_cells(corpus, "vec_id", "v", cents, literal_max=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_srp_bucket_literal_planes_match_elementwise_form(spark, sf_dir):
+    """The constant-folded literal-plane spelling (the q42 regression
+    fix) is bit-identical to the per-element modular form."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        srp_bucket,
+        to_double_array,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    got = df.select(
+        "vec_id",
+        srp_bucket(F.col("v"), 8, dim=64).alias("fast"),
+        srp_bucket(F.col("v"), 8, dim=None).alias("ref"),
+    ).filter(F.col("fast") != F.col("ref"))
+    assert got.count() == 0
+
+
 def test_semantic_dedup_drops_scaled_copies_keeps_originals(spark):
     """A scaled copy (cosine 1.0) must land in the same cell as its
     original, join its component, and lose the keep flag; unrelated

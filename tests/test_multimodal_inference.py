@@ -233,3 +233,114 @@ def test_collate_by_bucket_partitioning(spark):
         .distinct()
     )
     assert pairs.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Codec-free tagger preprocessing math (dbimutils.py:29-43 + tagger.py
+# :49-62 semantics on synthetic arrays — no image codec involved)
+# ---------------------------------------------------------------------------
+def test_make_square_white_centered_padding():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import make_square_white
+
+    img = np.zeros((2, 4, 3), dtype=np.uint8)  # landscape 2×4
+    sq = make_square_white(img, 4)
+    assert sq.shape == (4, 4, 3)
+    # delta_h=2 → top 1, bottom 1 of white; payload rows in the middle
+    assert (sq[0] == 255).all() and (sq[3] == 255).all()
+    assert (sq[1:3] == 0).all()
+
+
+def test_make_square_white_odd_delta_goes_bottom_right():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import make_square_white
+
+    img = np.zeros((3, 4, 3), dtype=np.uint8)  # delta_h = 1
+    sq = make_square_white(img, 4)
+    # reference split: top = 1//2 = 0, bottom = 1 — odd pixel at bottom
+    assert (sq[3] == 255).all() and (sq[0] == 0).all()
+
+
+def test_make_square_grows_to_target_when_image_smaller():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import make_square_white
+
+    sq = make_square_white(np.zeros((2, 2, 3), dtype=np.uint8), 6)
+    assert sq.shape == (6, 6, 3)  # desired = max(h, w, target)
+
+
+def test_area_resize_integer_ratio_is_block_mean():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import area_resize
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = area_resize(img, 2)
+    # 2×2 block means of [[0..3],[4..7],[8..11],[12..15]]
+    assert np.allclose(out[:, :, 0], [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_area_resize_fractional_ratio_box_overlap():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import area_resize
+
+    img = np.array([[10.0], [20.0], [40.0]]).reshape(3, 1, 1)
+    img = np.repeat(img, 3, axis=1)  # 3×3
+    out = area_resize(img, 2)
+    # scale 1.5: out row 0 = (10 + 0.5·20)/1.5, row 1 = (0.5·20 + 40)/1.5
+    assert np.allclose(out[0, 0, 0], (10 + 0.5 * 20) / 1.5)
+    assert np.allclose(out[1, 0, 0], (0.5 * 20 + 40) / 1.5)
+
+
+def test_normalize_pixels_variants():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import normalize_pixels
+
+    # uint16 → /257
+    u16 = np.full((2, 2, 3), 65535, dtype=np.uint16)
+    assert (normalize_pixels(u16) == 255).all()
+    # grayscale → 3 channels
+    assert normalize_pixels(np.zeros((2, 2), dtype=np.uint8)).shape == (2, 2, 3)
+    # RGBA: transparent pixel → white, alpha dropped
+    rgba = np.zeros((1, 2, 4), dtype=np.uint8)
+    rgba[0, 0] = [9, 9, 9, 255]   # opaque dark
+    rgba[0, 1] = [9, 9, 9, 0]     # fully transparent
+    out = normalize_pixels(rgba)
+    assert out.shape == (1, 2, 3)
+    assert (out[0, 0] == 9).all() and (out[0, 1] == 255).all()
+
+
+def test_preprocess_rgb_batch_shape_bgr_and_none_handling():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import preprocess_rgb_batch
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # strong R channel
+    batch = preprocess_rgb_batch([img, None], size=4)
+    assert batch.shape == (2, 4, 4, 3) and batch.dtype == np.float32
+    # BGR swap: input R (200) must land in channel 2
+    assert np.allclose(batch[0, :, :, 2], 200.0)
+    assert np.allclose(batch[0, :, :, 0], 0.0)
+    # None row → stable all-white geometry
+    assert np.allclose(batch[1], 255.0)
+
+
+def test_make_preprocess_composes_decoder():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.inference import make_preprocess
+
+    def fake_decode(b: bytes) -> np.ndarray:
+        v = b[0] if b else 0
+        return np.full((2, 2, 3), v, dtype=np.uint8)
+
+    prep = make_preprocess(fake_decode, size=2)
+    out = prep([bytes([7]), None])
+    assert out.shape == (2, 2, 2, 3)
+    assert np.allclose(out[0], 7.0) and np.allclose(out[1], 255.0)

@@ -36,3 +36,40 @@ def test_approx_profile_plan_has_no_collect_list(spark, sf_dir):
     plan = corpus_profile(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
     assert "approx_count_distinct" in plan or "HyperLogLog" in plan
+
+
+def test_approx_profile_tracks_exact_at_sf001(spark):
+    """The r3 verdict's gate-strength ask: pin sketch accuracy at the
+    driver's own gate scale (sf0.01) with DECLARED error bounds —
+    HLL++ rsd=0.05 and GK accuracy=10000 — so q49 (rows-only at the
+    driver by design) carries a value check in CI."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {r["source"]: r for r in corpus_profile(docs, approx=False).collect()}
+    approx = {r["source"]: r for r in corpus_profile(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["n_docs"] == e["n_docs"]
+        assert a["min_chars"] == e["min_chars"]
+        assert a["max_chars"] == e["max_chars"]
+        # HLL++ declared rsd 0.05 → 3σ ≈ 15% relative error bound
+        assert abs(a["n_langs"] - e["n_langs"]) <= max(1, 0.15 * e["n_langs"]), src
+        # GK declared accuracy=10000 → rank error ≤ n/10000; with group
+        # sizes ~thousands at sf0.01 that is <1 rank, i.e. exact —
+        # allow one discrete step of slack on top.
+        n = e["n_docs"]
+        for q in ("p25_chars", "p50_chars", "p75_chars"):
+            rank_slack = max(1, int(n / 10000) + 1)
+            vals = sorted(
+                r["n_chars"]
+                for r in docs.filter(F.col("source") == src)
+                .select("n_chars")
+                .collect()
+            )
+            qq = {"p25_chars": 0.25, "p50_chars": 0.5, "p75_chars": 0.75}[q]
+            import math
+
+            idx = max(0, int(math.ceil(qq * n)) - 1)
+            lo = vals[max(0, idx - rank_slack)]
+            hi = vals[min(n - 1, idx + rank_slack)]
+            assert lo <= a[q] <= hi, (src, q, a[q], lo, hi)
