@@ -8,6 +8,7 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     mix_q,
     multimodal_q,
     relational,
+    selection_q,
     similarity_q,
     streaming_q,
     tags_q,

@@ -1,0 +1,119 @@
+"""Data-selection gate queries: DSIR importance weighting and the
+per-group rank-based quality filter.
+
+Both generalize the reference's single scalar quality gate
+(run.py:87-88, legacy/merge_final_train_metadata.py:14 — one global
+aesthetic threshold) into the selection machinery a text pretraining
+corpus needs: distribution-matching importance weights (DSIR) and
+per-language adaptive cutoffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.hashing import polyhash_sql
+from anime_data_pipeline_spark.functions.text import tokens_sql
+from anime_data_pipeline_spark.operators.selection import (
+    dsir_logweights,
+    quantile_filter_by_rank,
+)
+from anime_data_pipeline_spark.operators.textstats import (
+    quality_columns,
+    quality_sql_projection,
+)
+from anime_data_pipeline_spark.queries.text_q import _DOCS_CTE, _mutated
+from anime_data_pipeline_spark.registry import register
+
+_B = 1024  # DSIR hash-bucket count (fixed — independent of corpus size)
+
+
+# ---------------------------------------------------------------------------
+# q95 — DSIR importance log-weights (hashed unigram+bigram features,
+# target = English subset, raw = whole corpus). The oracle reproduces
+# the full featurize → distribution → log-ratio → per-doc sum chain.
+# ---------------------------------------------------------------------------
+def _q95_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import shingle_hashes_sql
+
+    return f"""
+    WITH docs AS (SELECT doc_id, lang, text FROM documents),
+    tok AS (SELECT doc_id, lang, {tokens_sql("text")} AS toks FROM docs),
+    tha AS (SELECT doc_id, lang,
+                   list_transform(toks, t -> {polyhash_sql("t")}) AS th
+            FROM tok),
+    feats AS (SELECT doc_id, lang,
+                     list_transform(list_concat(th, {shingle_hashes_sql("th", 2)}),
+                                    h -> h % {_B}) AS fb
+              FROM tha),
+    ex AS (SELECT doc_id, lang, unnest(fb) AS bucket FROM feats),
+    counts AS (SELECT doc_id, lang, bucket, count(*) AS cnt
+               FROM ex GROUP BY doc_id, lang, bucket),
+    rawtot AS (SELECT sum(cnt) AS tot FROM counts),
+    rawd AS (SELECT bucket,
+                    ln((sum(cnt) + 1.0) / ((SELECT tot FROM rawtot) + {_B}))
+                      AS logq
+             FROM counts GROUP BY bucket),
+    tcounts AS (SELECT * FROM counts WHERE lang = 'en'),
+    ttot AS (SELECT sum(cnt) AS tot FROM tcounts),
+    tgtd AS (SELECT bucket,
+                    ln((sum(cnt) + 1.0) / ((SELECT tot FROM ttot) + {_B}))
+                      AS logp
+             FROM tcounts GROUP BY bucket),
+    ratio AS (SELECT r.bucket,
+                     coalesce(t.logp,
+                              ln(1.0 / ((SELECT tot FROM ttot) + {_B}))) - r.logq
+                       AS logratio
+              FROM rawd r LEFT JOIN tgtd t USING (bucket)),
+    w AS (SELECT doc_id, sum(cnt * logratio) AS lw
+          FROM counts JOIN ratio USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, {dround_sql("lw", 6)} AS dsir_logw FROM w
+    """
+
+
+@register("q95_dsir_logweights", oracle=_q95_oracle())
+def q95_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_logweights(
+        docs, "doc_id", "text", target_pred=F.col("lang") == "en", buckets=_B
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), dround(F.col("dsir_logw"), 6).alias("dsir_logw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — per-language adaptive quality filter: drop the bottom 25% of
+# each language by (quality_score, doc_id) rank. Discrete rank cutoff —
+# no percentile interpolation, so membership is engine-exact. Runs over
+# the mutated corpus from text_q so scores take distinct values.
+# ---------------------------------------------------------------------------
+def _q99_oracle() -> str:
+    score = quality_sql_projection("text")["quality_score"]
+    return f"""
+    WITH docs AS ({_DOCS_CTE}),
+    scored AS (SELECT doc_id, lang, ({score}) AS quality_score FROM docs),
+    ranked AS (SELECT *,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY quality_score, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM scored)
+    SELECT doc_id, lang, {dround_sql("quality_score", 6)} AS quality_score
+    FROM ranked WHERE rn > floor(0.25 * n)
+    """
+
+
+@register("q99_adaptive_quality_filter", oracle=_q99_oracle())
+def q99_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_columns(_mutated(spark, sf_dir), "text").select(
+        "doc_id", "lang", "quality_score"
+    )
+    kept = quantile_filter_by_rank(
+        scored, "lang", "quality_score", "doc_id", drop_frac=0.25
+    )
+    return kept.select(
+        "doc_id", "lang", dround(F.col("quality_score"), 6).alias("quality_score")
+    )

@@ -1,0 +1,67 @@
+"""Unit tests for the data-selection operators (operators/selection.py):
+DSIR importance weighting and the rank-based per-group quantile filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.operators.selection import (
+    doc_bucket_counts,
+    dsir_logweights,
+    quantile_filter_by_rank,
+)
+
+
+def test_quantile_filter_exact_drop_count(spark):
+    rows = [(g, float(s), i) for g in ("a", "b") for i, s in enumerate(range(10))]
+    df = spark.createDataFrame(rows, "grp string, score double, id int")
+    kept = quantile_filter_by_rank(df, "grp", "score", "id", drop_frac=0.25)
+    out = kept.groupBy("grp").count().collect()
+    # floor(0.25 * 10) = 2 dropped per group
+    assert {r["grp"]: r["count"] for r in out} == {"a": 8, "b": 8}
+    # dropped rows are the lowest scores
+    mins = kept.groupBy("grp").agg(F.min("score").alias("m")).collect()
+    assert all(r["m"] == 2.0 for r in mins)
+
+
+def test_quantile_filter_ties_break_by_id(spark):
+    # all scores equal: rank falls back to id, so exactly ids 0..1 drop
+    df = spark.createDataFrame(
+        [("g", 1.0, i) for i in range(8)], "grp string, score double, id int"
+    )
+    kept = quantile_filter_by_rank(df, "grp", "score", "id", drop_frac=0.25)
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3, 4, 5, 6, 7]
+
+
+def test_doc_bucket_counts_multiplicity(spark):
+    df = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    out = {
+        r["bucket"]: r["cnt"]
+        for r in doc_bucket_counts(df, "doc_id", "text", buckets=1 << 20).collect()
+    }
+    # unigrams: x(×2), y(×1); bigrams: (x,x), (x,y) — 5 grams, 4 buckets
+    assert sum(out.values()) == 5
+    assert sorted(out.values(), reverse=True)[0] == 2  # 'x' counted twice
+
+
+def test_dsir_targets_score_higher(spark):
+    # target docs share a distinctive vocabulary; raw docs don't.
+    target = [(i, "alpha beta gamma delta alpha beta", True) for i in range(8)]
+    other = [(100 + i, "zeta eta theta iota kappa mu", False) for i in range(8)]
+    probe_t = [(200, "alpha beta gamma alpha beta gamma", False)]
+    probe_o = [(201, "zeta eta theta zeta eta theta", False)]
+    df = spark.createDataFrame(
+        target + other + probe_t + probe_o, "doc_id long, text string, is_t boolean"
+    )
+    w = {
+        r["doc"]: r["dsir_logw"]
+        for r in dsir_logweights(
+            df, "doc_id", "text", F.col("is_t"), buckets=4096
+        ).collect()
+    }
+    # the target-like probe must outscore the out-of-domain probe
+    assert w[200] > w[201]
+    # and target members outscore non-members on average
+    t_avg = sum(w[i] for i in range(8)) / 8
+    o_avg = sum(w[100 + i] for i in range(8)) / 8
+    assert t_avg > o_avg
