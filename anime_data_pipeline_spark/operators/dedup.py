@@ -93,6 +93,86 @@ def band_values(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*cols)
 
 
+def band_candidates(hashed: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from the LSH band join.
+
+    ``hashed`` must carry (doc, sig); callers persist it — it is read
+    by both join sides. The equi-join key is (band_idx, band_val), so
+    only bucket-colliding pairs are ever generated (sub-quadratic).
+    """
+    exploded = hashed.select(
+        "doc", F.posexplode(band_values(F.col("sig"), bands, rows)).alias("band_idx", "band_val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def editdist_verify_neardups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    prefix: int = 512,
+    min_sim: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs verified by normalized Levenshtein similarity.
+
+    Shingle-Jaccard (minhash_lsh_pairs) treats documents as token
+    *sets*; edit distance is the order-sensitive verifier — the final
+    arbiter used when near-dup semantics must respect sequence (e.g.
+    templated spam with token reordering). Candidates come from the
+    same LSH band join; only colliding pairs pay the O(prefix²) DP,
+    which runs map-side after the candidate join on texts capped at
+    ``prefix`` chars (the standard bound that keeps worst-case cost
+    independent of document length at 100 TB). The DP itself is BANDED:
+    any distance above ``(1−min_sim)·prefix`` cannot reach ``min_sim``,
+    so Spark's thresholded levenshtein runs O(prefix·band) instead of
+    O(prefix²) and early-outs to −1 (which the similarity filter
+    discards — identical result set to the unbanded oracle).
+
+    Returns (id_a, id_b, lev, edit_sim) with
+    edit_sim = 1 − lev / max(len_a, len_b) ≥ ``min_sim``.
+    """
+    rows = k // bands
+    hashed = shingle_hash_sets(df, id_col, text_col, n).withColumn(
+        "sig", minhash_signature(F.col("hashes"), k)
+    )
+    hashed = hashed.persist()
+    cand = band_candidates(hashed, bands, rows)
+    texts = df.select(
+        F.col(id_col).alias("_tid"),
+        F.substring(F.col(text_col), 1, prefix).alias("_txt"),
+    )
+    joined = cand.join(
+        texts.select(F.col("_tid").alias("id_a"), F.col("_txt").alias("_ta")), "id_a"
+    ).join(texts.select(F.col("_tid").alias("id_b"), F.col("_txt").alias("_tb")), "id_b")
+    # max distance that can still reach min_sim on prefix-capped texts
+    max_lev = int((1.0 - min_sim) * prefix) + 1
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), max_lev)
+    longest = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        joined.withColumn("lev", lev.cast("long"))
+        .filter(F.col("lev") >= 0)  # −1 = banded early-out (too distant)
+        .withColumn(
+            "edit_sim",
+            F.lit(1.0) - F.col("lev").cast("double") / F.greatest(longest, F.lit(1)),
+        )
+        .filter(F.col("edit_sim") >= min_sim)
+        .select("id_a", "id_b", "lev", "edit_sim")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -119,20 +199,7 @@ def minhash_lsh_pairs(
     # times dominates the runtime otherwise. At cluster scale this would
     # be a checkpoint to parquet between pipeline stages.
     hashed = hashed.persist()
-    exploded = hashed.select(
-        "doc", F.posexplode(band_values(F.col("sig"), bands, rows)).alias("band_idx", "band_val")
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+    cand = band_candidates(hashed, bands, rows)
     sets = hashed.select("doc", "hashes")
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     union = F.size(F.col("ha")) + F.size(F.col("hb")) - inter

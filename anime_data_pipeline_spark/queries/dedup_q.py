@@ -28,8 +28,10 @@ from anime_data_pipeline_spark.functions.hashing import (
     shingle_hashes_sql,
 )
 from anime_data_pipeline_spark.functions.text import tokens_sql
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.operators.dedup import (
     connected_components,
+    editdist_verify_neardups,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -104,9 +106,9 @@ def _hashed_cte(n: int, corpus_sql: str | None = None) -> str:
     """
 
 
-def minhash_pairs_sql(corpus_sql: str, n: int, k: int, bands: int, threshold: float) -> str:
-    """Full LSH near-dup-pairs oracle over an arbitrary (doc_id, text)
-    corpus subquery — band-for-band mirror of minhash_lsh_pairs."""
+def lsh_candidates_sql(corpus_sql: str, n: int, k: int, bands: int) -> str:
+    """CTE prefix ``WITH corpus … cand`` — the LSH band join producing
+    distinct candidate pairs, band-for-band mirror of band_candidates."""
     rows = k // bands
     consts = perm_constants(k)
 
@@ -129,7 +131,14 @@ def minhash_pairs_sql(corpus_sql: str, n: int, k: int, bands: int, threshold: fl
     cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
              FROM bands a JOIN bands b
                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                  AND a.doc < b.doc),
+                  AND a.doc < b.doc)"""
+
+
+def minhash_pairs_sql(corpus_sql: str, n: int, k: int, bands: int, threshold: float) -> str:
+    """Full LSH near-dup-pairs oracle over an arbitrary (doc_id, text)
+    corpus subquery — band-for-band mirror of minhash_lsh_pairs."""
+    return f"""
+    {lsh_candidates_sql(corpus_sql, n, k, bands)},
     verified AS (
       SELECT cand.id_a, cand.id_b,
              CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
@@ -219,6 +228,46 @@ def q34_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         corpus, "doc_id", "text", n=_NJ_N, threshold=_NJ_THRESH, max_df=_NJ_MAXDF
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — edit-distance verification of LSH candidates: the
+# order-sensitive near-dup arbiter. Same band join as q32; the verify
+# stage is normalized Levenshtein on prefix-capped texts instead of
+# shingle Jaccard. The O(prefix²) DP runs only on bucket-colliding
+# pairs, map-side after the candidate join.
+# ---------------------------------------------------------------------------
+_Q96_PREFIX, _Q96_MINSIM = 256, 0.8
+
+_Q96_ORACLE = f"""
+    {lsh_candidates_sql(_CORPUS_SQL, _NGRAM, _K, _BANDS)},
+    t AS (SELECT doc_id, substr(text, 1, {_Q96_PREFIX}) AS txt FROM corpus),
+    v AS (SELECT id_a, id_b,
+                 CAST(levenshtein(ta.txt, tb.txt) AS BIGINT) AS lev,
+                 greatest(greatest(length(ta.txt), length(tb.txt)), 1) AS lng
+          FROM cand
+          JOIN t ta ON ta.doc_id = cand.id_a
+          JOIN t tb ON tb.doc_id = cand.id_b)
+    SELECT id_a, id_b, lev,
+           {dround_sql("1.0 - CAST(lev AS DOUBLE) / lng", 6)} AS edit_sim
+    FROM v WHERE 1.0 - CAST(lev AS DOUBLE) / lng >= {_Q96_MINSIM}
+"""
+
+
+@register("q96_editdist_verify", oracle=_Q96_ORACLE)
+def q96_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = mutated_corpus(spark, sf_dir)
+    out = editdist_verify_neardups(
+        corpus,
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=_K,
+        bands=_BANDS,
+        prefix=_Q96_PREFIX,
+        min_sim=_Q96_MINSIM,
+    )
+    return out.withColumn("edit_sim", dround(F.col("edit_sim"), 6))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,49 @@
+"""Edit-distance near-dup verification (operators/dedup.py:
+editdist_verify_neardups) — banded-DP semantics and the band-candidate
+refactor shared with minhash_lsh_pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anime_data_pipeline_spark.operators.dedup import editdist_verify_neardups
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base),  # exact copy → lev 0, sim 1.0
+        (3, base + " tail tail"),  # near-dup → small lev
+        (4, "completely different words here nothing shared at all xyz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_and_near_pairs_found(spark):
+    out = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["edit_sim"])
+        for r in editdist_verify_neardups(
+            _corpus(spark), "doc_id", "text", min_sim=0.8
+        ).collect()
+    }
+    assert out[(1, 2)][0] == 0 and out[(1, 2)][1] == 1.0
+    assert (1, 3) in out and 0 < out[(1, 3)][0] <= 10
+    assert all(4 not in pair for pair in out)
+
+
+def test_banded_earlyout_matches_unbanded_filter(spark):
+    # a pair that collides in a band but is too distant must be absent,
+    # whether pruned by the banded -1 early-out or the sim filter.
+    df = _corpus(spark)
+    strict = editdist_verify_neardups(df, "doc_id", "text", min_sim=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in strict.collect()}
+    assert (1, 2) in pairs  # identical survives any threshold
+    assert (1, 3) not in pairs  # near-dup below 0.99 is dropped
+
+
+def test_levenshtein_threshold_semantics(spark):
+    # Spark's banded levenshtein returns -1 above the threshold; the
+    # operator must never emit a negative distance.
+    out = editdist_verify_neardups(_corpus(spark), "doc_id", "text", min_sim=0.5)
+    assert out.filter(F.col("lev") < 0).count() == 0
