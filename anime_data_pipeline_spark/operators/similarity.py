@@ -770,6 +770,75 @@ def embedding_neardup_pairs(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate mutual-kNN graph: every vector is a query against
+    the SRP-bucketed corpus (own bucket + all Hamming-1 probes), top-k
+    by cosine per source, plus a ``mutual`` flag (reverse edge exists).
+
+    The graph primitive behind density-based pruning and graph
+    clustering of embedding spaces. Unlike the query-set ANN operators
+    (srp_lsh_topk broadcasts the small query side), BOTH sides here are
+    the corpus, so the probe join is a shuffle equi-join on the int
+    bucket key: the corpus is bucketed once and co-partitioned; the
+    probe side is a map-side ≤(planes+1)× explode. Per-source top-k is
+    a window over each source's candidate set (bucket-occupancy-sized,
+    never N); the mutual flag is one self-join of the k·N-row edge
+    list on the reversed key — at 100 TB every exchange carries ids,
+    buckets, and the d-dim vectors exactly once.
+    """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("bucket", srp_bucket(F.col("cv"), planes, dim=dim))
+        .withColumn("cn", F.sqrt(sq_norm(F.col("cv"))))
+    )
+    probe_set = F.array_distinct(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
+        )
+    )
+    q = c.select(
+        F.col("vec_id").alias("src"),
+        F.col("cv").alias("qv"),
+        F.col("cn").alias("qn"),
+        F.explode(probe_set).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("src") != F.col("vec_id"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", F.col("vec_id").alias("dst"), "rank", "cosine")
+    )
+    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    return (
+        edges.join(
+            rev,
+            (F.col("src") == F.col("_rd")) & (F.col("dst") == F.col("_rs")),
+            "left",
+        )
+        .withColumn("mutual", F.col("_rs").isNotNull())
+        .select("src", "dst", "rank", "cosine", "mutual")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector aggregates (label centroids + cohesion)
 # ---------------------------------------------------------------------------

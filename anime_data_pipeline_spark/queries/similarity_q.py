@@ -20,6 +20,7 @@ from anime_data_pipeline_spark.operators.similarity import (
     cosine_sql,
     embedding_neardup_pairs,
     ivf_topk,
+    knn_graph,
     seed_centroids,
     seed_centroids_sql,
     srp_bucket_sql,
@@ -135,6 +136,46 @@ def q48_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         planes=_PLANES,
         hamming_probes=1,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q97 — approximate mutual-kNN graph: every vector queries its own SRP
+# bucket plus all Hamming-1 probes; top-5 per source; mutual flag from
+# one self-join of the edge list on the reversed key. Both sides are
+# the corpus (no broadcast side) — the graph primitive for
+# density-based pruning / graph clustering of embedding spaces.
+# ---------------------------------------------------------------------------
+_Q97_K = 5
+
+_Q97_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    qp AS (SELECT vec_id AS src, cv AS qv,
+                  unnest(list_prepend(bucket,
+                    list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+           FROM corpus),
+    scored AS (SELECT qp.src, corpus.vec_id,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN qp USING (bucket)
+               WHERE qp.src <> corpus.vec_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY src ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored),
+    edges AS (SELECT src, vec_id AS dst, rank, cosine
+              FROM ranked WHERE rank <= {_Q97_K})
+    SELECT e.src, e.dst, e.rank, e.cosine,
+           (r.src IS NOT NULL) AS mutual
+    FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+"""
+
+
+@register("q97_knn_graph", oracle=_Q97_ORACLE)
+def q97_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = knn_graph(
+        _corpus(spark, sf_dir), "vec_id", "embedding", k=_Q97_K, planes=_PLANES
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
