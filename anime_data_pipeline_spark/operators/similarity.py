@@ -839,6 +839,68 @@ def knn_graph(
     )
 
 
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization + reconstruction audit.
+
+    The storage/serving compression step for embedding tables: scale =
+    max|x|/127 (per vector), q_i = clamp(⌊x_i/scale + 0.5⌋, ±127),
+    reconstruction x̂_i = q_i·scale. Returns the input plus
+    ``scale``, ``qv`` (the int8 codes as an int array), ``q_l1``
+    (Σ|q_i| — an integer checksum of the codes), ``mse`` and
+    ``max_abs_err`` of the reconstruction.
+
+    Map-only column math (no shuffle, no UDF); at 100 TB this runs at
+    scan speed and cuts vector bytes 4× for the ANN serving path.
+    ``scale`` and ``qv`` are materialized columns — each is referenced
+    per element downstream, and a nested expression would fold the
+    array_max (resp. the quantize transform) once per reference.
+    Rounding is ⌊x+0.5⌋ (round-half-up): exact IEEE ops, identical in
+    any engine.
+    """
+    cv = F.col("_qz_cv")
+    scale = F.col("scale")
+    qv = F.col("qv")
+    maxabs = F.array_max(F.transform(cv, F.abs))
+    out = (
+        df.withColumn("_qz_cv", to_double_array(F.col(vec_col)))
+        .withColumn(
+            "scale",
+            F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "qv",
+            F.transform(
+                cv,
+                lambda x: F.greatest(
+                    F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+                ),
+            ),
+        )
+        .withColumn(
+            "q_l1",
+            F.aggregate(
+                qv,
+                F.lit(0).cast("long"),
+                lambda acc, q: acc + F.abs(q).cast("long"),
+            ),
+        )
+        .withColumn(
+            "mse",
+            F.aggregate(
+                F.zip_with(cv, qv, lambda x, q: (x - q * scale) * (x - q * scale)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.size(cv),
+        )
+        .withColumn(
+            "max_abs_err",
+            F.array_max(F.zip_with(cv, qv, lambda x, q: F.abs(x - q * scale))),
+        )
+    )
+    return out.withColumn("qv", F.transform(qv, lambda q: q.cast("int"))).drop("_qz_cv")
+
+
 # ---------------------------------------------------------------------------
 # Vector aggregates (label centroids + cohesion)
 # ---------------------------------------------------------------------------

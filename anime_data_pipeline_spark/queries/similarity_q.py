@@ -21,6 +21,7 @@ from anime_data_pipeline_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     knn_graph,
+    quantize_int8,
     seed_centroids,
     seed_centroids_sql,
     srp_bucket_sql,
@@ -178,6 +179,52 @@ def q97_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corpus(spark, sf_dir), "vec_id", "embedding", k=_Q97_K, planes=_PLANES
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q98 — per-vector symmetric int8 quantization audit: scale, integer
+# code checksum (Σ|q_i| — bit-exact check of the codes themselves),
+# reconstruction MSE and max error. Map-only; the storage-compression
+# step for serving embedding tables.
+# ---------------------------------------------------------------------------
+_Q98_ORACLE = f"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    s AS (SELECT *, (CASE WHEN list_max(list_transform(cv, x -> abs(x))) > 0
+                     THEN list_max(list_transform(cv, x -> abs(x))) / 127.0
+                     ELSE 1.0 END) AS scale
+          FROM c),
+    qq AS (SELECT *, list_transform(cv,
+                x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS qv
+           FROM s),
+    m AS (SELECT vec_id, label, scale,
+                 CAST(list_sum(list_transform(qv, q -> CAST(abs(q) AS BIGINT)))
+                      AS BIGINT) AS q_l1,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, len(cv)),
+                     i -> (cv[i] - qv[i] * scale) * (cv[i] - qv[i] * scale))),
+                   (a, b) -> a + b) / len(cv) AS mse,
+                 list_max(list_transform(generate_series(1, len(cv)),
+                   i -> abs(cv[i] - qv[i] * scale))) AS max_abs_err
+          FROM qq)
+    SELECT vec_id, label, {dround_sql("scale", 9)} AS scale, q_l1,
+           {dround_sql("mse", 9)} AS mse,
+           {dround_sql("max_abs_err", 9)} AS max_abs_err
+    FROM m
+"""
+
+
+@register("q98_embedding_quantize", oracle=_Q98_ORACLE)
+def q98_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quantize_int8(_corpus(spark, sf_dir), "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        "label",
+        dround(F.col("scale"), 9).alias("scale"),
+        "q_l1",
+        dround(F.col("mse"), 9).alias("mse"),
+        dround(F.col("max_abs_err"), 9).alias("max_abs_err"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -228,3 +228,22 @@ def test_knn_graph_mutual_flag_and_recall(spark, sf_dir):
         by_src.setdefault(r["src"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= _K
                for v in by_src.values())
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from anime_data_pipeline_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),      # zero vector: scale falls back to 1
+        (3, [127.0, -127.0, 63.5, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r["qv"])
+        # per-element reconstruction error is bounded by scale/2
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+    assert out[2]["scale"] == 1.0 and out[2]["q_l1"] == 0 and out[2]["mse"] == 0.0
+    # extreme elements map exactly to ±127
+    assert out[3]["qv"][0] == 127 and out[3]["qv"][1] == -127
