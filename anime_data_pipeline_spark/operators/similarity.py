@@ -100,16 +100,44 @@ def _plane_values(j: int, dim: int) -> list[float]:
 
 
 def _plane_lit(j: int, dim: int) -> Column:
-    """Plane j as a literal double array: CreateArray over foldable
-    literals, which ConstantFolding collapses to ONE array literal —
-    the hyperplane is materialized once per plan, not recomputed per
-    (row × element) as the interpreted ``_plane_component`` form was
-    (the r3→r4 q42 regression fix)."""
-    return F.array(*[F.lit(x) for x in _plane_values(j, dim)])
+    """Plane j as ONE literal double-array — the hyperplane is
+    materialized once per plan, not recomputed per (row × element) as
+    the interpreted ``_plane_component`` form was (the r3→r4 q42
+    regression fix)."""
+    return F.lit(_plane_values(j, dim))
+
+
+def _fmt_double(x: float) -> str:
+    """Shortest-roundtrip double literal for Spark SQL text. Python's
+    repr and Java's Double.parseDouble are both correctly-rounded, so
+    the parsed double is bit-identical to ``x``."""
+    return f"{x!r}D"
+
+
+def _srp_bucket_expr(col_name: str, planes: int, first_plane: int, dim: int) -> Column:
+    """The entire SRP bucket as ONE ``F.expr`` string.
+
+    Semantically identical to the per-plane Column composition (same
+    Catalyst Aggregate/ZipWith/CaseWhen nodes after parsing, same
+    left-fold order, same literal doubles) but built with a single
+    py4j round-trip. The Column-API spelling cost ~1.7 s of driver
+    time per call at dim=64 × 8 planes: every ``F.lit`` element and
+    every higher-order-function lambda is its own py4j round-trip,
+    and that plan-build latency dwarfed the sub-second execution
+    (the remaining half of the q42 bench regression)."""
+    terms = []
+    for j in range(planes):
+        arr = ", ".join(_fmt_double(x) for x in _plane_values(first_plane + j, dim))
+        d = (
+            f"aggregate(zip_with({col_name}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, t) -> acc + t)"
+        )
+        terms.append(f"(CASE WHEN ({d}) > 0.0D THEN {1 << j} ELSE 0 END)")
+    return F.expr(f"CAST({' + '.join(terms)} AS INT)")
 
 
 def srp_bucket(
-    v: Column, planes: int = 8, first_plane: int = 0, dim: int | None = None
+    v: Column | str, planes: int = 8, first_plane: int = 0, dim: int | None = None
 ) -> Column:
     """SRP bucket id in [0, 2^planes): bit j = sign(dot(v, plane_{j+first_plane})).
 
@@ -122,10 +150,15 @@ def srp_bucket(
     of the `embeddings` source), each plane becomes a constant-folded
     literal array and the per-plane dot is one zip_with+fold; the
     per-element modular arithmetic runs once at plan-build time instead
-    of per (row × element × plane). ``dim=None`` keeps the dim-agnostic
-    fallback. Both spellings fold the identical sum left-to-right over
-    identical double values, so bucket ids are bit-identical.
+    of per (row × element × plane). Pass ``v`` as a column NAME to
+    additionally build the whole bucket as one ``F.expr`` (single py4j
+    round-trip — see :func:`_srp_bucket_expr`). ``dim=None`` keeps the
+    dim-agnostic fallback. All spellings fold the identical sum
+    left-to-right over identical double values, so bucket ids are
+    bit-identical.
     """
+    if dim is not None and isinstance(v, str):
+        return _srp_bucket_expr(v, planes, first_plane, dim)
     if dim is not None:
         out = F.lit(0)
         for j in range(planes):
@@ -136,6 +169,8 @@ def srp_bucket(
             )
             out = out + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
         return out.cast("int")
+    if isinstance(v, str):
+        v = F.col(v)
 
     size = F.size(v)
 
@@ -243,14 +278,14 @@ def srp_lsh_topk(
         corpus.select(
             F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
         )
-        .withColumn("bucket", srp_bucket(F.col("cv"), planes, dim=dim))
+        .withColumn("bucket", srp_bucket("cv", planes, dim=dim))
         .withColumn("cn", F.sqrt(sq_norm(F.col("cv"))))
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
         )
-        .withColumn("bucket0", srp_bucket(F.col("qv"), planes, dim=dim))
+        .withColumn("bucket0", srp_bucket("qv", planes, dim=dim))
         .withColumn("qn", F.sqrt(sq_norm(F.col("qv"))))
     )
     if hamming_probes >= 1:
@@ -732,7 +767,7 @@ def embedding_neardup_pairs(
             F.struct(
                 F.lit(t).alias("t"),
                 srp_bucket(
-                    F.col("v"),
+                    "v",
                     planes_per_table,
                     first_plane=t * planes_per_table,
                     dim=dim,
@@ -799,7 +834,7 @@ def knn_graph(
         corpus.select(
             F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cv")
         )
-        .withColumn("bucket", srp_bucket(F.col("cv"), planes, dim=dim))
+        .withColumn("bucket", srp_bucket("cv", planes, dim=dim))
         .withColumn("cn", F.sqrt(sq_norm(F.col("cv"))))
     )
     probe_set = F.array_distinct(
