@@ -507,6 +507,100 @@ def benchmark_contamination(
     )
 
 
+def bloom_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    n_hash: int = 4,
+) -> DataFrame:
+    """Contamination check with a Bloom-filter prefilter.
+
+    benchmark_contamination broadcasts the DISTINCT bench shingle set
+    and joins every exploded corpus shingle against it. When the bench
+    universe outgrows comfortable broadcast (or the corpus explode is
+    the bottleneck), the standard fix is a Bloom filter: m bits, j
+    deterministic hash probes per shingle. The corpus-side membership
+    test becomes pure map column math over the shingle array — NO
+    explode, NO join — and only the flagged shingles (true hits +
+    deterministic false positives) explode into the exact verify join.
+
+    Scale shape: the bitmap is built distributedly — positions →
+    (word_idx, bit) → groupBy(word_idx).bit_or — and only the FIXED
+    m/32-row word table is collected (8 KB at m=2^16, independent of
+    bench size; 32-bit words because DuckDB's shift-overflow check
+    forbids 1<<63 even on UBIGINT, and the oracle must mirror the
+    words); it is then inlined as a literal array in the filter
+    expression (inline, never a materialized column: a literal in a
+    projection would copy the array per row). Probes are the shared
+    deterministic (a,b) family, so the same filter — including its
+    false-positive set — is reproducible in any engine, which is what
+    makes the oracle check possible.
+
+    Returns (doc, n_shingles, n_flagged, n_true, n_false_pos).
+    """
+    if m_bits < 32 or m_bits % 32:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    consts = perm_constants(20 + n_hash)[20 : 20 + n_hash]
+    universe = (
+        shingle_hash_sets(bench, id_col, text_col, n)
+        .select(F.explode("hashes").alias("sh"))
+        .distinct()
+    )
+    pos = universe.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(P)) % F.lit(m_bits)
+                    for a, b in consts
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = (
+        pos.select(
+            (F.col("p") / F.lit(32)).cast("int").alias("idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("bv"),
+        )
+        .groupBy("idx")
+        .agg(F.bit_or("bv").alias("w"))
+        .collect()
+    )
+    wmap = {r["idx"]: r["w"] for r in words}
+    bitmap = [wmap.get(i, 0) for i in range(m_bits // 32)]
+    bm_sql = "array(" + ", ".join(f"{w}L" for w in bitmap) + ")"
+    pos_arr = (
+        "array("
+        + ", ".join(f"((({a} * h) + {b}) % {P}) % {m_bits}" for a, b in consts)
+        + ")"
+    )
+    check = (
+        f"p -> (shiftright(element_at({bm_sql}, cast(p div 32 as int) + 1), "
+        f"cast(p % 32 as int)) & 1) = 1"
+    )
+    c = shingle_hash_sets(corpus, id_col, text_col, n).withColumn(
+        "fh", F.expr(f"filter(hashes, h -> forall({pos_arr}, {check}))")
+    )
+    ex = c.select("doc", F.explode("fh").alias("sh"))
+    true_hits = (
+        ex.join(F.broadcast(universe), "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        c.select(
+            "doc",
+            F.size("hashes").cast("long").alias("n_shingles"),
+            F.size("fh").cast("long").alias("n_flagged"),
+        )
+        .join(true_hits, "doc", "left")
+        .withColumn("n_true", F.coalesce(F.col("n_true"), F.lit(0)).cast("long"))
+        .withColumn("n_false_pos", F.col("n_flagged") - F.col("n_true"))
+    )
+
+
 def remove_duplicate_lines(
     df: DataFrame, id_col: str, text_col: str, min_dup: int = 2
 ) -> DataFrame:

@@ -577,6 +577,80 @@ def q79_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q100 — contamination check with a Bloom-filter prefilter: same
+# corpus/bench construction as q78, but the corpus-side membership test
+# is map-only bit math against an m=2^16-bit Bloom filter (j=4
+# deterministic probes); only flagged shingles (true hits + the
+# filter's deterministic false positives) join the exact universe. The
+# oracle rebuilds the identical bitmap in SQL, so the hash-match
+# covers the false-positive set too.
+# ---------------------------------------------------------------------------
+_Q100_M, _Q100_J = 1 << 16, 4
+
+
+def _q100_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import P, perm_constants
+
+    consts = perm_constants(20 + _Q100_J)[20 : 20 + _Q100_J]
+    pos_sh = (
+        "["
+        + ", ".join(f"((({a} * sh) + {b}) % {P}) % {_Q100_M}" for a, b in consts)
+        + "]"
+    )
+    pos_h = (
+        "["
+        + ", ".join(f"((({a} * h) + {b}) % {P}) % {_Q100_M}" for a, b in consts)
+        + "]"
+    )
+    check = "p -> ((l[CAST(p // 32 AS INT) + 1] >> CAST(p % 32 AS INT)) & 1) = 1"
+    flag = (
+        f"list_reduce(list_prepend(true, list_transform({pos_h}, {check})), "
+        "(x, y) -> x AND y)"
+    )
+    n = _CONTAM_N
+    return f"""
+    WITH bench_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+    corpus AS ({_Q78_CORPUS_SQL}),
+    ctok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    cth AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM ctok),
+    chash AS (SELECT doc, list_distinct({shingle_hashes_sql("th", n)}) AS hashes FROM cth),
+    btok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM bench_raw),
+    bth AS (SELECT doc, list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM btok),
+    bhash AS (SELECT doc, list_distinct({shingle_hashes_sql("th", n)}) AS hashes FROM bth),
+    universe AS (SELECT DISTINCT unnest(hashes) AS sh FROM bhash),
+    pos AS (SELECT DISTINCT unnest({pos_sh}) AS p FROM universe),
+    wrd AS (SELECT CAST(p // 32 AS INT) AS idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS w
+            FROM pos GROUP BY idx),
+    bmw AS (SELECT g.i AS idx, coalesce(w.w, CAST(0 AS BIGINT)) AS w
+            FROM generate_series(0, {_Q100_M // 32 - 1}) g(i)
+            LEFT JOIN wrd w ON w.idx = g.i),
+    bm AS (SELECT list(w ORDER BY idx) AS l FROM bmw),
+    flagged AS (SELECT doc, hashes, list_filter(hashes, h -> {flag}) AS fh
+                FROM chash CROSS JOIN bm),
+    ex2 AS (SELECT doc, unnest(fh) AS sh FROM flagged),
+    thits AS (SELECT doc, count(*) AS n_true
+              FROM ex2 JOIN universe USING (sh) GROUP BY doc)
+    SELECT f.doc,
+           CAST(len(f.hashes) AS BIGINT) AS n_shingles,
+           CAST(len(f.fh) AS BIGINT) AS n_flagged,
+           CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+           CAST(len(f.fh) - coalesce(t.n_true, 0) AS BIGINT) AS n_false_pos
+    FROM flagged f LEFT JOIN thits t USING (doc)
+    """
+
+
+@register("q100_bloom_contamination", oracle=_q100_oracle())
+def q100_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import bloom_contamination
+
+    corpus, bench = _q78_tables(spark, sf_dir)
+    return bloom_contamination(
+        corpus, bench, "doc_id", "text", n=_CONTAM_N, m_bits=_Q100_M, n_hash=_Q100_J
+    )
+
+
+# ---------------------------------------------------------------------------
 # q89 — temperature mix weights (share^alpha source reweighting,
 # Lample & Conneau 2019 §3.1): the sampling-probability table a
 # 100 TB mixer draws from. Pure aggregation; the oracle mirrors the
