@@ -601,6 +601,79 @@ def bloom_contamination(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span removal (the hash-gram form of Lee et al.
+    2022's ExactSubstr dedup): any n-token span whose hash occurs ≥
+    ``min_count`` times ANYWHERE in the corpus is removed from every
+    document containing it (all occurrences drop — the conservative
+    "both-drop" variant; the suffix-array original keeps one copy).
+
+    Plan shape: tokens are hashed once per doc; span hashes fold from
+    the token-hash array in O(1) each; the only corpus-wide state is
+    the (span-hash → count) aggregation, whose exchange carries 8-byte
+    hashes + positions, never text. Duplicate positions come back per
+    doc as a sorted int array, the covered token-index set is a
+    map-side interval union (flatten + distinct of [p, p+n-1] ranges,
+    overlapping spans merge for free), and the cleaned text is rebuilt
+    by an index filter over the original token array. At 100 TB the
+    span length (n=50 in the paper) makes true-duplicate spans rare
+    enough that the dup-position arrays stay small; hash collisions at
+    64-bit span hashes are negligible but make this an approximation
+    of the suffix-array construction, not a replica.
+
+    Returns (doc, n_tokens, n_dropped, cleaned) for every input doc.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+        )
+        .withColumn("_th", F.transform(F.col("_toks"), polyhash))
+        .withColumn("_sh", shingle_hashes(F.col("_th"), n))
+    )
+    spans = base.select("doc", F.posexplode("_sh").alias("pos0", "sh"))
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("sh")
+    )
+    dpos = (
+        spans.join(dup, "sh")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("dps"))
+    )
+    covered = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("dps"), lambda p: F.sequence(p, p + F.lit(n - 1)))
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+    return (
+        base.join(dpos, "doc", "left")
+        .withColumn("_cov", covered)
+        .select(
+            "doc",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size("_cov").cast("long").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("_toks"),
+                    lambda x, i: ~F.array_contains(F.col("_cov"), (i + F.lit(1)).cast("int")),
+                ),
+            ).alias("cleaned"),
+        )
+    )
+
+
 def remove_duplicate_lines(
     df: DataFrame, id_col: str, text_col: str, min_dup: int = 2
 ) -> DataFrame:

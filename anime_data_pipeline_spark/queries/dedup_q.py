@@ -271,6 +271,53 @@ def q96_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q101 — exact duplicated-span removal (hash-gram ExactSubstr, Lee et
+# al. 2022): every 10-token span occurring ≥2 times corpus-wide is
+# dropped from every document; cleaned text rebuilt from the surviving
+# tokens. The mutated corpus guarantees duplicated spans (exact copies
+# share every span; near-dup copies share long prefixes).
+# ---------------------------------------------------------------------------
+_SPAN_N = 10
+
+
+def _q101_oracle() -> str:
+    n = _SPAN_N
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    tha AS (SELECT doc, toks,
+                   list_transform(toks, t -> {polyhash_sql("t")}) AS th
+            FROM tok),
+    shs AS (SELECT doc, toks, {shingle_hashes_sql("th", n)} AS sh FROM tha),
+    spans AS (SELECT doc, u.s.sh AS sh, u.s.pos AS pos
+              FROM shs, unnest(list_transform(sh, (x, i) -> {{'sh': x, 'pos': i}})) AS u(s)),
+    dup AS (SELECT sh FROM spans GROUP BY sh HAVING count(*) >= 2),
+    dpos AS (SELECT doc, list_sort(list(pos)) AS dps
+             FROM spans JOIN dup USING (sh) GROUP BY doc),
+    cov AS (SELECT s.doc, s.toks,
+                   coalesce(list_distinct(flatten(list_transform(d.dps,
+                     p -> list_transform(generate_series(p, p + {n - 1}), z -> CAST(z AS INT))))),
+                     CAST([] AS INT[])) AS cv
+            FROM shs s LEFT JOIN dpos d USING (doc))
+    SELECT doc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(cv) AS BIGINT) AS n_dropped,
+           coalesce(list_aggregate(
+               list_filter(toks, (x, i) -> NOT list_contains(cv, CAST(i AS INT))),
+               'string_agg', ' '), '') AS cleaned
+    FROM cov
+    """
+
+
+@register("q101_span_dedup", oracle=_q101_oracle())
+def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    corpus = mutated_corpus(spark, sf_dir)
+    return remove_duplicate_spans(corpus, "doc_id", "text", n=_SPAN_N, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over the verified LSH pairs.
 # Spark runs alternating large-star/small-star contraction (O(log n)
 # driver-loop rounds over distributed joins); the oracle computes the

@@ -47,3 +47,54 @@ def test_levenshtein_threshold_semantics(spark):
     # operator must never emit a negative distance.
     out = editdist_verify_neardups(_corpus(spark), "doc_id", "text", min_sim=0.5)
     assert out.filter(F.col("lev") < 0).count() == 0
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared + " tail-a unique-a"),
+        (2, shared + " tail-b unique-b"),  # shares the 10-token prefix span
+        (3, "totally different words with no repeated span at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", n=10, min_count=2).collect()}
+    # the shared 10-token span is dropped from BOTH docs; tails survive
+    assert out[1]["n_dropped"] == 10 and out[2]["n_dropped"] == 10
+    assert out[1]["cleaned"] == "tail-a unique-a"
+    assert out[2]["cleaned"] == "tail-b unique-b"
+    # the unique doc is untouched
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["cleaned"] == rows[2][1]
+
+
+def test_remove_duplicate_spans_full_coverage_empty_doc(spark):
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r["doc"]: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", n=10, min_count=2).collect()}
+    # exact copies: every token covered, cleaned text is empty
+    assert out[1]["n_dropped"] == 10 and out[1]["cleaned"] == ""
+    assert out[2]["n_dropped"] == 10 and out[2]["cleaned"] == ""
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    # doc 1 contains the shared 4-gram twice, overlapping coverage must
+    # union (not double-count) and interior repeats both drop
+    df = spark.createDataFrame(
+        [(1, "w x y z w x y z tail"), (2, "w x y z other stuff here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", n=4, min_count=2).collect()}
+    assert out[1]["cleaned"] == "tail"
+    assert out[1]["n_dropped"] == 8
+    assert out[2]["cleaned"] == "other stuff here"
