@@ -250,3 +250,45 @@ def test_pretraining_chain_plan_invariants(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("InMemoryTableScan") >= 2, "stage persists not in plan"
+
+
+def test_quantize_map_only_and_pruned(spark, sf_dir):
+    plan = plan_of(QUERIES["q98_embedding_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan, "int8 quantize must be map-only"
+
+
+def test_knn_graph_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["q97_knn_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, "bucket join degraded to NLJ"
+
+
+def test_dsir_ratio_broadcasts(spark, sf_dir):
+    # the B-row log-ratio table must broadcast back onto the counts —
+    # a sort-merge join there would shuffle the corpus-sized side twice
+    plan = plan_of(QUERIES["q95_dsir_logweights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_verify_broadcasts_universe(spark, sf_dir):
+    plan = plan_of(QUERIES["q100_bloom_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "exact verify must broadcast the universe"
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    # every Exchange in the span-dedup plan must carry hash/position
+    # columns, never the text/token payload
+    plan = plan_of(QUERIES["q101_span_dedup"](spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        key = m.group(1).strip()
+        assert key.split("#")[0] in {"sh", "doc"}, f"unexpected shuffle key {key}"
+
+
+def test_editdist_candidates_before_dp(spark, sf_dir):
+    # the levenshtein must sit ABOVE the candidate join (never a
+    # cartesian of texts)
+    plan = plan_of(QUERIES["q96_editdist_verify"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
