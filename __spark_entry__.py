@@ -47,6 +47,7 @@ _PRIORITY = [
     "q99_adaptive_quality_filter",
     "q100_bloom_contamination",
     "q101_span_dedup",
+    "q102_incremental_dedup",
     # (b) reworked this round: SRP buckets rendered as one F.expr
     # (q42/q48/q43 + brute-force norm sharing), LSH band-candidate
     # refactor (q32/q35/q36/q60), fixed-k IVF seeding (q44/q93/q85/q86)
@@ -93,9 +94,9 @@ _PRIORITY = [
     "q46_set_ops",
     "q49_corpus_profile_approx",
     "q50_ngram_repetition",
-    "q56_tfidf_topk",
     # (c) stale but past the 50-sample window this round — documented
     # coverage gap, front of the queue for round 5
+    "q56_tfidf_topk",
     "q57_stratified_sample",
     "q59_pii_redact",
     "q66_stream_static_enrich",

@@ -601,6 +601,95 @@ def bloom_contamination(
     )
 
 
+def incremental_dedup_status(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without touching
+    history-vs-history pairs — the production shape of dedup once a
+    corpus is live: history's signatures are computed once (in a real
+    deployment they are the persisted signature table from the last
+    run; at 100 TB a parquet side-table keyed by band value), and each
+    incoming batch pays only batch-side hashing plus batch×history
+    band-bucket joins. Batch-internal duplicates are out of scope here
+    (the standard operators cover them).
+
+    Per batch row: ``status`` ∈ {'exact_dup', 'near_dup', 'kept'} with
+    ``match_id`` = the minimum matching history id (exact content-hash
+    match wins over near-dup; null when kept). Shuffles carry 8-byte
+    content hashes and (band_idx, band_val) ints — never text.
+    """
+    rows = k // bands
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        withc = df.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+        ).withColumn("chash", polyhash(F.col("_t")))
+        hashed = shingle_hash_sets(withc, "doc", "_t", n).withColumn(
+            "sig", minhash_signature(F.col("hashes"), k)
+        )
+        bandsdf = hashed.select(
+            "doc",
+            F.posexplode(band_values(F.col("sig"), bands, rows)).alias(
+                "band_idx", "band_val"
+            ),
+        )
+        return withc.select("doc", "chash"), hashed.select("doc", "hashes"), bandsdf
+
+    b_hash, b_sets, b_bands = prep(batch)
+    h_hash, h_sets, h_bands = prep(history)
+
+    exact = (
+        b_hash.join(
+            h_hash.select(F.col("chash"), F.col("doc").alias("_hid")), "chash"
+        )
+        .groupBy("doc")
+        .agg(F.min("_hid").alias("exact_id"))
+    )
+    cand = (
+        b_bands.join(
+            h_bands.select(
+                "band_idx", "band_val", F.col("doc").alias("_hid")
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("doc", "_hid")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.col("ha")) + F.size(F.col("hb")) - inter
+    near = (
+        cand.join(b_sets.select(F.col("doc"), F.col("hashes").alias("hb")), "doc")
+        .join(
+            h_sets.select(F.col("doc").alias("_hid"), F.col("hashes").alias("ha")),
+            "_hid",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc")
+        .agg(F.min("_hid").alias("near_id"))
+    )
+    return (
+        b_hash.select("doc")
+        .join(exact, "doc", "left")
+        .join(near, "doc", "left")
+        .select(
+            "doc",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(F.col("exact_id"), F.col("near_id")).alias("match_id"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str,

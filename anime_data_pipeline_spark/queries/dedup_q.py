@@ -271,6 +271,116 @@ def q96_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q102 — incremental dedup: a new batch (exact copies, near-dup copies,
+# token-reversed fresh docs) deduped against the existing corpus
+# WITHOUT any history-vs-history work. History signatures are computed
+# once (= the persisted signature side-table in production); the batch
+# pays only its own hashing plus batch×history band joins.
+# ---------------------------------------------------------------------------
+_Q102_BATCH_SQL = f"""
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || '{_NEARDUP_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           list_aggregate(list_reverse({tokens_sql("text")}), 'string_agg', ' ') AS text
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _q102_oracle() -> str:
+    n, k, bands, t = _NGRAM, _K, _BANDS, _THRESH
+    rows = k // bands
+    consts = perm_constants(k)
+
+    def sig_items() -> str:
+        items = []
+        for a, b in consts:
+            items.append(
+                f"list_min(list_transform(hashes, h -> {perm_hash_sql('h', a, b)}))"
+            )
+        return "[" + ", ".join(items) + "]"
+
+    def band_selects(src: str) -> str:
+        sels = []
+        for j in range(bands):
+            v = f"sig[{j * rows + 1}]"
+            for r in range(1, rows):
+                v = f"(({v}) * 31 + sig[{j * rows + r + 1}])"
+            sels.append(f"SELECT doc, {j} AS band_idx, {v} AS band_val FROM {src}")
+        return " UNION ALL ".join(sels)
+
+    def chain(p: str, src: str) -> str:
+        return f"""
+    {p}tok AS (SELECT doc_id AS doc, {polyhash_sql("text")} AS chash,
+                      {tokens_sql("text")} AS toks FROM {src}),
+    {p}tha AS (SELECT doc, chash,
+                      list_transform(toks, t -> {polyhash_sql("t")}) AS th
+               FROM {p}tok),
+    {p}hashed AS (SELECT doc, chash,
+                         list_distinct({shingle_hashes_sql("th", n)}) AS hashes
+                  FROM {p}tha),
+    {p}sigs AS (SELECT doc, {sig_items()} AS sig FROM {p}hashed),
+    {p}bands AS ({band_selects(p + "sigs")})"""
+
+    jac = (
+        "CAST(len(list_intersect(bs.hashes, hs.hashes)) AS DOUBLE) / "
+        "(len(bs.hashes) + len(hs.hashes) - len(list_intersect(bs.hashes, hs.hashes)))"
+    )
+    return f"""
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    batchc AS ({_Q102_BATCH_SQL}),
+    {chain("h_", "hist")},
+    {chain("b_", "batchc")},
+    exact AS (SELECT b.doc, min(h.doc) AS exact_id
+              FROM b_hashed b JOIN h_hashed h ON b.chash = h.chash
+              GROUP BY b.doc),
+    cand AS (SELECT DISTINCT b.doc, h.doc AS hid
+             FROM b_bands b JOIN h_bands h
+               ON b.band_idx = h.band_idx AND b.band_val = h.band_val),
+    near AS (SELECT cand.doc, min(cand.hid) AS near_id
+             FROM cand
+             JOIN b_hashed bs ON bs.doc = cand.doc
+             JOIN h_hashed hs ON hs.doc = cand.hid
+             WHERE {jac} >= {t}
+             GROUP BY cand.doc),
+    out AS (SELECT b.doc,
+                   CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+                        WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'kept' END AS status,
+                   coalesce(e.exact_id, nr.near_id) AS match_id
+            FROM b_hashed b
+            LEFT JOIN exact e USING (doc)
+            LEFT JOIN near nr USING (doc))
+    SELECT doc, status, match_id FROM out
+    """
+
+
+@register("q102_incremental_dedup", oracle=_q102_oracle())
+def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.text import tokens
+    from anime_data_pipeline_spark.operators.dedup import incremental_dedup_status
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+    )
+    fresh = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(tokens(F.col("text")))).alias("text"),
+    )
+    batch = exact.unionByName(near).unionByName(fresh)
+    return incremental_dedup_status(
+        batch, d, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS, threshold=_THRESH
+    )
+
+
+# ---------------------------------------------------------------------------
 # q101 — exact duplicated-span removal (hash-gram ExactSubstr, Lee et
 # al. 2022): every 10-token span occurring ≥2 times corpus-wide is
 # dropped from every document; cleaned text rebuilt from the surviving

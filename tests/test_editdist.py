@@ -98,3 +98,26 @@ def test_remove_duplicate_spans_overlap_union(spark):
     assert out[1]["cleaned"] == "tail"
     assert out[1]["n_dropped"] == 8
     assert out[2]["cleaned"] == "other stuff here"
+
+
+def test_incremental_dedup_statuses(spark):
+    from anime_data_pipeline_spark.operators.dedup import incremental_dedup_status
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame(
+        [(1, base), (2, "lone history doc with its own words entirely here ok")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of 1
+            (11, base + " tail tail tail"),  # near-dup of 1
+            (12, "brand new content sharing nothing with the past corpus x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: (r["status"], r["match_id"]) for r in
+           incremental_dedup_status(batch, history, "doc_id", "text").collect()}
+    assert out[10] == ("exact_dup", 1)
+    assert out[11] == ("near_dup", 1)
+    assert out[12] == ("kept", None)
