@@ -54,6 +54,11 @@ EXTRA_QUERIES = [
     "q88_pretraining_corpus",
     "q86_semantic_dedup",
     "q60_cluster_resolve",
+    # round-4 flagships: regression baselines for future rounds
+    "q95_dsir_logweights",
+    "q97_knn_graph",
+    "q101_span_dedup",
+    "q102_incremental_dedup",
 ]
 
 
