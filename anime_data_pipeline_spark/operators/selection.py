@@ -171,3 +171,31 @@ def quantile_filter_by_rank(
         .filter(F.col("_rn") > F.floor(F.lit(drop_frac) * F.col("_n")))
         .drop("_rn", "_n")
     )
+
+
+def rank_band_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    lo: float = 0.25,
+    hi: float = 0.75,
+) -> DataFrame:
+    """Keep each group's (lo, hi] band by (score, id) rank — the CCNet
+    move (Wenzek et al. 2020): bucket documents by LM perplexity per
+    group and keep the middle band (the head is boilerplate-like, the
+    tail is noise). Discrete ranks, no percentile interpolation — same
+    determinism argument as :func:`quantile_filter_by_rank`; one
+    shuffle on the group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+        .filter(
+            (F.col("_rn") > F.floor(F.lit(lo) * F.col("_n")))
+            & (F.col("_rn") <= F.floor(F.lit(hi) * F.col("_n")))
+        )
+        .drop("_rn", "_n")
+    )

@@ -106,6 +106,53 @@ def _q99_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q103 — CCNet-style perplexity band (Wenzek et al. 2020): score every
+# doc with the corpus's own unigram LM (q79's operator), then keep the
+# middle (0.25, 0.75] rank band per source — head ≈ boilerplate, tail ≈
+# noise. Ranks use the 6-digit-rounded score (a discrete key, so the
+# band membership is engine-exact despite cross-engine summation-order
+# jitter in the mean NLL).
+# ---------------------------------------------------------------------------
+_Q103_ORACLE = f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS n_term FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(n_term) AS DOUBLE) AS n_total FROM vocab),
+    scored AS (SELECT doc, -ln(n_term / n_total) AS nll
+               FROM tok JOIN vocab USING (term) CROSS JOIN tot),
+    per_doc AS (SELECT doc, {dround_sql("avg(nll)", 6)} AS mean_nll
+                FROM scored GROUP BY doc),
+    with_src AS (SELECT p.doc, d.source, p.mean_nll
+                 FROM per_doc p JOIN documents d ON d.doc_id = p.doc),
+    ranked AS (SELECT *,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY mean_nll, doc) AS rn,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM with_src)
+    SELECT doc, source, mean_nll
+    FROM ranked
+    WHERE rn > floor(0.25 * n) AND rn <= floor(0.75 * n)
+"""
+
+
+@register("q103_perplexity_band", oracle=_Q103_ORACLE)
+def q103_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.selection import rank_band_filter
+    from anime_data_pipeline_spark.operators.terms import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text").select(
+        "doc", dround(F.col("mean_nll"), 6).alias("mean_nll")
+    )
+    # id→source is corpus-sized: a plain doc-keyed shuffle join (AQE
+    # picks the strategy), NOT a broadcast — at scale the source column
+    # would simply ride through the per-doc aggregation instead.
+    with_src = scored.join(
+        docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    return rank_band_filter(with_src, "source", "mean_nll", "doc", lo=0.25, hi=0.75)
+
+
 @register("q99_adaptive_quality_filter", oracle=_q99_oracle())
 def q99_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_columns(_mutated(spark, sf_dir), "text").select(

@@ -65,3 +65,14 @@ def test_dsir_targets_score_higher(spark):
     t_avg = sum(w[i] for i in range(8)) / 8
     o_avg = sum(w[100 + i] for i in range(8)) / 8
     assert t_avg > o_avg
+
+
+def test_rank_band_filter_keeps_middle(spark):
+    from anime_data_pipeline_spark.operators.selection import rank_band_filter
+
+    rows = [("g", float(s), s) for s in range(12)]
+    df = spark.createDataFrame(rows, "grp string, score double, id int")
+    kept = rank_band_filter(df, "grp", "score", "id", lo=0.25, hi=0.75)
+    ids = sorted(r["id"] for r in kept.collect())
+    # floor(.25*12)=3 dropped from the head, keep ranks 4..9 → ids 3..8
+    assert ids == [3, 4, 5, 6, 7, 8]
