@@ -205,3 +205,172 @@ def q88_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         contam_n=_Q88_CONTAM_N,
         budget=_Q88_BUDGET,
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — the MODERN LLM curation chain, end-to-end: quality rules →
+# exact doc dedup → ExactSubstr span cleaning (drop docs losing >50%
+# of tokens) → DSIR importance weights → CCNet per-source perplexity
+# band. One oracle-checked composition of the round-4 selection stack
+# over a corpus salted with exact and near-dup copies. q88 remains the
+# packing-oriented flagship; this is the data-selection flagship.
+# ---------------------------------------------------------------------------
+_Q104_QT = 0.5
+_Q104_SPAN_N = 10
+_Q104_B = 1024
+_Q104_SUFFIX = " qq ww ee rr"
+
+_Q104_CORPUS_SQL = f"""
+    SELECT doc_id, lang, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, lang, source, text
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, lang, source,
+           text || '{_Q104_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _q104_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import (
+        shingle_hashes_sql,
+    )
+    from anime_data_pipeline_spark.functions.text import tokens_sql
+
+    score = quality_sql_projection("text")["quality_score"]
+    n = _Q104_SPAN_N
+    b = _Q104_B
+    return f"""
+    WITH corpus AS ({_Q104_CORPUS_SQL}),
+    hyg AS (SELECT * FROM corpus WHERE ({score}) >= {_Q104_QT}),
+    uniq AS (SELECT doc_id, lang, source, text FROM (
+               SELECT *, min(doc_id) OVER (PARTITION BY {polyhash_sql("text")}) AS keeper
+               FROM hyg) WHERE doc_id = keeper),
+    tok AS (SELECT doc_id, lang, source, {tokens_sql("text")} AS toks FROM uniq),
+    tha AS (SELECT doc_id, lang, source, toks,
+                   list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM tok),
+    shs AS (SELECT doc_id, lang, source, toks,
+                   {shingle_hashes_sql("th", n)} AS sh FROM tha),
+    spans AS (SELECT doc_id, u.s.sh AS sh, u.s.pos AS pos
+              FROM shs, unnest(list_transform(sh, (x, i) -> {{'sh': x, 'pos': i}})) AS u(s)),
+    dup AS (SELECT sh FROM spans GROUP BY sh HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, list_sort(list(pos)) AS dps
+             FROM spans JOIN dup USING (sh) GROUP BY doc_id),
+    cov AS (SELECT s.doc_id, s.lang, s.source, s.toks,
+                   coalesce(list_distinct(flatten(list_transform(d.dps,
+                     p -> list_transform(generate_series(p, p + {n - 1}), z -> CAST(z AS INT))))),
+                     CAST([] AS INT[])) AS cv
+            FROM shs s LEFT JOIN dpos d USING (doc_id)),
+    ckept AS (SELECT doc_id, lang, source,
+                     coalesce(list_aggregate(
+                       list_filter(toks, (x, i) -> NOT list_contains(cv, CAST(i AS INT))),
+                       'string_agg', ' '), '') AS text
+              FROM cov WHERE len(cv) * 2 <= len(toks)),
+    dtok AS (SELECT doc_id, lang, {tokens_sql("text")} AS toks FROM ckept),
+    dtha AS (SELECT doc_id, lang,
+                    list_transform(toks, t -> {polyhash_sql("t")}) AS th FROM dtok),
+    feats AS (SELECT doc_id, lang,
+                     list_transform(list_concat(th, {shingle_hashes_sql("th", 2)}),
+                                    h -> h % {b}) AS fb FROM dtha),
+    fex AS (SELECT doc_id, lang, unnest(fb) AS bucket FROM feats),
+    counts AS (SELECT doc_id, lang, bucket, count(*) AS cnt
+               FROM fex GROUP BY doc_id, lang, bucket),
+    rawtot AS (SELECT sum(cnt) AS tot FROM counts),
+    rawd AS (SELECT bucket,
+                    ln((sum(cnt) + 1.0) / ((SELECT tot FROM rawtot) + {b})) AS logq
+             FROM counts GROUP BY bucket),
+    tcounts AS (SELECT * FROM counts WHERE lang = 'en'),
+    ttot AS (SELECT sum(cnt) AS tot FROM tcounts),
+    tgtd AS (SELECT bucket,
+                    ln((sum(cnt) + 1.0) / ((SELECT tot FROM ttot) + {b})) AS logp
+             FROM tcounts GROUP BY bucket),
+    ratio AS (SELECT r.bucket,
+                     coalesce(t.logp, ln(1.0 / ((SELECT tot FROM ttot) + {b}))) - r.logq
+                       AS logratio
+              FROM rawd r LEFT JOIN tgtd t USING (bucket)),
+    w AS (SELECT doc_id, sum(cnt * logratio) AS lw
+          FROM counts JOIN ratio USING (bucket) GROUP BY doc_id),
+    ltok AS (SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM ckept),
+    vocab AS (SELECT term, count(*) AS n_term FROM ltok GROUP BY term),
+    ltot AS (SELECT CAST(sum(n_term) AS DOUBLE) AS n_total FROM vocab),
+    lscored AS (SELECT doc_id, -ln(n_term / n_total) AS nll
+                FROM ltok JOIN vocab USING (term) CROSS JOIN ltot),
+    perdoc AS (SELECT doc_id, {dround_sql("avg(nll)", 6)} AS mean_nll
+               FROM lscored GROUP BY doc_id),
+    with_src AS (SELECT p.doc_id, c.source, p.mean_nll
+                 FROM perdoc p JOIN ckept c USING (doc_id)),
+    ranked AS (SELECT *,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY mean_nll, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY source) AS nn
+               FROM with_src)
+    SELECT r.doc_id, r.source, {dround_sql("w.lw", 6)} AS dsir_logw, r.mean_nll
+    FROM ranked r JOIN w USING (doc_id)
+    WHERE r.rn > floor(0.25 * r.nn) AND r.rn <= floor(0.75 * r.nn)
+    """
+
+
+@register("q104_curation_v2", oracle=_q104_oracle())
+def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from anime_data_pipeline_spark.catalog import load_table
+    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+    from anime_data_pipeline_spark.operators.selection import (
+        dsir_logweights,
+        rank_band_filter,
+    )
+    from anime_data_pipeline_spark.operators.terms import unigram_logprob
+    from anime_data_pipeline_spark.operators.textstats import quality_columns
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    exact = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "source", "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat(F.col("text"), F.lit(_Q104_SUFFIX)).alias("text"),
+    )
+    corpus = d.unionByName(exact).unionByName(near)
+
+    # A: quality hygiene
+    hyg = (
+        quality_columns(corpus, "text")
+        .filter(F.col("quality_score") >= _Q104_QT)
+        .select("doc_id", "lang", "source", "text")
+    )
+    # B: exact dedup, keep the minimum id per content hash
+    keeper = F.min("doc_id").over(Window.partitionBy("_chash"))
+    uniq = (
+        hyg.withColumn("_chash", polyhash(F.col("text")))
+        .withColumn("_keeper", keeper)
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "lang", "source", "text")
+    )
+    # C: ExactSubstr span cleaning; drop docs losing more than half
+    cleaned = remove_duplicate_spans(uniq, "doc_id", "text", n=_Q104_SPAN_N, min_count=2)
+    # Stage boundary: every downstream stage (DSIR's two featurize
+    # passes, the LM aggs, the source join) re-derives the full
+    # hygiene → window-dedup → span-dedup chain otherwise. Same
+    # persisted-stage-boundary pattern as the q88 chain.
+    ckept = (
+        cleaned.filter(F.col("n_dropped") * 2 <= F.col("n_tokens"))
+        .select(F.col("doc").alias("doc_id"), F.col("cleaned").alias("text"))
+        .join(uniq.select("doc_id", "lang", "source"), "doc_id")
+        .persist()
+    )
+    # D: DSIR importance weights on the cleaned corpus
+    w = dsir_logweights(
+        ckept, "doc_id", "text", target_pred=F.col("lang") == "en", buckets=_Q104_B
+    ).select(F.col("doc").alias("doc_id"), dround(F.col("dsir_logw"), 6).alias("dsir_logw"))
+    # E: CCNet per-source perplexity band on the cleaned corpus LM
+    nll = unigram_logprob(ckept, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), dround(F.col("mean_nll"), 6).alias("mean_nll")
+    )
+    with_src = nll.join(ckept.select("doc_id", "source"), "doc_id")
+    band = rank_band_filter(with_src, "source", "mean_nll", "doc_id", lo=0.25, hi=0.75)
+    return band.join(w, "doc_id").select("doc_id", "source", "dsir_logw", "mean_nll")

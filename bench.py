@@ -59,6 +59,7 @@ EXTRA_QUERIES = [
     "q97_knn_graph",
     "q101_span_dedup",
     "q102_incremental_dedup",
+    "q104_curation_v2",
 ]
 
 
