@@ -50,6 +50,7 @@ _PRIORITY = [
     "q102_incremental_dedup",
     "q103_perplexity_band",
     "q104_curation_v2",
+    "q105_quality_drift",
     # (b) reworked this round: SRP buckets rendered as one F.expr
     # (q42/q48/q43 + brute-force norm sharing), LSH band-candidate
     # refactor (q32/q35/q36/q60), fixed-k IVF seeding (q44/q93/q85/q86)
@@ -93,9 +94,9 @@ _PRIORITY = [
     "q37_name_series_parse",
     "q40_corpus_profile",
     "q45_cube_rollup",
-    "q46_set_ops",
     # (c) stale but past the 50-sample window this round — documented
     # coverage gap, front of the queue for round 5
+    "q46_set_ops",
     "q49_corpus_profile_approx",
     "q50_ngram_repetition",
     "q56_tfidf_topk",

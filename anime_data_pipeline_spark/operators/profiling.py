@@ -69,3 +69,66 @@ def corpus_profile(
         F.element_at("_q", 2).alias("p50_chars"),
         F.element_at("_q", 3).alias("p75_chars"),
     )
+
+
+def histogram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    score_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Population-stability-index drift between two corpus versions.
+
+    The data-quality monitoring op a production pipeline runs on every
+    refresh: histogram a bounded [0, 1] score into ``n_bins`` fixed
+    bins on both versions, smooth shares with add-half, and report the
+    per-bin PSI contribution (p − q)·ln(p/q). Σ contributions > 0.2 is
+    the classic "significant shift" alarm threshold.
+
+    Scale shape: one map-side bin projection + one n_bins-sized
+    aggregation per version — the exchanges carry bin ids and partial
+    counts only, and the joined histogram is bins-sized regardless of
+    corpus size. Bin = floor(score·n_bins) clamped to the last bin:
+    identical IEEE math in any engine, so bin membership (and thus the
+    whole report) is engine-exact even at bucket-boundary scores.
+    """
+    nb = int(n_bins)
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.floor(F.col(score_col) * F.lit(float(nb))).cast("int"), F.lit(nb - 1)
+        )
+        return (
+            df.select(F.greatest(b, F.lit(0)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    spark = df_a.sparkSession
+    bins = spark.range(0, nb).select(F.col("id").cast("int").alias("bin"))
+    ha = hist(df_a, "n_a")
+    hb = hist(df_b, "n_b")
+    # Totals come from the bins-sized histograms INSIDE the same plan
+    # (no driver .count() action, no second corpus pass — ReuseExchange
+    # collapses the repeated histogram subplan).
+    ta = ha.agg(F.sum("n_a").alias("_ta"))
+    tb = hb.agg(F.sum("n_b").alias("_tb"))
+    p = (F.coalesce(F.col("n_a"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("_ta") + F.lit(0.5 * nb)
+    )
+    q = (F.coalesce(F.col("n_b"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("_tb") + F.lit(0.5 * nb)
+    )
+    return (
+        bins.join(ha, "bin", "left")
+        .join(hb, "bin", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .withColumn("share_a", p)
+        .withColumn("share_b", q)
+        .withColumn(
+            "psi_contrib",
+            (F.col("share_a") - F.col("share_b"))
+            * F.log(F.col("share_a") / F.col("share_b")),
+        )
+        .select("bin", "share_a", "share_b", "psi_contrib")
+    )

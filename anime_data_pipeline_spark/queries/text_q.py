@@ -263,3 +263,54 @@ def q94_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_chunks(
         docs, "doc_id", "text", chunk_tokens=_Q94_CHUNK, stride=_Q94_STRIDE
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — quality-score distribution drift between two corpus versions
+# (raw vs mutated): fixed-bin histograms, add-half-smoothed shares,
+# per-bin PSI contribution — the monitoring op a production pipeline
+# runs on every corpus refresh (Σ psi_contrib > 0.2 = the classic
+# shift alarm). Bin membership is identical IEEE math in both engines.
+# ---------------------------------------------------------------------------
+_Q105_BINS = 20
+
+
+def _q105_oracle() -> str:
+    score = quality_sql_projection("text")["quality_score"]
+    nb = _Q105_BINS
+    return f"""
+    WITH v1 AS (SELECT ({score}) AS s FROM documents),
+    v2 AS (SELECT ({score}) AS s FROM ({_DOCS_CTE})),
+    ha AS (SELECT greatest(least(CAST(floor(s * {nb}) AS INT), {nb - 1}), 0) AS bin,
+                  count(*) AS n_a FROM v1 GROUP BY 1),
+    hb AS (SELECT greatest(least(CAST(floor(s * {nb}) AS INT), {nb - 1}), 0) AS bin,
+                  count(*) AS n_b FROM v2 GROUP BY 1),
+    ta AS (SELECT sum(n_a) AS t FROM ha),
+    tb AS (SELECT sum(n_b) AS t FROM hb),
+    bins AS (SELECT CAST(g.i AS INT) AS bin FROM generate_series(0, {nb - 1}) g(i)),
+    j AS (SELECT bins.bin,
+                 (coalesce(ha.n_a, 0) + 0.5) / ((SELECT t FROM ta) + {0.5 * nb}) AS share_a,
+                 (coalesce(hb.n_b, 0) + 0.5) / ((SELECT t FROM tb) + {0.5 * nb}) AS share_b
+          FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin))
+    SELECT bin, {dround_sql("share_a", 6)} AS share_a,
+           {dround_sql("share_b", 6)} AS share_b,
+           {dround_sql("(share_a - share_b) * ln(share_a / share_b)", 6)} AS psi_contrib
+    FROM j
+    """
+
+
+@register("q105_quality_drift", oracle=_q105_oracle())
+def q105_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.profiling import histogram_drift
+    from anime_data_pipeline_spark.operators.textstats import quality_columns
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    v1 = quality_columns(raw, "text").select("quality_score")
+    v2 = quality_columns(_mutated(spark, sf_dir), "text").select("quality_score")
+    out = histogram_drift(v1, v2, "quality_score", n_bins=_Q105_BINS)
+    return out.select(
+        "bin",
+        dround(F.col("share_a"), 6).alias("share_a"),
+        dround(F.col("share_b"), 6).alias("share_b"),
+        dround(F.col("psi_contrib"), 6).alias("psi_contrib"),
+    )

@@ -73,3 +73,39 @@ def test_approx_profile_tracks_exact_at_sf001(spark):
             lo = vals[max(0, idx - rank_slack)]
             hi = vals[min(n - 1, idx + rank_slack)]
             assert lo <= a[q] <= hi, (src, q, a[q], lo, hi)
+
+
+def test_histogram_drift_zero_on_identical(spark):
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.operators.profiling import histogram_drift
+
+    df = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(100)], "id long, s double"
+    )
+    out = histogram_drift(df.select("s"), df.select("s"), "s", n_bins=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(abs(r["psi_contrib"]) < 1e-12 for r in rows)
+    # shares sum to ~1 on each side (smoothing included)
+    assert abs(sum(r["share_a"] for r in rows) - 1.0) < 1e-9
+
+
+def test_histogram_drift_detects_shift(spark):
+    from anime_data_pipeline_spark.operators.profiling import histogram_drift
+
+    a = spark.createDataFrame([(i, 0.1) for i in range(50)], "id long, s double")
+    b = spark.createDataFrame([(i, 0.9) for i in range(50)], "id long, s double")
+    out = histogram_drift(a.select("s"), b.select("s"), "s", n_bins=10).collect()
+    psi = sum(r["psi_contrib"] for r in out)
+    assert psi > 0.2  # total mass moved: far past the alarm threshold
+
+
+def test_histogram_drift_clamps_out_of_range(spark):
+    from anime_data_pipeline_spark.operators.profiling import histogram_drift
+
+    a = spark.createDataFrame([(1, -0.5), (2, 1.5)], "id long, s double")
+    out = histogram_drift(a.select("s"), a.select("s"), "s", n_bins=10).collect()
+    # -0.5 clamps to bin 0, 1.5 clamps to bin 9 — no lost rows
+    occupied = [r["bin"] for r in out if r["share_a"] > r["share_b"] - 1e-12 and r["share_a"] > 0.06]
+    assert 0 in occupied and 9 in occupied
