@@ -51,6 +51,7 @@ _PRIORITY = [
     "q103_perplexity_band",
     "q104_curation_v2",
     "q105_quality_drift",
+    "q106_image_neardup",
     # (b) reworked this round: SRP buckets rendered as one F.expr
     # (q42/q48/q43 + brute-force norm sharing), LSH band-candidate
     # refactor (q32/q35/q36/q60), fixed-k IVF seeding (q44/q93/q85/q86)
@@ -66,6 +67,7 @@ _PRIORITY = [
     "q93_ann_ivf_multiprobe",
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
+    "q72_multimodal_features",
     # (c) stalest: last driver row predates the r3-regenerated testdata
     "q01_pricing_summary",
     "q02_threshold_filter",
@@ -105,7 +107,6 @@ _PRIORITY = [
     "q66_stream_static_enrich",
     "q70_webdataset_roundtrip",
     "q71_multimodal_decode",
-    "q72_multimodal_features",
     "q73_tag_inference",
     "q74_snapshot_diff",
     "q75_mix_rebalance",

@@ -97,3 +97,19 @@ def shingle_hashes_sql(th_expr: str, n: int = 3) -> str:
         f"list_transform(generate_series(1, len({th_expr}) - {n - 1}), i -> {v}) "
         f"ELSE CAST([] AS BIGINT[]) END"
     )
+
+
+def hash_chain(seed: int, n: int) -> list[int]:
+    """n unrelated pseudorandom constants in [0, P): iterated
+    string-rehashing (x → polyhash(str(x) + "/mix")). Unlike the
+    (a·i + b) perm family or polyhash of strings differing in one
+    character — both AFFINE families with a constant step — chained
+    values have no linear relation, which matters when the constants
+    multiply a variable (e.g. the stub feature encoder: affine
+    constants made every vector an arithmetic progression and
+    embedding-cosine dedup collapsed unrelated items)."""
+    out, x = [], seed
+    for _ in range(n):
+        x = polyhash_py(str(x) + "/mix")
+        out.append(x)
+    return out

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from anime_data_pipeline_spark.functions.hashing import P, polyhash_py
+from anime_data_pipeline_spark.functions.hashing import P, hash_chain, polyhash_py
 
 FIMG_MAGIC = b"FIMG"
 _MODES = {82: "RGB", 65: "RGBA", 76: "L", 80: "P"}
@@ -180,7 +180,13 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction: binary → float32 embedding.
 
-    Stub model: component j = polyhash(payload ':' j) / P * 2 - 1 —
+    Stub model: component j = ((r_j·H + s_j) mod P) / P * 2 - 1 with
+    H = polyhash(payload) and r/s from the non-affine hash_chain
+    constant family. Any single-string-family spelling
+    (polyhash(payload+j) or polyhash(j+payload)) is AFFINE in j under
+    a rolling hash — every vector becomes an arithmetic progression
+    mod P and unrelated payloads reach cosine ≥ 0.99, which collapsed
+    embedding dedup (caught by q106) —
     ``dim`` floats in [-1, 1), recomputable in SQL (see q72's oracle).
     A real vision encoder slots into ``_embed_batch`` (per-executor
     model cache, batched forward pass — same shape as the M1 tagger
@@ -191,15 +197,16 @@ def extract_features(
 
     def _embed_batch(contents: pd.Series) -> list:
         out = []
+        rs, ss = hash_chain(1, dim), hash_chain(2, dim)
         for content in contents:
             if content is None:
                 out.append(None)
                 continue
-            pay = payload_text(bytes(content))
+            h = polyhash_py(payload_text(bytes(content)))
             out.append(
                 np.array(
                     [
-                        float(polyhash_py(f"{pay}:{j}")) / float(P) * 2 - 1
+                        float((rs[j] * h + ss[j]) % P) / float(P) * 2 - 1
                         for j in range(dim)
                     ],
                     dtype=np.float32,

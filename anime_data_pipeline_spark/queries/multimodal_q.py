@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from anime_data_pipeline_spark.catalog import load_table
-from anime_data_pipeline_spark.functions.hashing import P, polyhash_sql
+from anime_data_pipeline_spark.functions.hashing import P, hash_chain, polyhash_sql
 from anime_data_pipeline_spark.operators.inference import (
     collate_by_bucket,
     tag_inference_stage,
@@ -111,20 +111,29 @@ def q71_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The stub embedding is polyhash(payload ':' j) / P * 2 - 1 cast to
+# The stub embedding is ((r_j*H + s_j) % P) / P * 2 - 1 over the payload
+# hash H with non-affine hash_chain constants, cast to
 # float32 (operators/multimodal.py); the oracle replays that per
 # component from text[:64] with the identical left-fold summation order
 # for the norm (list_reduce mirrors F.aggregate).
+def _feat_list_sql() -> str:
+    """The stub feature vector as a literal 16-expression list over a
+    precomputed payload hash column ``hh`` — mirrors _embed_batch."""
+    rs, ss = hash_chain(1, FEATURE_DIM), hash_chain(2, FEATURE_DIM)
+    items = ", ".join(
+        f"CAST(CAST(({r} * hh + {sft}) % {P} AS DOUBLE) / {P} * 2 - 1 AS FLOAT)"
+        for r, sft in zip(rs, ss)
+    )
+    return f"[{items}]"
+
+
 _Q72_ORACLE = f"""
     WITH base AS (
-      SELECT doc_id, substr(text, 1, 64) AS pay
+      SELECT doc_id, {polyhash_sql("substr(text, 1, 64)")} AS hh
       FROM documents WHERE doc_id % 29 <> 28
     ),
     feats AS (
-      SELECT doc_id,
-             list_transform(range(0, {FEATURE_DIM}),
-               j -> CAST(CAST({polyhash_sql("pay || ':' || CAST(j AS VARCHAR)")} AS DOUBLE)
-                         / {P} * 2 - 1 AS FLOAT)) AS f
+      SELECT doc_id, {_feat_list_sql()} AS f
       FROM base
     )
     SELECT doc_id,
@@ -347,4 +356,113 @@ def q87_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_no",
         "start_sample",
         "end_sample",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — image dedup: decode → feature-embed → EXACT collapse of
+# identical embeddings → SRP-blocked near-dup among the distinct
+# representatives only. The order matters at scale: shared payloads
+# form large identical-feature groups, and emitting all pairs would be
+# quadratic in group size (the v1 of this query produced 678k pairs at
+# sf0.1); hash-collapsing first bounds the ANN stage to distinct
+# representatives — the same reason production pipelines run exact
+# dedup before embedding dedup. Scaled copies (salted at doc_id % 13,
+# ×2 in double space) survive the exact collapse and are caught by the
+# near-dup stage as merged_into assignments.
+# ---------------------------------------------------------------------------
+_Q106_THRESH, _Q106_PPT, _Q106_TABLES = 0.99, 16, 4
+
+_Q106_CORPUS_SQL = f"""
+    SELECT vec_id,
+           CASE WHEN scale2 THEN list_transform(fv, x -> x * 2.0) ELSE fv END AS v
+    FROM (
+      SELECT vec_id, scale2, CAST({_feat_list_sql()} AS DOUBLE[]) AS fv
+      FROM (
+        SELECT doc_id AS vec_id, {polyhash_sql("substr(text, 1, 64)")} AS hh,
+               false AS scale2
+        FROM documents WHERE doc_id % 29 <> 28
+        UNION ALL
+        SELECT doc_id + 600000 AS vec_id, {polyhash_sql("substr(text, 1, 64)")} AS hh,
+               true AS scale2
+        FROM documents WHERE doc_id % 29 <> 28 AND doc_id % 13 = 0
+      )
+    )
+"""
+
+
+def _q106_oracle() -> str:
+    from anime_data_pipeline_spark.operators.similarity import (
+        cosine_sql,
+        srp_bucket_sql,
+    )
+
+    keyed = "\n    UNION ALL\n".join(
+        f"""    SELECT keeper AS vec_id, v, {t} AS t,
+           {srp_bucket_sql("v", _Q106_PPT, first_plane=t * _Q106_PPT)} AS b
+    FROM grp"""
+        for t in range(_Q106_TABLES)
+    )
+    return f"""
+    WITH corpus AS ({_Q106_CORPUS_SQL}),
+    grp AS (SELECT min(vec_id) AS keeper, count(*) AS n_copies, v
+            FROM corpus GROUP BY v),
+    keyed AS (
+{keyed}
+    ),
+    pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM keyed a JOIN keyed b
+                ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+    scored AS (SELECT id_a, id_b, {cosine_sql("ga.v", "gb.v")} AS cosine
+               FROM pairs
+               JOIN grp ga ON ga.keeper = pairs.id_a
+               JOIN grp gb ON gb.keeper = pairs.id_b),
+    near AS (SELECT id_b AS keeper, min(id_a) AS merged_into
+             FROM scored WHERE cosine >= {_Q106_THRESH} GROUP BY id_b)
+    SELECT g.keeper AS vec_id, CAST(g.n_copies AS BIGINT) AS n_copies,
+           n.merged_into
+    FROM grp g LEFT JOIN near n USING (keeper)
+    """
+
+
+@register("q106_image_neardup", oracle=_q106_oracle())
+def q106_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        to_double_array,
+    )
+
+    ok = (
+        decode_image_meta(_binary_corpus(spark, sf_dir))
+        .filter(F.col("image_meta").isNotNull())
+        .select("doc_id", "content")
+    )
+    feats = extract_features(ok).select(
+        F.col("doc_id").alias("vec_id"),
+        to_double_array(F.col("features")).alias("v"),
+    )
+    scaled = feats.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 600000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    corpus = feats.unionByName(scaled)
+    groups = corpus.groupBy("v").agg(
+        F.min("vec_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+    reps = groups.select(F.col("keeper").alias("vec_id"), "v")
+    pairs = embedding_neardup_pairs(
+        reps,
+        "vec_id",
+        "v",
+        threshold=_Q106_THRESH,
+        planes_per_table=_Q106_PPT,
+        n_tables=_Q106_TABLES,
+    )
+    near = pairs.groupBy(F.col("id_b").alias("keeper")).agg(
+        F.min("id_a").alias("merged_into")
+    )
+    return groups.join(near, "keeper", "left").select(
+        F.col("keeper").alias("vec_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        "merged_into",
     )

@@ -344,3 +344,34 @@ def test_make_preprocess_composes_decoder():
     out = prep([bytes([7]), None])
     assert out.shape == (2, 2, 2, 3)
     assert np.allclose(out[0], 7.0) and np.allclose(out[1], 255.0)
+
+
+def test_stub_features_are_well_mixed():
+    """Distinct payloads must NOT produce near-parallel feature vectors.
+    Pins the affine-hash bug class: any polyhash(payload+j) /
+    polyhash(j+payload) spelling makes every vector an arithmetic
+    progression mod P, and unrelated payloads reach cosine >= 0.99
+    (which collapsed embedding dedup in q106 v1)."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.functions.hashing import P, hash_chain, polyhash_py
+
+    rs, ss = hash_chain(1, 16), hash_chain(2, 16)
+    vecs = []
+    for i in range(200):
+        h = polyhash_py(f"synthetic payload number {i} with words")
+        v = np.array([((r * h + s) % P) / P * 2 - 1 for r, s in zip(rs, ss)])
+        vecs.append(v / np.linalg.norm(v))
+    V = np.array(vecs)
+    cos = np.abs(V @ V.T)
+    np.fill_diagonal(cos, 0.0)
+    assert float(cos.max()) < 0.99, float(cos.max())
+
+
+def test_hash_chain_constants_not_affine():
+    from anime_data_pipeline_spark.functions.hashing import hash_chain
+
+    r = hash_chain(1, 16)
+    assert len(set(r)) == 16
+    diffs = {r[i + 1] - r[i] for i in range(15)}
+    assert len(diffs) > 1, "chained constants must not form an arithmetic progression"
