@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from anime_data_pipeline_spark.functions.compat import dround
 from anime_data_pipeline_spark.functions.hashing import polyhash, shingle_hashes
 from anime_data_pipeline_spark.functions.text import tokens
 
@@ -198,4 +199,66 @@ def unigram_logprob(
     return scored.groupBy(F.col("doc")).agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         (F.sum(F.col("tf") * F.col("_nll")) / F.sum("tf")).alias("mean_nll"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag-of-terms query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the lexical-search
+    baseline every RAG stack starts from.
+
+    Plan shape: the query-term filter is an `isin` literal pushed
+    beneath the explode's aggregation, so the (doc, term) agg only ever
+    sees query-term postings — corpus-size-independent state per term.
+    Doc lengths are map-side `size(tokens)`; N and avgdl are two scalar
+    aggregates broadcast into the scoring join. Ranks order by the
+    ROUNDED score (then doc id): ln() may differ in the last ulp
+    between engines, and a discrete rank key keeps top-k membership
+    engine-exact.
+    """
+    terms = _exploded_terms(df, id_col, text_col)
+    postings = (
+        terms.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lens = df.select(
+        F.col(id_col).alias("doc"), F.size(tokens(F.col(text_col))).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", idf * tf_part)
+        .groupBy("doc")
+        .agg(F.sum("_c").alias("bm25"))
+    )
+    w = Window.partitionBy().orderBy(F.desc("_r"), F.asc("doc"))
+    return (
+        scored.withColumn("_r", dround(F.col("bm25"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", F.col("_r").alias("bm25"), "rank")
     )

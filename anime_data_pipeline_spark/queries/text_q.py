@@ -314,3 +314,51 @@ def q105_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("share_b"), 6).alias("share_b"),
         dround(F.col("psi_contrib"), 6).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — Okapi BM25 retrieval: top-10 documents for a fixed bag-of-
+# terms query — the lexical-search baseline of every RAG stack. Ranks
+# order by the rounded score so ln()'s last-ulp engine differences
+# cannot flip top-k membership.
+# ---------------------------------------------------------------------------
+_Q107_TERMS = ("spark", "hash", "window")
+_Q107_K, _Q107_K1, _Q107_B = 10, 1.2, 0.75
+
+_Q107_ORACLE = f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term
+                 FROM documents),
+    postings AS (SELECT doc, term, count(*) AS tf FROM tok
+                 WHERE term IN {str(tuple(_Q107_TERMS))}
+                 GROUP BY doc, term),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    lens AS (SELECT doc_id AS doc,
+                    len({tokens_sql("text")}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    scored AS (SELECT p.doc,
+                      sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          * (tf * {_Q107_K1 + 1.0!r})
+                          / (tf + {_Q107_K1!r} * ({1.0 - _Q107_B!r}
+                             + {_Q107_B!r} * dl / avgdl))) AS bm25
+               FROM postings p
+               JOIN dfreq USING (term)
+               JOIN lens USING (doc)
+               CROSS JOIN stats
+               GROUP BY p.doc),
+    r AS (SELECT doc, {dround_sql("bm25", 6)} AS bm25 FROM scored),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rank
+               FROM r)
+    SELECT doc, bm25, rank FROM ranked WHERE rank <= {_Q107_K}
+"""
+
+
+@register("q107_bm25_topk", oracle=_Q107_ORACLE)
+def q107_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.terms import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(
+        docs, "doc_id", "text", list(_Q107_TERMS),
+        k=_Q107_K, k1=_Q107_K1, b=_Q107_B,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -76,3 +76,20 @@ def test_rank_band_filter_keeps_middle(spark):
     ids = sorted(r["id"] for r in kept.collect())
     # floor(.25*12)=3 dropped from the head, keep ranks 4..9 → ids 3..8
     assert ids == [3, 4, 5, 6, 7, 8]
+
+
+def test_bm25_ranking_semantics(spark):
+    from anime_data_pipeline_spark.operators.terms import bm25_topk
+
+    rows = [
+        (1, "spark hash window spark hash window extra pad pad pad"),
+        (2, "spark pad pad pad pad pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in
+           bm25_topk(df, "doc_id", "text", ["spark", "hash", "window"], k=10).collect()}
+    assert 3 not in out            # no query term → not retrieved
+    assert out[1]["rank"] == 1     # matches all terms, twice each
+    assert out[2]["rank"] == 2
+    assert out[1]["bm25"] > out[2]["bm25"] > 0
