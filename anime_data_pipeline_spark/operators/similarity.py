@@ -899,8 +899,14 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     out = (
         df.withColumn("_qz_cv", to_double_array(F.col(vec_col)))
         .withColumn(
+            # guard on the DIVIDED value: for subnormal maxabs the
+            # division underflows to 0.0 and x/scale would be ±Inf
+            # (found by hypothesis at v=[5e-324]) — such vectors take
+            # the zero-vector path (scale 1, all-zero codes).
             "scale",
-            F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0)),
+            F.when(maxabs / F.lit(127.0) > 0, maxabs / F.lit(127.0)).otherwise(
+                F.lit(1.0)
+            ),
         )
         .withColumn(
             "qv",

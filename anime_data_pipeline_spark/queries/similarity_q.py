@@ -190,7 +190,7 @@ def q97_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q98_ORACLE = f"""
     WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings),
-    s AS (SELECT *, (CASE WHEN list_max(list_transform(cv, x -> abs(x))) > 0
+    s AS (SELECT *, (CASE WHEN list_max(list_transform(cv, x -> abs(x))) / 127.0 > 0
                      THEN list_max(list_transform(cv, x -> abs(x))) / 127.0
                      ELSE 1.0 END) AS scale
           FROM c),
