@@ -299,3 +299,52 @@ def q90_stream_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
     )
     return out.withColumn("total_tokens", F.col("total_tokens").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q108 — streaming incremental dedup: a doubled document stream (every
+# doc arrives twice) deduped within itself AND against a static
+# history (content hashes of the even doc_ids). Only genuinely new
+# CONTENT survives — the ingest gate of a continuously-fed corpus, the
+# streaming twin of q102's exact stage. The output is content-keyed
+# (hash + n_chars, both functions of the text): the testdata really
+# does contain duplicate texts across different doc_ids, and WHICH id
+# survives streaming dropDuplicates is arrival-order-dependent — the
+# content view is the deterministic (and semantically honest) result.
+# ---------------------------------------------------------------------------
+def _q108_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import polyhash_sql
+
+    h = polyhash_sql("text")
+    return f"""
+    WITH hist AS (SELECT DISTINCT {h} AS content_hash
+                  FROM documents WHERE doc_id % 2 = 0),
+    allc AS (SELECT DISTINCT {h} AS content_hash, n_chars FROM documents)
+    SELECT content_hash, n_chars FROM allc
+    WHERE content_hash NOT IN (SELECT content_hash FROM hist)
+    """
+
+
+@register("q108_stream_incremental_dedup", oracle=_q108_oracle())
+def q108_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.catalog import load_table
+    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.streaming.pipeline import (
+        read_documents_stream,
+        run_available_now,
+        stream_incremental_dedup,
+    )
+
+    history = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(polyhash(F.col("text")).alias("content_hash"))
+    )
+    s = read_documents_stream(spark, sf_dir)
+    doubled = s.unionByName(read_documents_stream(spark, sf_dir)).withColumn(
+        "content_hash", polyhash(F.col("text"))
+    )
+    out = run_available_now(
+        stream_incremental_dedup(doubled, history, ["content_hash"]), "append"
+    )
+    return out.select("content_hash", "n_chars")

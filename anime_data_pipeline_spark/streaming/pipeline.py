@@ -316,3 +316,21 @@ def stream_quality_dedup_rollup(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ws_token_count(F.col("text"))).alias("total_tokens"),
     )
+
+
+def stream_incremental_dedup(
+    stream: DataFrame, history: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Streaming twin of operators/dedup.incremental_dedup_status's
+    exact stage: the incoming stream is deduped within itself
+    (stateful dropDuplicates on the content key) and against a STATIC
+    history table via a per-micro-batch left-anti join (stateless —
+    the history side is a batch relation joined into every
+    micro-batch; at scale a broadcast of the 8-byte key set or a
+    shuffle join against the persisted key table). Only rows whose
+    content key is genuinely new survive — the continuously-fed
+    corpus's ingest gate. Production bounds the within-stream state
+    with a watermark; the availableNow replay keeps it exact."""
+    return stream.dropDuplicates(keys).join(
+        history.select(*keys), keys, "left_anti"
+    )
