@@ -262,3 +262,70 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("doc", F.col("_r").alias("bm25"), "rank")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information: PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with bigram and
+    unigram probabilities over the corpus token stream — the classic
+    collocation-extraction pass (phrase mining for tokenizer vocab
+    construction and tag normalization).
+
+    Plan shape: ONE tokenization feeding two partial/final aggs
+    (unigrams from the token explode, bigrams from the token-array
+    zip-with-next explode); the unigram table is vocabulary-sized and
+    broadcasts onto the bigram table twice. ``min_count`` floors
+    bigram support so PMI's low-frequency pathology (hapax pairs with
+    huge PMI) stays out of the ranking. Ranks order by the ROUNDED
+    PMI then the pair, keeping top-k membership engine-exact.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("t_a"), F.col("p.b").alias("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("n_term").alias("n_tokens"))
+    n_big = big.agg(F.sum("n_pair").alias("n_bigrams"))
+    scored = (
+        big.join(F.broadcast(uni.select(F.col("term").alias("t_a"), F.col("n_term").alias("n_a"))), "t_a")
+        .join(F.broadcast(uni.select(F.col("term").alias("t_b"), F.col("n_term").alias("n_b"))), "t_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_pair") / F.col("n_bigrams"))
+                / ((F.col("n_a") / F.col("n_tokens")) * (F.col("n_b") / F.col("n_tokens")))
+            ),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.desc("_r"), F.asc("t_a"), F.asc("t_b"))
+    return (
+        scored.withColumn("_r", dround(F.col("pmi"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("t_a", "t_b", F.col("n_pair").cast("long").alias("n_pair"),
+                F.col("_r").alias("pmi"), "rank")
+    )

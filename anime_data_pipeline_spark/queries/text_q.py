@@ -362,3 +362,46 @@ def q107_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_Q107_K, k1=_Q107_K1, b=_Q107_B,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q109 — PMI collocations: top-20 adjacent bigrams by pointwise mutual
+# information with a min-support floor — the phrase-mining pass behind
+# tokenizer vocab construction and tag normalization.
+# ---------------------------------------------------------------------------
+_Q109_K, _Q109_MIN = 20, 5
+
+_Q109_ORACLE = f"""
+    WITH toks AS (SELECT {tokens_sql("text")} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS term FROM toks),
+    unic AS (SELECT term, count(*) AS n_term FROM uni GROUP BY term),
+    big AS (SELECT t[i] AS t_a, t[i + 1] AS t_b FROM (
+              SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+              FROM toks)),
+    bigc AS (SELECT t_a, t_b, count(*) AS n_pair FROM big
+             GROUP BY t_a, t_b HAVING count(*) >= {_Q109_MIN}),
+    nu AS (SELECT sum(n_term) AS n_tokens FROM unic),
+    nb AS (SELECT sum(n_pair) AS n_bigrams FROM bigc),
+    scored AS (SELECT b.t_a, b.t_b, b.n_pair,
+                      ln((b.n_pair / n_bigrams)
+                         / ((ua.n_term / n_tokens) * (ub.n_term / n_tokens))) AS pmi
+               FROM bigc b
+               JOIN unic ua ON ua.term = b.t_a
+               JOIN unic ub ON ub.term = b.t_b
+               CROSS JOIN nu CROSS JOIN nb),
+    r AS (SELECT t_a, t_b, CAST(n_pair AS BIGINT) AS n_pair,
+                 {dround_sql("pmi", 6)} AS pmi
+          FROM scored),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, t_a, t_b) AS rank
+               FROM r)
+    SELECT t_a, t_b, n_pair, pmi, rank FROM ranked WHERE rank <= {_Q109_K}
+"""
+
+
+@register("q109_pmi_collocations", oracle=_Q109_ORACLE)
+def q109_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.terms import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, "doc_id", "text", k=_Q109_K, min_count=_Q109_MIN)
+    return out.withColumn("rank", F.col("rank").cast("long"))
