@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.hashing import P, polyhash_sql
 from anime_data_pipeline_spark.functions.text import tokens_sql
 from anime_data_pipeline_spark.operators.textstats import (
     bpe_token_count,
@@ -325,11 +326,13 @@ def q105_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q107_TERMS = ("spark", "hash", "window")
 _Q107_K, _Q107_K1, _Q107_B = 10, 1.2, 0.75
 
-_Q107_ORACLE = f"""
-    WITH tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term
+def _bm25_cte(terms: tuple[str, ...], k1: float, b: float) -> str:
+    """CTE chain ``tok … r`` ending in r(doc, bm25-rounded) — shared by
+    the plain retrieval gate (q107) and the rerank composition (q110)."""
+    return f"""tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term
                  FROM documents),
     postings AS (SELECT doc, term, count(*) AS tf FROM tok
-                 WHERE term IN {str(tuple(_Q107_TERMS))}
+                 WHERE term IN {str(tuple(terms))}
                  GROUP BY doc, term),
     dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
     lens AS (SELECT doc_id AS doc,
@@ -337,15 +340,19 @@ _Q107_ORACLE = f"""
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
     scored AS (SELECT p.doc,
                       sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                          * (tf * {_Q107_K1 + 1.0!r})
-                          / (tf + {_Q107_K1!r} * ({1.0 - _Q107_B!r}
-                             + {_Q107_B!r} * dl / avgdl))) AS bm25
+                          * (tf * {k1 + 1.0!r})
+                          / (tf + {k1!r} * ({1.0 - b!r}
+                             + {b!r} * dl / avgdl))) AS bm25
                FROM postings p
                JOIN dfreq USING (term)
                JOIN lens USING (doc)
                CROSS JOIN stats
                GROUP BY p.doc),
-    r AS (SELECT doc, {dround_sql("bm25", 6)} AS bm25 FROM scored),
+    r AS (SELECT doc, {dround_sql("bm25", 6)} AS bm25 FROM scored)"""
+
+
+_Q107_ORACLE = f"""
+    WITH {_bm25_cte(_Q107_TERMS, _Q107_K1, _Q107_B)},
     ranked AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rank
                FROM r)
     SELECT doc, bm25, rank FROM ranked WHERE rank <= {_Q107_K}
@@ -405,3 +412,65 @@ def q109_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = pmi_collocations(docs, "doc_id", "text", k=_Q109_K, min_count=_Q109_MIN)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q110 — retrieve-then-rerank: BM25 top-50 candidates re-scored by a
+# stub cross-encoder (deterministic polyhash of text-prefix × query —
+# the same replayable-fake-model convention as the q73 tagger), top-10
+# by reranked score. The RAG serving path: cheap lexical recall stage,
+# expensive model only on the candidate set.
+# ---------------------------------------------------------------------------
+_Q110_CAND, _Q110_K = 50, 10
+_Q110_QUERY = " ".join(_Q107_TERMS)
+
+_Q110_ORACLE = f"""
+    WITH {_bm25_cte(_Q107_TERMS, _Q107_K1, _Q107_B)},
+    cand AS (SELECT doc, bm25,
+                    row_number() OVER (ORDER BY bm25 DESC, doc) AS brank
+             FROM r),
+    top AS (SELECT doc, bm25 FROM cand WHERE brank <= {_Q110_CAND}),
+    rr AS (SELECT t.doc, t.bm25,
+                  {dround_sql(
+                      "CAST(" + polyhash_sql(
+                          "substr(d.text, 1, 64) || '|" + _Q110_QUERY + "'"
+                      ) + " AS DOUBLE) / " + str(P), 9)} AS rerank_score
+           FROM top t JOIN documents d ON d.doc_id = t.doc),
+    ranked AS (SELECT *, row_number() OVER (
+                 ORDER BY rerank_score DESC, doc) AS rank FROM rr)
+    SELECT doc, bm25, rerank_score, rank FROM ranked WHERE rank <= {_Q110_K}
+"""
+
+
+@register("q110_bm25_rerank", oracle=_Q110_ORACLE)
+def q110_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.operators.terms import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = bm25_topk(
+        docs, "doc_id", "text", list(_Q107_TERMS),
+        k=_Q110_CAND, k1=_Q107_K1, b=_Q107_B,
+    ).select("doc", "bm25")
+    # stub cross-encoder: executor-side deterministic score of
+    # (doc-prefix, query) — a real model slots into the same join shape
+    # (candidates only ever reach it, never the corpus)
+    texts = docs.select(
+        F.col("doc_id").alias("doc"),
+        dround(
+            polyhash(
+                F.concat(F.substring("text", 1, 64), F.lit("|" + _Q110_QUERY))
+            ).cast("double")
+            / F.lit(float(P)),
+            9,
+        ).alias("rerank_score"),
+    )
+    rr = cand.join(texts, "doc")
+    w = Window.partitionBy().orderBy(F.desc("rerank_score"), F.asc("doc"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q110_K)
+        .select("doc", "bm25", "rerank_score", F.col("rank").cast("long").alias("rank"))
+    )
