@@ -348,3 +348,99 @@ def q108_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         stream_incremental_dedup(doubled, history, ["content_hash"]), "append"
     )
     return out.select("content_hash", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q111 — streaming drift monitor: per 1-hour event-time window, the
+# PSI of the value distribution vs the static all-time baseline (the
+# q105 drift op composed with the streaming engine). The stream emits
+# only (window, bin, count) — bins-sized state per window; the PSI
+# math runs batch-side on the tiny sink table.
+# ---------------------------------------------------------------------------
+_1H_US = 3_600 * 1_000_000
+_Q111_NB = 20
+_Q111_W = 25.0  # bin width over the value range [0, 500)
+
+
+def _q111_oracle() -> str:
+    nb, w = _Q111_NB, _Q111_W
+    b = f"greatest(least(CAST(floor(value / {w}) AS INT), {nb - 1}), 0)"
+    return f"""
+    WITH ev AS (SELECT make_timestamp((epoch_us(ts) // {_1H_US}) * {_1H_US})
+                         AS window_start,
+                       {b} AS bin
+                FROM events),
+    base AS (SELECT {b} AS bin, count(*) AS n_b FROM events GROUP BY 1),
+    baset AS (SELECT sum(n_b) AS t FROM base),
+    wins AS (SELECT DISTINCT window_start FROM ev),
+    bins AS (SELECT CAST(g.i AS INT) AS bin FROM generate_series(0, {nb - 1}) g(i)),
+    grid AS (SELECT w.window_start, b.bin FROM wins w CROSS JOIN bins b),
+    wc AS (SELECT window_start, bin, count(*) AS n_w FROM ev GROUP BY 1, 2),
+    wt AS (SELECT window_start, sum(n_w) AS t_w FROM wc GROUP BY 1),
+    j AS (SELECT g.window_start, g.bin,
+                 (coalesce(wc.n_w, 0) + 0.5) / (wt.t_w + {0.5 * nb}) AS share_w,
+                 (coalesce(base.n_b, 0) + 0.5)
+                   / ((SELECT t FROM baset) + {0.5 * nb}) AS share_b
+          FROM grid g
+          LEFT JOIN wc ON wc.window_start = g.window_start AND wc.bin = g.bin
+          LEFT JOIN base ON base.bin = g.bin
+          JOIN wt ON wt.window_start = g.window_start)
+    SELECT window_start,
+           {dround_sql("sum((share_w - share_b) * ln(share_w / share_b))", 6)}
+             AS psi
+    FROM j GROUP BY window_start
+    """
+
+
+@register("q111_stream_window_drift", oracle=_q111_oracle())
+def q111_stream_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.catalog import load_table
+
+    nb, wdt = _Q111_NB, _Q111_W
+    b = F.greatest(
+        F.least(F.floor(F.col("value") / F.lit(wdt)).cast("int"), F.lit(nb - 1)),
+        F.lit(0),
+    )
+    s = read_events_stream(spark, sf_dir).withColumn("bin", b)
+    counts = run_available_now(
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "bin").agg(
+            F.count(F.lit(1)).alias("n_w")
+        ),
+        "complete",
+    ).select(F.col("w.start").alias("window_start"), "bin", "n_w")
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    baset = base.agg(F.sum("n_b").alias("t"))
+    wins = counts.select("window_start").distinct()
+    bins = spark.range(0, nb).select(F.col("id").cast("int").alias("bin"))
+    wt = counts.groupBy("window_start").agg(F.sum("n_w").alias("t_w"))
+    grid = wins.crossJoin(F.broadcast(bins))
+    j = (
+        grid.join(counts, ["window_start", "bin"], "left")
+        .join(F.broadcast(base), "bin", "left")
+        .join(F.broadcast(wt), "window_start")
+        .crossJoin(F.broadcast(baset))
+        .withColumn(
+            "share_w",
+            (F.coalesce(F.col("n_w"), F.lit(0)) + F.lit(0.5))
+            / (F.col("t_w") + F.lit(0.5 * nb)),
+        )
+        .withColumn(
+            "share_b",
+            (F.coalesce(F.col("n_b"), F.lit(0)) + F.lit(0.5))
+            / (F.col("t") + F.lit(0.5 * nb)),
+        )
+    )
+    return j.groupBy("window_start").agg(
+        dround(
+            F.sum(
+                (F.col("share_w") - F.col("share_b"))
+                * F.log(F.col("share_w") / F.col("share_b"))
+            ),
+            6,
+        ).alias("psi")
+    )
