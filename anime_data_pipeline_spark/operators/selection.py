@@ -36,13 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.hashing import (
-    P,
-    polyhash_sql,
-    shingle_hashes,
-    shingle_hashes_sql,
-)
-from anime_data_pipeline_spark.functions.text import tokens, tokens_sql
+from anime_data_pipeline_spark.functions.hashing import P, shingle_hashes
+from anime_data_pipeline_spark.functions.text import tokens
 
 DEFAULT_BUCKETS = 1024
 
