@@ -48,20 +48,43 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def _polyhash_expr(v: str) -> str:
+    """polyhash as Spark-SQL text — the same Aggregate/Transform nodes
+    the Column spelling parses to (pure integer math: bit-identical)."""
+    return (
+        f"aggregate(transform(split({v}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {P})"
+    )
+
+
 def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc, hashes) — distinct n-token shingle hashes per document.
 
     Tokens are hashed once per row (materialized column), then shingle
     hashes are folded from the token-hash array in O(n) each — the
     hot-path cost is linear in tokens, not shingle characters.
+
+    Both projections are rendered as ONE ``F.expr`` string each: the
+    Column-API spelling costs a py4j round-trip per lambda/element
+    (~0.5 s of driver plan-build per consumer at n=3 — the same
+    latency class as the SRP-plane fix in operators/similarity.py),
+    while the parsed SQL produces the identical integer-math Catalyst
+    nodes.
     """
-    return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.transform(tokens(F.col(text_col)), polyhash).alias("_th"),
-        )
-        .withColumn("hashes", F.array_distinct(shingle_hashes(F.col("_th"), n)))
-        .select("doc", "hashes")
+    th = (
+        f"transform(filter(split(`{text_col}`, ' '), t -> t != ''), "
+        f"t -> {_polyhash_expr('t')})"
+    )
+    v = "element_at(_th, i)"
+    for j in range(1, n):
+        v = f"(({v}) * 31 + element_at(_th, i + {j})) % {P}"
+    sh = (
+        f"CASE WHEN size(_th) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_th) - {n - 1}), i -> {v})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return df.select(F.col(id_col).alias("doc"), F.expr(th).alias("_th")).select(
+        "doc", F.expr(sh).alias("hashes")
     )
 
 
@@ -82,6 +105,17 @@ def minhash_signature(hashes: Column, k: int = 12) -> Column:
     return F.array(*[perm_min(a, b) for a, b in perm_constants(k)])
 
 
+def minhash_signature_expr(hashes_col: str, k: int = 12) -> Column:
+    """:func:`minhash_signature` rendered as one ``F.expr`` string
+    (identical nodes after parsing, one py4j round-trip instead of
+    ~3k)."""
+    items = ", ".join(
+        f"array_min(transform({hashes_col}, h -> ({a} * h + {b}) % {P}))"
+        for a, b in perm_constants(k)
+    )
+    return F.expr(f"array({items})")
+
+
 def band_values(sig: Column, bands: int, rows: int) -> Column:
     """Fold each band of the signature into one bucket value."""
     cols = []
@@ -93,6 +127,18 @@ def band_values(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*cols)
 
 
+def band_values_expr(sig_col: str, bands: int, rows: int) -> Column:
+    """:func:`band_values` as one ``F.expr`` (0-based bracket indexing
+    matches Column.getItem)."""
+    items = []
+    for j in range(bands):
+        v = f"{sig_col}[{j * rows}]"
+        for r in range(1, rows):
+            v = f"({v}) * 31 + {sig_col}[{j * rows + r}]"
+        items.append(v)
+    return F.expr(f"array({', '.join(items)})")
+
+
 def band_candidates(hashed: DataFrame, bands: int, rows: int) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from the LSH band join.
 
@@ -101,7 +147,7 @@ def band_candidates(hashed: DataFrame, bands: int, rows: int) -> DataFrame:
     only bucket-colliding pairs are ever generated (sub-quadratic).
     """
     exploded = hashed.select(
-        "doc", F.posexplode(band_values(F.col("sig"), bands, rows)).alias("band_idx", "band_val")
+        "doc", F.posexplode(band_values_expr("sig", bands, rows)).alias("band_idx", "band_val")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -146,7 +192,7 @@ def editdist_verify_neardups(
     """
     rows = k // bands
     hashed = shingle_hash_sets(df, id_col, text_col, n).withColumn(
-        "sig", minhash_signature(F.col("hashes"), k)
+        "sig", minhash_signature_expr("hashes", k)
     )
     hashed = hashed.persist()
     cand = band_candidates(hashed, bands, rows)
@@ -191,7 +237,7 @@ def minhash_lsh_pairs(
     """
     rows = k // bands
     hashed = shingle_hash_sets(df, id_col, text_col, n).withColumn(
-        "sig", minhash_signature(F.col("hashes"), k)
+        "sig", minhash_signature_expr("hashes", k)
     )
     # The signature table is consumed four times (both band-join sides +
     # both verify-join sides). Persist it: it is ~100 bytes/row — tiny
@@ -632,11 +678,11 @@ def incremental_dedup_status(
             F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
         ).withColumn("chash", polyhash(F.col("_t")))
         hashed = shingle_hash_sets(withc, "doc", "_t", n).withColumn(
-            "sig", minhash_signature(F.col("hashes"), k)
+            "sig", minhash_signature_expr("hashes", k)
         )
         bandsdf = hashed.select(
             "doc",
-            F.posexplode(band_values(F.col("sig"), bands, rows)).alias(
+            F.posexplode(band_values_expr("sig", bands, rows)).alias(
                 "band_idx", "band_val"
             ),
         )
