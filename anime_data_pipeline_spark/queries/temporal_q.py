@@ -73,3 +73,73 @@ def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width_s=120,
     )
     return joined.select("incident_id", "event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q112 — funnel analysis: view → click → purchase per user with strict
+# event-time ordering (each stage's first event at-or-after the
+# previous stage's), then the per-stage user counts — the classic
+# event-analytics conversion query. Three user-keyed conditional-min
+# aggregations; every exchange carries (user, ts) pairs.
+# ---------------------------------------------------------------------------
+_Q112_ORACLE = """
+    WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    tc AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+           JOIN tv ON tv.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts >= tv.tv
+           GROUP BY e.user_id),
+    tp AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+           JOIN tc ON tc.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= tc.tc
+           GROUP BY e.user_id),
+    users AS (SELECT DISTINCT user_id FROM events),
+    staged AS (SELECT u.user_id,
+                      CASE WHEN tp.user_id IS NOT NULL THEN 3
+                           WHEN tc.user_id IS NOT NULL THEN 2
+                           WHEN tv.user_id IS NOT NULL THEN 1
+                           ELSE 0 END AS stage
+               FROM users u
+               LEFT JOIN tv ON tv.user_id = u.user_id
+               LEFT JOIN tc ON tc.user_id = u.user_id
+               LEFT JOIN tp ON tp.user_id = u.user_id)
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+"""
+
+
+@register("q112_funnel", oracle=_Q112_ORACLE)
+def q112_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        e.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    users = e.select("user_id").distinct()
+    staged = (
+        users.join(tv, "user_id", "left")
+        .join(tc.select("user_id", "tc"), "user_id", "left")
+        .join(tp.select("user_id", "tp"), "user_id", "left")
+        .withColumn(
+            "stage",
+            F.when(F.col("tp").isNotNull(), 3)
+            .when(F.col("tc").isNotNull(), 2)
+            .when(F.col("tv").isNotNull(), 1)
+            .otherwise(0),
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
