@@ -143,3 +143,58 @@ def q112_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q113 — cohort retention matrix: users cohorted by signup day, then
+# distinct active users per (cohort, days-since-signup) — the second
+# classic event-analytics shape. Day buckets are epoch math (no
+# calendar/date_trunc semantics to disagree on between engines).
+# ---------------------------------------------------------------------------
+_DAY_US = 86_400 * 1_000_000
+
+_Q113_ORACLE = f"""
+    WITH signup AS (SELECT user_id, min(ts) AS s_ts FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+    act AS (SELECT e.user_id,
+                   epoch_us(s.s_ts) // {_DAY_US} AS cohort_day,
+                   (epoch_us(e.ts) // {_DAY_US}) - (epoch_us(s.s_ts) // {_DAY_US})
+                     AS period
+            FROM events e JOIN signup s ON s.user_id = e.user_id
+            WHERE e.ts >= s.s_ts)
+    SELECT make_timestamp(cohort_day * {_DAY_US}) AS cohort_start,
+           CAST(period AS BIGINT) AS period,
+           count(DISTINCT user_id) AS n_users
+    FROM act GROUP BY cohort_day, period
+"""
+
+
+@register("q113_cohort_retention", oracle=_Q113_ORACLE)
+def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    day = lambda c: F.floor(F.unix_micros(c) / F.lit(_DAY_US))  # noqa: E731
+    act = (
+        e.join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .select(
+            "user_id",
+            day(F.col("s_ts")).alias("cohort_day"),
+            (day(F.col("ts")) - day(F.col("s_ts"))).alias("period"),
+        )
+    )
+    return (
+        act.groupBy("cohort_day", "period")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.timestamp_micros(F.col("cohort_day") * F.lit(_DAY_US)).alias(
+                "cohort_start"
+            ),
+            F.col("period").cast("long").alias("period"),
+            "n_users",
+        )
+    )
