@@ -59,6 +59,7 @@ _PRIORITY = [
     "q111_stream_window_drift",
     "q112_funnel",
     "q113_cohort_retention",
+    "q114_gumbel_resample",
     # (b) reworked this round: SRP buckets rendered as one F.expr
     # (q42/q48/q43 + brute-force norm sharing), LSH band-candidate
     # refactor (q32/q35/q36/q60), fixed-k IVF seeding (q44/q93/q85/q86)
@@ -95,9 +96,9 @@ _PRIORITY = [
     "q23_bucket_stats",
     "q27_upsert_merge",
     "q28_crop_ltrb",
-    "q29_seeded_shuffle",
     # (c) stale but past the 50-sample window this round — documented
     # coverage gap, front of the queue for round 5
+    "q29_seeded_shuffle",
     "q30_map_zip_filter",
     "q31_exact_dedup",
     "q33_simhash_fingerprint",

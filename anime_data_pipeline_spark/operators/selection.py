@@ -194,3 +194,41 @@ def rank_band_filter(
         )
         .drop("_rn", "_n")
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    id_col: str,
+    logw_col: str,
+    n: int,
+    a: int = 48_271,
+    b: int = 11,
+) -> DataFrame:
+    """Deterministic Gumbel top-k sampling: draw ``n`` rows with
+    probability ∝ exp(logw) — the actual RESAMPLING step of DSIR
+    (importance weights alone don't change the corpus; this does).
+
+    key = logw + Gumbel noise, with the noise derived from a seeded
+    hash of the id: u = (((a·(id mod P) + b) mod P) + 1)/(P + 1) ∈
+    (0, 1), g = −ln(−ln(u)). Gumbel-max gives exact softmax sampling
+    without replacement on the top-k of the keys (Vieira 2014) — and
+    seeded-hash uniforms make the draw reproducible at any parallelism
+    and in any engine, the same determinism redesign as the corpus
+    shuffles (O1/O2). Ranking uses the ROUNDED key (ties → id) so
+    exp/ln last-ulp engine differences cannot flip membership.
+
+    One TakeOrdered-style global rank over (key, id) — no shuffle of
+    payloads, no driver collect beyond the top-n result itself.
+    """
+    h = (F.lit(a) * (F.col(id_col).cast("long") % F.lit(P)) + F.lit(b)) % F.lit(P)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(P + 1))
+    gumbel = -F.log(-F.log(u))
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    w = Window.partitionBy().orderBy(F.desc("_gk"), F.asc(id_col))
+    return (
+        df.withColumn("_gk", dround(F.col(logw_col) + gumbel, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .withColumnRenamed("_gk", "gumbel_key")
+    )

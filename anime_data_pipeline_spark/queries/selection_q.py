@@ -164,3 +164,51 @@ def q99_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "lang", dround(F.col("quality_score"), 6).alias("quality_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — DSIR resampling: Gumbel top-k over the q95 importance
+# log-weights — the step that actually CHANGES the corpus (sample
+# ∝ softmax(logw)), with seeded-hash uniforms so the draw is
+# reproducible in any engine and at any parallelism.
+# ---------------------------------------------------------------------------
+_Q114_N = 100
+_Q114_A, _Q114_B2 = 48_271, 11
+
+
+def _q114_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import P as PP
+
+    # q95's oracle ends in `SELECT doc_id, dround AS dsir_logw FROM w`;
+    # reuse its CTE chain by embedding it as a subquery.
+    inner = _q95_oracle()
+    u = (
+        f"((({_Q114_A} * (doc_id % {PP}) + {_Q114_B2}) % {PP}) + 1)"
+        f" / {float(PP + 1)!r}"
+    )
+    return f"""
+    WITH lw AS ({inner}),
+    keyed AS (SELECT doc_id, dsir_logw,
+                     {dround_sql(f"dsir_logw + (-ln(-ln({u})))", 6)} AS gumbel_key
+              FROM lw),
+    ranked AS (SELECT *, row_number() OVER (
+                 ORDER BY gumbel_key DESC, doc_id) AS rank FROM keyed)
+    SELECT doc_id, dsir_logw, gumbel_key, rank
+    FROM ranked WHERE rank <= {_Q114_N}
+    """
+
+
+@register("q114_gumbel_resample", oracle=_q114_oracle())
+def q114_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.selection import gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    lw = dsir_logweights(
+        docs, "doc_id", "text", target_pred=F.col("lang") == "en", buckets=_B
+    ).select(
+        F.col("doc").alias("doc_id"), dround(F.col("dsir_logw"), 6).alias("dsir_logw")
+    )
+    out = gumbel_topk(lw, "doc_id", "dsir_logw", n=_Q114_N, a=_Q114_A, b=_Q114_B2)
+    return out.select(
+        "doc_id", "dsir_logw", "gumbel_key", F.col("rank").cast("long").alias("rank")
+    )

@@ -93,3 +93,22 @@ def test_bm25_ranking_semantics(spark):
     assert out[1]["rank"] == 1     # matches all terms, twice each
     assert out[2]["rank"] == 2
     assert out[1]["bm25"] > out[2]["bm25"] > 0
+
+
+def test_gumbel_topk_biases_toward_high_weights(spark):
+    from anime_data_pipeline_spark.operators.selection import gumbel_topk
+
+    # two weight classes far apart: softmax mass concentrates on the
+    # high class, so the top-20 should be dominated by it
+    rows = [(i, 5.0 if i < 50 else -5.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = gumbel_topk(df, "doc_id", "w", n=20).collect()
+    assert len(out) == 20
+    high = sum(1 for r in out if r["doc_id"] < 50)
+    assert high >= 18  # ~softmax: low class essentially never wins
+    # deterministic: same call, same result
+    again = gumbel_topk(df, "doc_id", "w", n=20).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    # ranks are 1..20 by key desc
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, 21))
