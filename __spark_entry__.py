@@ -39,66 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # last driver row predates the current testdata; stable/green queries
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
-    # (a) NEW this round — no driver row exists yet
-    "q95_dsir_logweights",
-    "q96_editdist_verify",
-    "q97_knn_graph",
-    "q98_embedding_quantize",
-    "q99_adaptive_quality_filter",
-    "q100_bloom_contamination",
-    "q101_span_dedup",
-    "q102_incremental_dedup",
-    "q103_perplexity_band",
-    "q104_curation_v2",
-    "q105_quality_drift",
-    "q106_image_neardup",
+    # (a) NEW round 5 — no driver row exists yet
+    "q115_png_decode_bucket",
+    # (b) reworked round 5: bucketed_global_rank shuffle index (q29),
+    # TakeOrdered top-k ranks (q114/q107/q109/q110), dual-content-hash
+    # exact dedup (q102/q108/q104/q35/q88), q104 shared tokenization
+    "q29_seeded_shuffle",
+    "q114_gumbel_resample",
     "q107_bm25_topk",
-    "q108_stream_incremental_dedup",
     "q109_pmi_collocations",
     "q110_bm25_rerank",
-    "q111_stream_window_drift",
-    "q112_funnel",
-    "q113_cohort_retention",
-    "q114_gumbel_resample",
-    # (b) reworked this round: SRP buckets rendered as one F.expr
-    # (q42/q48/q43 + brute-force norm sharing), LSH band-candidate
-    # refactor (q32/q35/q36/q60), fixed-k IVF seeding (q44/q93/q85/q86)
-    "q42_ann_srp_lsh_topk",
-    "q48_ann_multiprobe_topk",
-    "q43_embedding_neardup",
-    "q41_ann_bruteforce_topk",
-    "q32_minhash_lsh_neardup",
+    "q102_incremental_dedup",
+    "q108_stream_incremental_dedup",
+    "q104_curation_v2",
     "q35_curation_pipeline",
-    "q36_neardup_clusters",
-    "q60_cluster_resolve",
-    "q44_ann_ivf_topk",
-    "q93_ann_ivf_multiprobe",
-    "q85_ann_ivf_kmeans",
-    "q86_semantic_dedup",
-    "q72_multimodal_features",
-    # (c) stalest: last driver row predates the r3-regenerated testdata
-    "q01_pricing_summary",
-    "q02_threshold_filter",
-    "q03_inner_join_agg",
-    "q04_left_join_nulls",
-    "q05_semi_join",
-    "q06_anti_join_count",
-    "q07_union_dedup_last_wins",
-    "q08_conditional_audit",
-    "q09_distinct_pairs",
-    "q10_topk_global",
-    "q11_topk_per_group",
-    "q12_argmax_per_group",
-    "q13_star_join_revenue",
-    "q14_monthly_orders",
-    "q21_bucket_assign",
-    "q22_bucket_assign_noupscale",
-    "q23_bucket_stats",
-    "q27_upsert_merge",
-    "q28_crop_ltrb",
-    # (c) stale but past the 50-sample window this round — documented
-    # coverage gap, front of the queue for round 5
-    "q29_seeded_shuffle",
+    "q88_pretraining_corpus",
+    "q100_bloom_contamination",
+    # (c) stalest: newest driver row predates the r3 testdata
+    # regeneration (judge re-verified green locally in r4; the record
+    # should catch up)
     "q30_map_zip_filter",
     "q31_exact_dedup",
     "q33_simhash_fingerprint",
@@ -123,6 +82,27 @@ _PRIORITY = [
     "q80_video_frame_sample",
     "q81_line_dedup",
     "q87_audio_chunk_plan",
+    "q27_upsert_merge",
+    "q28_crop_ltrb",
+    # remaining stale r1/r2-row queries, then stable/green rotate back
+    "q15_rollup",
+    "q16_pivot_status",
+    "q17_tokenize_normalize",
+    "q18_regex_extract",
+    "q19_sessionize",
+    "q20_tumbling_window",
+    "q24_novelai_order",
+    "q25_clean_caption",
+    "q26_clean_tags",
+    "q38_asof_join",
+    "q39_range_join",
+    "q47_running_window",
+    "q51_token_counts",
+    "q52_quality_score",
+    "q53_language_id",
+    "q54_winnow_fingerprints",
+    "q55_quality_rollup",
+    "q58_pack_chunks",
 ]
 
 

@@ -36,6 +36,32 @@ def polyhash(col: Column) -> Column:
     )
 
 
+def polyhash2(col: Column) -> Column:
+    """Base-37 twin of :func:`polyhash` — an INDEPENDENT second content
+    hash for collision verification. Two distinct same-length strings
+    colliding under base 31 satisfy D(31) ≡ 0 mod P for the difference
+    polynomial D; also colliding under base 37 additionally requires
+    D(37) ≡ 0, so pairwise false-match probability drops from ~1/P to
+    ~1/P² (≈1e-18) — the second-independent-hash fix for exact-dup
+    declarations made from hashes alone (a prefix/suffix-salted base-31
+    hash would NOT work: same-length base-31 collisions survive any
+    affine salt)."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 37 + c) % F.lit(P),
+    )
+
+
+def polyhash2_sql(expr: str) -> str:
+    """The identical base-37 hash as DuckDB SQL text."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 37 + b) % {P})"
+    )
+
+
 def polyhash_py(s: str) -> int:
     """Pure-Python twin of :func:`polyhash` / :func:`polyhash_sql` —
     used by stub models (operators/multimodal.py, operators/inference.py)

@@ -35,6 +35,7 @@ from anime_data_pipeline_spark.functions.hashing import (
     P,
     perm_constants,
     polyhash,
+    polyhash2,
     shingle_hashes,
 )
 from anime_data_pipeline_spark.functions.text import tokens
@@ -553,6 +554,12 @@ def benchmark_contamination(
     )
 
 
+# m_bits cap for bloom_contamination's inlined literal bitmap: 2^20 bits
+# = 32,768 longs ≈ 300 KB of SQL text — comfortably parseable; 2^24
+# would inline 524k elements and blow up parse/plan time.
+_BLOOM_INLINE_MAX_BITS = 1 << 20
+
+
 def bloom_contamination(
     corpus: DataFrame,
     bench: DataFrame,
@@ -586,9 +593,24 @@ def bloom_contamination(
     makes the oracle check possible.
 
     Returns (doc, n_shingles, n_flagged, n_true, n_false_pos).
+
+    NOTE — eager side effect: building the bitmap runs a Spark job at
+    operator-CALL time (the one deliberate exception to the repo's
+    lazy-DataFrame contract, required to inline the words as a
+    literal). The inlining budget caps ``m_bits`` at 2^20 (32k words,
+    ~300 KB of expression text); beyond that a literal would explode
+    parse/plan size — use a broadcast word-table join instead (the
+    ``benchmark_contamination`` broadcast path already covers that
+    regime).
     """
     if m_bits < 32 or m_bits % 32:
         raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    if m_bits > _BLOOM_INLINE_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the literal-inlining budget "
+            f"({_BLOOM_INLINE_MAX_BITS}); use benchmark_contamination's "
+            "broadcast path for larger filters"
+        )
     consts = perm_constants(20 + n_hash)[20 : 20 + n_hash]
     universe = (
         shingle_hash_sets(bench, id_col, text_col, n)
@@ -668,15 +690,23 @@ def incremental_dedup_status(
 
     Per batch row: ``status`` ∈ {'exact_dup', 'near_dup', 'kept'} with
     ``match_id`` = the minimum matching history id (exact content-hash
-    match wins over near-dup; null when kept). Shuffles carry 8-byte
-    content hashes and (band_idx, band_val) ints — never text.
+    match wins over near-dup; null when kept). Shuffles carry content
+    hashes and (band_idx, band_val) ints — never text.
+
+    ``exact_dup`` is declared from TWO independent content hashes
+    (base-31 + base-37 polynomial, joint collision ~1/P² ≈ 1e-18 per
+    pair): a single ~2^30 hash would falsely drop ~N²/2P unrelated
+    batch docs (~500 at 1M distinct docs) — silent data loss at scale.
+    The join key stays a pair of 8-byte ints, never the text payload.
     """
     rows = k // bands
 
     def prep(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-        withc = df.select(
-            F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
-        ).withColumn("chash", polyhash(F.col("_t")))
+        withc = (
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+            .withColumn("chash", polyhash(F.col("_t")))
+            .withColumn("chash2", polyhash2(F.col("_t")))
+        )
         hashed = shingle_hash_sets(withc, "doc", "_t", n).withColumn(
             "sig", minhash_signature_expr("hashes", k)
         )
@@ -686,14 +716,19 @@ def incremental_dedup_status(
                 "band_idx", "band_val"
             ),
         )
-        return withc.select("doc", "chash"), hashed.select("doc", "hashes"), bandsdf
+        return (
+            withc.select("doc", "chash", "chash2"),
+            hashed.select("doc", "hashes"),
+            bandsdf,
+        )
 
     b_hash, b_sets, b_bands = prep(batch)
     h_hash, h_sets, h_bands = prep(history)
 
     exact = (
         b_hash.join(
-            h_hash.select(F.col("chash"), F.col("doc").alias("_hid")), "chash"
+            h_hash.select("chash", "chash2", F.col("doc").alias("_hid")),
+            ["chash", "chash2"],
         )
         .groupBy("doc")
         .agg(F.min("_hid").alias("exact_id"))

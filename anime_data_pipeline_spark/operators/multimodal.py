@@ -13,12 +13,15 @@ At 100 TB the binary column dominates I/O, so every stage here:
 - is map-only (partition-parallel, no shuffle), with per-batch
   vectorized decode.
 
-Real image/audio codecs are NOT available in this container (no PIL /
-cv2 / ffmpeg — environment constraint). Codec calls are therefore
-STUBBED behind ``_decode_real`` (NotImplementedError) with a
-deterministic FIMG fake-container decoder used by default; the Spark
-plumbing — schemas, batch iteration, null-for-corrupt, partitioning —
-is real and tested. Swapping in PIL is one function body.
+Codec status: **PNG decodes for real** — a pure-stdlib zlib codec
+(operators/png_codec.py, no PIL/cv2 needed) handles 8-bit
+non-interlaced PNG end-to-end (header meta AND full pixels for the
+inference preprocessing chain). JPEG/GIF and exotic PNGs still need
+PIL (absent in this container) and stay behind the ``_decode_real`` /
+``pil_decoder_loader`` seam; the deterministic FIMG fake container
+remains for oracle-checkable synthetic corpora. The default decoder
+accepts FIMG *and* PNG; the Spark plumbing — schemas, batch iteration,
+null-for-corrupt, partitioning — is identical across all three.
 
 FIMG container: b"FIMG" | width:int32le | height:int32le | mode:1 byte
 (R=RGB, A=RGBA, L=gray, P=palette) | payload bytes. The payload stands
@@ -59,11 +62,70 @@ def encode_fimg(width: int, height: int, mode: str = "RGB", payload: bytes = b""
     return FIMG_MAGIC + struct.pack("<ii", width, height) + _MODE_BYTES[mode] + payload
 
 
-def _decode_real(content: bytes) -> tuple[int, int, str]:
-    """Real codec hook (PIL.Image.open / cv2.imdecode — see reference
-    dbimutils.py:6-26 for the GIF/16-bit/alpha handling a real decoder
-    needs). Unavailable in this container."""
-    raise NotImplementedError("image codecs not available in this environment")
+def _decode_real(content: bytes) -> tuple[int, int, str] | None:
+    """Real codec dispatch. PNG (8-bit, non-interlaced — what normal
+    exporters write) decodes NATIVELY via the stdlib zlib codec
+    (operators/png_codec.py): header meta here, full pixels via
+    ``png_pixel_decoder_loader``. JPEG/GIF and exotic PNGs (16-bit /
+    interlaced) still need PIL (reference dbimutils.py:6-26 for the
+    GIF/16-bit/alpha handling) — unavailable in this container, so they
+    raise; corrupt PNG bytes return None (dropped-with-count row,
+    reference bucket_manager.py:187-189)."""
+    from anime_data_pipeline_spark.operators.png_codec import (
+        PNG_MAGIC,
+        png_ihdr,
+        png_meta,
+        png_supported,
+    )
+
+    if content[:8] == PNG_MAGIC:
+        ihdr = png_ihdr(content)
+        if ihdr is None:
+            return None  # corrupt header
+        if png_supported(ihdr):
+            return png_meta(content)
+        raise NotImplementedError("16-bit/interlaced PNG needs PIL")
+    raise NotImplementedError("non-PNG codecs not available in this environment")
+
+
+def _decode_default(content: bytes) -> tuple[int, int, str] | None:
+    """Default per-blob decode: FIMG stub container OR real PNG; None
+    for anything else (corrupt/foreign bytes)."""
+    from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
+
+    if content[:4] == FIMG_MAGIC:
+        return _decode_fimg(content)
+    if content[:8] == PNG_MAGIC:
+        return png_meta(content)
+    return None
+
+
+def png_pixel_decoder_loader() -> "Callable[[], Callable]":
+    """Loader yielding the FULL pixel decode (bytes → (h, w, ch) uint8
+    numpy array, palette expanded to RGB) — feeds the numpy
+    preprocessing chain in operators/inference.py (pad-square → resize
+    → BGR) exactly where a PIL decode would."""
+
+    def load() -> "Callable[[bytes], np.ndarray | None]":
+        from anime_data_pipeline_spark.operators.png_codec import (
+            decode_png,
+            decode_png_palette,
+            palette_to_rgb,
+        )
+
+        def decode(content: bytes) -> "np.ndarray | None":
+            arr = decode_png(content)
+            if arr is None:
+                return None
+            if arr.shape[2] == 1:
+                plte = decode_png_palette(content)
+                if plte is not None:
+                    return palette_to_rgb(arr, plte)
+            return arr
+
+        return decode
+
+    return load
 
 
 def pil_decoder_loader() -> "Callable[[], Callable]":
@@ -134,7 +196,7 @@ def decode_image_meta(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder_loader is None:
-            dec = _decode_fimg
+            dec = _decode_default
         else:
             dec = _DECODER_CACHE.get(cache_key)
             if dec is None:

@@ -56,6 +56,7 @@ def doc_bucket_counts(
     text_col: str,
     buckets: int = DEFAULT_BUCKETS,
     carry: tuple[str, ...] = (),
+    pretokenized: bool = False,
 ) -> DataFrame:
     """(doc, [carry…], bucket, cnt) — per-document hashed n-gram bucket
     counts; ``carry`` columns (functionally dependent on the doc id)
@@ -72,10 +73,11 @@ def doc_bucket_counts(
     re-evaluated per reference (the expression-tree discipline from
     SCALE.md; measured 8× on this operator).
     """
+    toks = F.col(text_col) if pretokenized else tokens(F.col(text_col))
     th_df = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in carry],
-        F.transform(tokens(F.col(text_col)), _token_hash).alias("_th"),
+        F.transform(toks, _token_hash).alias("_th"),
     )
     grams = F.concat(F.col("_th"), shingle_hashes(F.col("_th"), 2))
     return (
@@ -95,6 +97,7 @@ def dsir_logweights(
     text_col: str,
     target_pred: Column,
     buckets: int = DEFAULT_BUCKETS,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """(doc, dsir_logw) — DSIR importance log-weight per document.
 
@@ -118,7 +121,9 @@ def dsir_logweights(
     base = df.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), target_pred.alias("_is_t")
     )
-    counts = doc_bucket_counts(base, "doc", "_t", buckets, carry=("_is_t",))
+    counts = doc_bucket_counts(
+        base, "doc", "_t", buckets, carry=("_is_t",), pretokenized=pretokenized
+    )
     dist = counts.groupBy("bucket").agg(
         F.sum("cnt").alias("mass_q"),
         F.coalesce(F.sum(F.when(F.col("_is_t"), F.col("cnt"))), F.lit(0).cast("long")).alias(
@@ -217,18 +222,24 @@ def gumbel_topk(
     shuffles (O1/O2). Ranking uses the ROUNDED key (ties → id) so
     exp/ln last-ulp engine differences cannot flip membership.
 
-    One TakeOrdered-style global rank over (key, id) — no shuffle of
-    payloads, no driver collect beyond the top-n result itself.
+    Selection is ``orderBy(desc(key), id).limit(n)`` so Spark plans
+    ``TakeOrderedAndProject`` — per-partition top-n heaps, only n rows
+    ever reach a single task; the rank window then runs over the n-row
+    survivor set, never the corpus (the previous version ranked the
+    FULL corpus through one unpartitioned window task).
     """
     h = (F.lit(a) * (F.col(id_col).cast("long") % F.lit(P)) + F.lit(b)) % F.lit(P)
     u = (h + F.lit(1)).cast("double") / F.lit(float(P + 1))
     gumbel = -F.log(-F.log(u))
     from anime_data_pipeline_spark.functions.compat import dround
 
+    top = (
+        df.withColumn("_gk", dround(F.col(logw_col) + gumbel, 6))
+        .orderBy(F.desc("_gk"), F.asc(id_col))
+        .limit(int(n))
+    )
     w = Window.partitionBy().orderBy(F.desc("_gk"), F.asc(id_col))
     return (
-        df.withColumn("_gk", dround(F.col(logw_col) + gumbel, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
+        top.withColumn("rank", F.row_number().over(w))
         .withColumnRenamed("_gk", "gumbel_key")
     )

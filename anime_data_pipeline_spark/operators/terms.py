@@ -28,11 +28,15 @@ from anime_data_pipeline_spark.functions.hashing import polyhash, shingle_hashes
 from anime_data_pipeline_spark.functions.text import tokens
 
 
-def _exploded_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, term) rows — one per token occurrence."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
-    )
+def _exploded_terms(
+    df: DataFrame, id_col: str, text_col: str, pretokenized: bool = False
+) -> DataFrame:
+    """(doc, term) rows — one per token occurrence. With
+    ``pretokenized`` the column already holds the token array (a shared
+    stage-boundary tokenization — e.g. q104 materializes tokens once
+    and feeds both the DSIR featurizer and the LM aggs)."""
+    toks = F.col(text_col) if pretokenized else tokens(F.col(text_col))
+    return df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
 
 
 def tfidf_topk(
@@ -128,7 +132,11 @@ def ngram_repetition_profile(
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str, text_col: str, head_k: int = 50_000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    head_k: int = 50_000,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Per-document mean unigram negative log-likelihood under the
     corpus's own unigram LM — the classic perplexity-proxy quality
@@ -164,7 +172,7 @@ def unigram_logprob(
     ``spark.catalog.isCached``-listed tables frees the partitions."""
     from pyspark import StorageLevel
 
-    terms = _exploded_terms(df, id_col, text_col)
+    terms = _exploded_terms(df, id_col, text_col, pretokenized=pretokenized)
     tf = (
         terms.groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -255,11 +263,15 @@ def bm25_topk(
         .groupBy("doc")
         .agg(F.sum("_c").alias("bm25"))
     )
+    # TakeOrderedAndProject via orderBy+limit: per-partition top-k heaps,
+    # only k rows reach one task; the rank window then runs over the
+    # k-row survivor set, never the (corpus-growing) candidate table.
     w = Window.partitionBy().orderBy(F.desc("_r"), F.asc("doc"))
     return (
         scored.withColumn("_r", dround(F.col("bm25"), 6))
+        .orderBy(F.desc("_r"), F.asc("doc"))
+        .limit(int(k))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
         .select("doc", F.col("_r").alias("bm25"), "rank")
     )
 
@@ -321,11 +333,14 @@ def pmi_collocations(
             ),
         )
     )
+    # Same TakeOrderedAndProject shape as bm25_topk: the min-count-
+    # floored bigram table still grows with the corpus vocabulary.
     w = Window.partitionBy().orderBy(F.desc("_r"), F.asc("t_a"), F.asc("t_b"))
     return (
         scored.withColumn("_r", dround(F.col("pmi"), 6))
+        .orderBy(F.desc("_r"), F.asc("t_a"), F.asc("t_b"))
+        .limit(int(k))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
         .select("t_a", "t_b", F.col("n_pair").cast("long").alias("n_pair"),
                 F.col("_r").alias("pmi"), "rank")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.hashing import polyhash
+from anime_data_pipeline_spark.functions.hashing import polyhash, polyhash2
 from anime_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
 from anime_data_pipeline_spark.operators.textstats import quality_columns
 
@@ -39,13 +39,19 @@ def curate_corpus(
     scored = quality_columns(df, text_col)
     kept = scored.filter(F.col("quality_score") >= quality_threshold)
 
-    # exact dedup: keep the min-id row per 64-bit content hash
-    hashed = kept.withColumn("_ch", polyhash(F.col(text_col)))
-    keeper = F.min(id_col).over(W.partitionBy("_ch"))
+    # exact dedup: keep the min-id row per content-hash PAIR. Two
+    # independent polynomial hashes (base 31 + 37) push the per-pair
+    # false-collapse probability from ~1/P to ~1/P² (≈1e-18) — a single
+    # ~2^30 hash silently drops ~N²/2P unrelated docs at corpus scale.
+    # The shuffle key stays two 8-byte ints, never the text payload.
+    hashed = kept.withColumn("_ch", polyhash(F.col(text_col))).withColumn(
+        "_ch2", polyhash2(F.col(text_col))
+    )
+    keeper = F.min(id_col).over(W.partitionBy("_ch", "_ch2"))
     uniq = (
         hashed.withColumn("_keeper", keeper)
         .filter(F.col(id_col) == F.col("_keeper"))
-        .drop("_ch", "_keeper")
+        .drop("_ch", "_ch2", "_keeper")
     )
 
     pairs = minhash_lsh_pairs(
@@ -97,8 +103,10 @@ def prepare_pretraining_corpus(
         & (F.col("quality_score") >= quality_threshold)
     )
 
-    hashed = kept.withColumn("_ch", polyhash(F.col(text_col)))
-    keeper = F.min(id_col).over(W.partitionBy("_ch"))
+    hashed = kept.withColumn("_ch", polyhash(F.col(text_col))).withColumn(
+        "_ch2", polyhash2(F.col(text_col))
+    )
+    keeper = F.min(id_col).over(W.partitionBy("_ch", "_ch2"))
     # uniq feeds three consumers (LSH signatures, the anti-join left
     # side, contamination) and its lineage holds the langid/quality
     # expression forest — persist the already-shrunk survivor set
@@ -107,7 +115,7 @@ def prepare_pretraining_corpus(
     uniq = (
         hashed.withColumn("_keeper", keeper)
         .filter(F.col(id_col) == F.col("_keeper"))
-        .drop("_ch", "_keeper")
+        .drop("_ch", "_ch2", "_keeper")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.functions.hashing import P, polyhash, polyhash_sql
+from anime_data_pipeline_spark.operators.ordering import bucketed_global_rank
 from anime_data_pipeline_spark.operators.profiling import corpus_profile
 from anime_data_pipeline_spark.operators.bucketing import (
     BucketConfig,
@@ -115,6 +116,10 @@ def q28_crop_ltrb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key hash; shuffle_pos is then a pure function of (seed, key), stable
 # across runs/engines (documented divergence: reproducibility).
 # Per-bucket variant = same hash ranked within the bucket partition.
+# The global index uses bucketed_global_rank (operators/ordering.py):
+# deterministic range-bucketing of the hash domain + per-bucket
+# row_number + broadcast cumulative offsets — bit-identical to a global
+# row_number window but with NO single-partition stage.
 # ---------------------------------------------------------------------------
 _SEED = "s42"
 
@@ -136,10 +141,13 @@ def q29_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hk = polyhash(F.concat(F.lit(_SEED), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", "lang", hk.alias("hk"))
-    return keyed.select(
+    indexed = bucketed_global_rank(
+        keyed, key_col="hk", key_max=P, tiebreakers=["doc_id"], out_col="shuffle_pos"
+    )
+    return indexed.select(
         "doc_id",
         "lang",
-        F.row_number().over(W.orderBy("hk", "doc_id")).cast("long").alias("shuffle_pos"),
+        "shuffle_pos",
         F.row_number()
         .over(W.partitionBy("lang").orderBy("hk", "doc_id"))
         .cast("long")

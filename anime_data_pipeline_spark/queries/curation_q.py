@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
-from anime_data_pipeline_spark.functions.hashing import polyhash_sql
+from anime_data_pipeline_spark.functions.hashing import polyhash2_sql, polyhash_sql
 from anime_data_pipeline_spark.operators.textstats import quality_sql_projection
 from anime_data_pipeline_spark.plans.curation import curate_corpus
 from anime_data_pipeline_spark.queries.dedup_q import (
@@ -33,7 +33,8 @@ def _uniq_sql() -> str:
     return f"""
     SELECT doc_id, text FROM (
       SELECT doc_id, text,
-             min(doc_id) OVER (PARTITION BY {polyhash_sql("text")}) AS keeper
+             min(doc_id) OVER (
+               PARTITION BY {polyhash_sql("text")}, {polyhash2_sql("text")}) AS keeper
       FROM ({kept})
     ) WHERE doc_id = keeper
     """
@@ -113,6 +114,7 @@ def _q88_oracle() -> str:
     pred, _ = language_id_sql("text")
     score = quality_sql_projection("text")["quality_score"]
     ph = polyhash_sql("text")
+    ph2 = polyhash2_sql("text")
     n = _Q88_CONTAM_N
     return f"""
     WITH RECURSIVE train AS ({_q88_train_sql()}),
@@ -121,7 +123,7 @@ def _q88_oracle() -> str:
     uniq AS (
       SELECT doc_id, source, text FROM (
         SELECT doc_id, source, text,
-               min(doc_id) OVER (PARTITION BY {ph}) AS keeper
+               min(doc_id) OVER (PARTITION BY {ph}, {ph2}) AS keeper
         FROM hygiene
       ) WHERE doc_id = keeper),
     pairs AS ({minhash_pairs_sql("SELECT doc_id, text FROM uniq", _N, _K, _BANDS, _JT)}),
@@ -245,7 +247,8 @@ def _q104_oracle() -> str:
     WITH corpus AS ({_Q104_CORPUS_SQL}),
     hyg AS (SELECT * FROM corpus WHERE ({score}) >= {_Q104_QT}),
     uniq AS (SELECT doc_id, lang, source, text FROM (
-               SELECT *, min(doc_id) OVER (PARTITION BY {polyhash_sql("text")}) AS keeper
+               SELECT *, min(doc_id) OVER (
+                 PARTITION BY {polyhash_sql("text")}, {polyhash2_sql("text")}) AS keeper
                FROM hyg) WHERE doc_id = keeper),
     tok AS (SELECT doc_id, lang, source, {tokens_sql("text")} AS toks FROM uniq),
     tha AS (SELECT doc_id, lang, source, toks,
@@ -316,7 +319,7 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from anime_data_pipeline_spark.catalog import load_table
-    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.functions.hashing import polyhash, polyhash2
     from anime_data_pipeline_spark.operators.dedup import remove_duplicate_spans
     from anime_data_pipeline_spark.operators.selection import (
         dsir_logweights,
@@ -343,10 +346,13 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= _Q104_QT)
         .select("doc_id", "lang", "source", "text")
     )
-    # B: exact dedup, keep the minimum id per content hash
-    keeper = F.min("doc_id").over(Window.partitionBy("_chash"))
+    # B: exact dedup, keep the minimum id per content hash. Dual
+    # independent hashes (base-31 + base-37): keying the window on one
+    # ~2^30 hash would falsely collapse ~N²/2P unrelated docs at scale.
+    keeper = F.min("doc_id").over(Window.partitionBy("_chash", "_chash2"))
     uniq = (
         hyg.withColumn("_chash", polyhash(F.col("text")))
+        .withColumn("_chash2", polyhash2(F.col("text")))
         .withColumn("_keeper", keeper)
         .filter(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "lang", "source", "text")
@@ -356,19 +362,30 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage boundary: every downstream stage (DSIR's two featurize
     # passes, the LM aggs, the source join) re-derives the full
     # hygiene → window-dedup → span-dedup chain otherwise. Same
-    # persisted-stage-boundary pattern as the q88 chain.
+    # persisted-stage-boundary pattern as the q88 chain. The TOKEN
+    # ARRAY is materialized here once: DSIR's two featurize passes and
+    # the LM aggs all consumed `text` separately before, re-running the
+    # regex tokenizer three times over the persisted corpus.
+    from anime_data_pipeline_spark.functions.text import tokens
+
     ckept = (
         cleaned.filter(F.col("n_dropped") * 2 <= F.col("n_tokens"))
         .select(F.col("doc").alias("doc_id"), F.col("cleaned").alias("text"))
         .join(uniq.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("_toks", tokens(F.col("text")))
         .persist()
     )
     # D: DSIR importance weights on the cleaned corpus
     w = dsir_logweights(
-        ckept, "doc_id", "text", target_pred=F.col("lang") == "en", buckets=_Q104_B
+        ckept,
+        "doc_id",
+        "_toks",
+        target_pred=F.col("lang") == "en",
+        buckets=_Q104_B,
+        pretokenized=True,
     ).select(F.col("doc").alias("doc_id"), dround(F.col("dsir_logw"), 6).alias("dsir_logw"))
     # E: CCNet per-source perplexity band on the cleaned corpus LM
-    nll = unigram_logprob(ckept, "doc_id", "text").select(
+    nll = unigram_logprob(ckept, "doc_id", "_toks", pretokenized=True).select(
         F.col("doc").alias("doc_id"), dround(F.col("mean_nll"), 6).alias("mean_nll")
     )
     with_src = nll.join(ckept.select("doc_id", "source"), "doc_id")

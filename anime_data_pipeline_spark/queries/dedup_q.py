@@ -24,6 +24,7 @@ from anime_data_pipeline_spark.functions.hashing import (
     perm_constants,
     perm_hash_sql,
     polyhash,
+    polyhash2_sql,
     polyhash_sql,
     shingle_hashes_sql,
 )
@@ -284,9 +285,13 @@ _Q102_BATCH_SQL = f"""
     FROM documents WHERE doc_id % 5 = 0
     UNION ALL
     SELECT doc_id + 300000 AS doc_id,
-           list_aggregate(list_reverse({tokens_sql("text")}), 'string_agg', ' ') AS text
+           coalesce(list_aggregate(list_reverse({tokens_sql("text")}),
+                                   'string_agg', ' '), '') AS text
     FROM documents WHERE doc_id % 11 = 0
 """
+# coalesce mirrors the engine's concat_ws(' ', ...) which yields '' (not
+# NULL) for an empty token list — a whitespace-only doc with
+# doc_id % 11 = 0 would otherwise diverge (NULL text/chash oracle-side).
 
 
 def _q102_oracle() -> str:
@@ -314,11 +319,12 @@ def _q102_oracle() -> str:
     def chain(p: str, src: str) -> str:
         return f"""
     {p}tok AS (SELECT doc_id AS doc, {polyhash_sql("text")} AS chash,
+                      {polyhash2_sql("text")} AS chash2,
                       {tokens_sql("text")} AS toks FROM {src}),
-    {p}tha AS (SELECT doc, chash,
+    {p}tha AS (SELECT doc, chash, chash2,
                       list_transform(toks, t -> {polyhash_sql("t")}) AS th
                FROM {p}tok),
-    {p}hashed AS (SELECT doc, chash,
+    {p}hashed AS (SELECT doc, chash, chash2,
                          list_distinct({shingle_hashes_sql("th", n)}) AS hashes
                   FROM {p}tha),
     {p}sigs AS (SELECT doc, {sig_items()} AS sig FROM {p}hashed),
@@ -334,7 +340,8 @@ def _q102_oracle() -> str:
     {chain("h_", "hist")},
     {chain("b_", "batchc")},
     exact AS (SELECT b.doc, min(h.doc) AS exact_id
-              FROM b_hashed b JOIN h_hashed h ON b.chash = h.chash
+              FROM b_hashed b JOIN h_hashed h
+                ON b.chash = h.chash AND b.chash2 = h.chash2
               GROUP BY b.doc),
     cand AS (SELECT DISTINCT b.doc, h.doc AS hid
              FROM b_bands b JOIN h_bands h

@@ -466,3 +466,103 @@ def q106_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("long").alias("n_copies"),
         "merged_into",
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — REAL PNG decode e2e (SURVEY S7 closed for PNG, round 5): a
+# synthetic corpus of genuine spec-valid PNG files (stdlib encoder,
+# doc_id-derived dims/mode, every 28th row corrupt) decoded by
+# decode_image_meta's DEFAULT decoder — the zlib PNG codec, no
+# injection — then aspect-ratio bucket assignment on the DECODED
+# dimensions (reference bucket_manager.py:180-189 flow). The oracle
+# recomputes dims/mode/buckets straight from doc_id, so any header
+# parse, byte-order, or filter bug in the codec breaks the hash match.
+# ---------------------------------------------------------------------------
+_Q115_IMGS = """
+  SELECT doc_id AS image_key,
+         CAST(16 + (doc_id * 73) % 225 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 131) % 209 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 28 <> 0
+"""
+
+
+def _q115_oracle() -> str:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        bucket_oracle_sql,
+    )
+
+    return f"""
+    WITH assigned AS ({bucket_oracle_sql(_Q115_IMGS, BucketConfig())})
+    SELECT image_key AS doc_id,
+           CAST(16 + (image_key * 73) % 225 AS INTEGER) AS width,
+           CAST(16 + (image_key * 131) % 209 AS INTEGER) AS height,
+           CASE CAST(image_key % 3 AS INTEGER)
+             WHEN 0 THEN 'RGB' WHEN 1 THEN 'L' ELSE 'RGBA' END AS mode,
+           bucket_w, bucket_h
+    FROM assigned
+    """
+
+
+def _png_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 7 = 0) → (doc_id, content: binary) of real
+    PNG bytes: dims/mode from doc_id int math, zero pixels (the meta
+    path never inflates them; the bytes are still a complete
+    spec-valid PNG with CRCs). Every 28th row is corrupt-after-magic —
+    the P6 null path through the REAL codec."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, encode_png
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 28 == 0:
+                    blobs.append(PNG_MAGIC + b"truncated-after-magic")
+                    continue
+                w = 16 + (i * 73) % 225
+                h = 16 + (i * 131) % 209
+                ch = {0: 3, 1: 1, 2: 4}[i % 3]
+                blobs.append(encode_png(np.zeros((h, w, ch), dtype=np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q115_png_decode_bucket", oracle=_q115_oracle())
+def q115_png_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        assign_bucket_columns,
+    )
+
+    decoded = decode_image_meta(_png_corpus(spark, sf_dir))
+    ok = decoded.filter(F.col("image_meta").isNotNull()).select(
+        F.col("doc_id").alias("image_key"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mode").alias("mode"),
+    )
+    assigned = assign_bucket_columns(ok, cfg=BucketConfig())
+    return assigned.select(
+        F.col("image_key").alias("doc_id"),
+        "width",
+        "height",
+        "mode",
+        "bucket_w",
+        "bucket_h",
+    )

@@ -313,39 +313,51 @@ def q90_stream_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content view is the deterministic (and semantically honest) result.
 # ---------------------------------------------------------------------------
 def _q108_oracle() -> str:
-    from anime_data_pipeline_spark.functions.hashing import polyhash_sql
+    from anime_data_pipeline_spark.functions.hashing import polyhash2_sql, polyhash_sql
 
     h = polyhash_sql("text")
+    h2 = polyhash2_sql("text")
     return f"""
-    WITH hist AS (SELECT DISTINCT {h} AS content_hash
+    WITH hist AS (SELECT DISTINCT {h} AS content_hash, {h2} AS content_hash2
                   FROM documents WHERE doc_id % 2 = 0),
-    allc AS (SELECT DISTINCT {h} AS content_hash, n_chars FROM documents)
-    SELECT content_hash, n_chars FROM allc
-    WHERE content_hash NOT IN (SELECT content_hash FROM hist)
+    allc AS (SELECT DISTINCT {h} AS content_hash, {h2} AS content_hash2, n_chars
+             FROM documents)
+    SELECT a.content_hash, a.n_chars FROM allc a
+    ANTI JOIN hist USING (content_hash, content_hash2)
     """
 
 
 @register("q108_stream_incremental_dedup", oracle=_q108_oracle())
 def q108_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.catalog import load_table
-    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.functions.hashing import polyhash, polyhash2
     from anime_data_pipeline_spark.streaming.pipeline import (
         read_documents_stream,
         run_available_now,
         stream_incremental_dedup,
     )
 
+    # Dual content hashes (base-31 + base-37): exact-dup declared from a
+    # single ~2^30 hash silently drops ~N²/2P unrelated docs at scale.
     history = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
-        .select(polyhash(F.col("text")).alias("content_hash"))
+        .select(
+            polyhash(F.col("text")).alias("content_hash"),
+            polyhash2(F.col("text")).alias("content_hash2"),
+        )
     )
     s = read_documents_stream(spark, sf_dir)
-    doubled = s.unionByName(read_documents_stream(spark, sf_dir)).withColumn(
-        "content_hash", polyhash(F.col("text"))
+    doubled = (
+        s.unionByName(read_documents_stream(spark, sf_dir))
+        .withColumn("content_hash", polyhash(F.col("text")))
+        .withColumn("content_hash2", polyhash2(F.col("text")))
     )
     out = run_available_now(
-        stream_incremental_dedup(doubled, history, ["content_hash"]), "append"
+        stream_incremental_dedup(
+            doubled, history, ["content_hash", "content_hash2"]
+        ),
+        "append",
     )
     return out.select("content_hash", "n_chars")
 

@@ -468,9 +468,13 @@ def q110_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rerank_score"),
     )
     rr = cand.join(texts, "doc")
+    # TakeOrderedAndProject + rank over the k-row survivor set (the
+    # input is already candidate-bounded; the limit keeps the pattern
+    # structural for the plan-shape sweep).
     w = Window.partitionBy().orderBy(F.desc("rerank_score"), F.asc("doc"))
     return (
-        rr.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _Q110_K)
+        rr.orderBy(F.desc("rerank_score"), F.asc("doc"))
+        .limit(int(_Q110_K))
+        .withColumn("rank", F.row_number().over(w))
         .select("doc", "bm25", "rerank_score", F.col("rank").cast("long").alias("rank"))
     )

@@ -121,3 +121,27 @@ def test_incremental_dedup_statuses(spark):
     assert out[10] == ("exact_dup", 1)
     assert out[11] == ("near_dup", 1)
     assert out[12] == ("kept", None)
+
+
+def test_exact_dup_survives_single_hash_collision(spark):
+    """r5 advice fix: 'XY' and 'Y:' collide under the base-31 polyhash
+    (both 31·c1+c2 = 2817) but differ under base 37 — a single-hash
+    exact stage would falsely drop the batch doc; the dual-hash join
+    must keep it (its shingle sets share nothing, so no near_dup
+    either). The same dual-hash keeper window protects curate_corpus."""
+    from anime_data_pipeline_spark.functions.hashing import polyhash_py
+    from anime_data_pipeline_spark.operators.dedup import incremental_dedup_status
+    from anime_data_pipeline_spark.plans.curation import curate_corpus
+
+    assert polyhash_py("XY") == polyhash_py("Y:")  # crafted collision
+    history = spark.createDataFrame([(1, "XY")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, "Y:")], "doc_id long, text string")
+    out = {r["doc"]: r["status"] for r in
+           incremental_dedup_status(batch, history, "doc_id", "text").collect()}
+    assert out[10] == "kept"
+
+    corpus = spark.createDataFrame(
+        [(1, "XY"), (2, "Y:")], "doc_id long, text string"
+    )
+    kept = curate_corpus(corpus, "doc_id", "text", quality_threshold=0.0)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]

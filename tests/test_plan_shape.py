@@ -286,6 +286,101 @@ def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
         assert key.split("#")[0] in {"sh", "doc"}, f"unexpected shuffle key {key}"
 
 
+def _plan_tree(df):
+    """Optimized logical plan as a nested (node, children) tree parsed
+    from toJSON's flat pre-order list."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+
+    def build(i):
+        node = nodes[i]
+        n = int(node.get("num-children", 0))
+        children, j = [], i + 1
+        for _ in range(n):
+            child, j = build(j)
+            children.append(child)
+        return (node, children), j
+
+    tree, _ = build(0)
+    return tree
+
+
+def _unbounded_global_windows(tree):
+    """Window nodes with an EMPTY partitionSpec whose subtree contains
+    no GlobalLimit — i.e. a single-task sort of unbounded input."""
+
+    def has_limit(t):
+        node, children = t
+        if node.get("class", "").endswith("GlobalLimit"):
+            return True
+        return any(has_limit(c) for c in children)
+
+    hits = []
+
+    def walk(t):
+        node, children = t
+        cls = node.get("class", "")
+        if cls.endswith(".Window") and not node.get("partitionSpec", []):
+            if not any(has_limit(c) for c in children):
+                hits.append(node.get("windowExpressions"))
+        for c in children:
+            walk(c)
+
+    walk(tree)
+    return hits
+
+
+def test_no_unbounded_global_window_anywhere(spark, sf_dir):
+    """Registry-wide 100×-scale invariant: NO registered query may plan
+    an unpartitioned window over unbounded input (Spark executes those
+    on a single task — the corpus funnels through one executor). An
+    unpartitioned window is allowed only directly above a GlobalLimit
+    (rank over a top-k survivor set / provably-bounded counts table,
+    e.g. bucketed_global_rank's ≤ n_buckets offsets window)."""
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        hits = _unbounded_global_windows(_plan_tree(df))
+        if hits:
+            offenders[name] = len(hits)
+    assert not offenders, f"single-partition global windows in: {offenders}"
+
+
+def test_assign_cells_strategy_switch(spark, sf_dir):
+    """assign_cells must dispatch on k: ≤ literal_max inlines a literal
+    expression tree (map-only, zero joins), > literal_max broadcasts
+    the centroid DataFrame (no O(k·dim) literal tree in the plan) —
+    and BOTH strategies produce the identical assignment."""
+    from anime_data_pipeline_spark.catalog import load_table
+    from anime_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        seed_centroids,
+        to_double_array,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        .limit(200)
+    )
+    cents = seed_centroids(emb, "vec_id", "v", k=8)
+
+    lit_df = assign_cells(emb, "vec_id", "v", cents, literal_max=64)
+    lit_plan = plan_of(lit_df)
+    assert "Join" not in lit_plan, f"literal path must be map-only:\n{lit_plan[:800]}"
+    assert "Exchange" not in lit_plan
+
+    join_df = assign_cells(emb, "vec_id", "v", cents, literal_max=0)
+    join_plan = plan_of(join_df)
+    assert "Join" in join_plan, "large-k path must join, not inline"
+    assert "Broadcast" in join_plan, f"centroid side must broadcast:\n{join_plan[:800]}"
+
+    a = {r["vec_id"]: r["cell"] for r in lit_df.select("vec_id", "cell").collect()}
+    b = {r["vec_id"]: r["cell"] for r in join_df.select("vec_id", "cell").collect()}
+    assert a == b, "strategies disagree on assignment"
+
+
 def test_editdist_candidates_before_dp(spark, sf_dir):
     # the levenshtein must sit ABOVE the candidate join (never a
     # cartesian of texts)
