@@ -41,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
     "q115_png_decode_bucket",
+    "q116_density_prune",
+    "q117_sql_shipping_priority",
+    "q118_span_decontaminate",
     # (b) reworked round 5: bucketed_global_rank shuffle index (q29),
     # TakeOrdered top-k ranks (q114/q107/q109/q110), dual-content-hash
     # exact dedup (q102/q108/q104/q35/q88), q104 shared tokenization

@@ -777,6 +777,7 @@ def remove_duplicate_spans(
     text_col: str,
     n: int = 10,
     min_count: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact duplicated-span removal (the hash-gram form of Lee et al.
     2022's ExactSubstr dedup): any n-token span whose hash occurs ≥
@@ -797,11 +798,17 @@ def remove_duplicate_spans(
     64-bit span hashes are negligible but make this an approximation
     of the suffix-array construction, not a replica.
 
-    Returns (doc, n_tokens, n_dropped, cleaned) for every input doc.
+    Returns (doc, [carry…], n_tokens, n_dropped, cleaned) for every
+    input doc; ``carry`` columns (functionally dependent on the id)
+    ride through so callers need no join-back onto the (possibly
+    expensive) upstream — q104 carries (lang, source), saving a whole
+    re-evaluation of its quality→window-dedup chain.
     """
     base = (
         df.select(
-            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+            F.col(id_col).alias("doc"),
+            *[F.col(c) for c in carry],
+            tokens(F.col(text_col)).alias("_toks"),
         )
         .withColumn("_th", F.transform(F.col("_toks"), polyhash))
         .withColumn("_sh", shingle_hashes(F.col("_th"), n))
@@ -831,6 +838,81 @@ def remove_duplicate_spans(
         .withColumn("_cov", covered)
         .select(
             "doc",
+            *carry,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size("_cov").cast("long").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("_toks"),
+                    lambda x, i: ~F.array_contains(F.col("_cov"), (i + F.lit(1)).cast("int")),
+                ),
+            ).alias("cleaned"),
+        )
+    )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: every n-token span of a
+    corpus document whose hash appears anywhere in the benchmark set is
+    removed from the document (overlapping spans merge via the same
+    interval union as :func:`remove_duplicate_spans`) — the surgical
+    variant of :func:`benchmark_contamination`'s doc-level flag, i.e.
+    what SlimPajama/FineWeb-style pipelines do when a document is only
+    PARTIALLY contaminated and dropping it whole wastes the clean text.
+
+    Scale shape: the benchmark span-hash universe is distinct 8-byte
+    hashes (eval suites are MBs vs a 100 TB corpus) and BROADCASTS;
+    the corpus explodes to (doc, pos, hash), hits come from the
+    map-side broadcast join, and per-doc removal positions aggregate
+    to a small sorted int array — the only exchange carries (doc,
+    positions), never text. Rebuild is the same index-filter as span
+    dedup. Returns (doc, [carry…], n_tokens, n_dropped, cleaned).
+    """
+    base = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            *[F.col(c) for c in carry],
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .withColumn("_th", F.transform(F.col("_toks"), polyhash))
+        .withColumn("_sh", shingle_hashes(F.col("_th"), n))
+    )
+    universe = (
+        bench.select(
+            tokens(F.col(text_col)).alias("_toks")
+        )
+        .withColumn("_th", F.transform(F.col("_toks"), polyhash))
+        .select(F.explode(shingle_hashes(F.col("_th"), n)).alias("sh"))
+        .distinct()
+    )
+    spans = base.select("doc", F.posexplode("_sh").alias("pos0", "sh"))
+    dpos = (
+        spans.join(F.broadcast(universe), "sh")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("dps"))
+    )
+    covered = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("dps"), lambda p: F.sequence(p, p + F.lit(n - 1)))
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+    return (
+        base.join(dpos, "doc", "left")
+        .withColumn("_cov", covered)
+        .select(
+            "doc",
+            *carry,
             F.size("_toks").cast("long").alias("n_tokens"),
             F.size("_cov").cast("long").alias("n_dropped"),
             F.concat_ws(

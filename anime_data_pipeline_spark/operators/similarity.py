@@ -812,6 +812,7 @@ def knn_graph(
     k: int = 5,
     planes: int = 8,
     dim: int | None = None,
+    mutual: bool = True,
 ) -> DataFrame:
     """Approximate mutual-kNN graph: every vector is a query against
     the SRP-bucketed corpus (own bucket + all Hamming-1 probes), top-k
@@ -862,6 +863,10 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", F.col("vec_id").alias("dst"), "rank", "cosine")
     )
+    if not mutual:
+        # consumers that only need out-edges (e.g. density_prune's mean
+        # neighbor cosine) skip the edge-list self-join entirely
+        return edges
     rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
     return (
         edges.join(
@@ -871,6 +876,72 @@ def knn_graph(
         )
         .withColumn("mutual", F.col("_rs").isNotNull())
         .select("src", "dst", "rank", "cosine", "mutual")
+    )
+
+
+def density_prune(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    planes: int = 8,
+    drop_frac: float = 0.2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Density-based diversification: rank every vector by the MEAN
+    cosine to its k approximate nearest neighbors (its local density)
+    and flag the densest ``drop_frac`` fraction for removal — the
+    SSL-prototypes / SemDeDup-family heuristic that near-duplicates
+    and over-represented modes contribute the least marginal training
+    signal (Sorscher et al. 2022, Abbas et al. 2023). The reference's
+    analogue is its aesthetic-threshold keep/drop (run.py:87-88)
+    applied to embedding density instead of a score column.
+
+    Plan shape: out-edges from :func:`knn_graph` (``mutual=False`` —
+    no edge self-join), one (src)-keyed mean agg, then a GLOBAL
+    deterministic rank with NO single-partition window: density is
+    quantized to an integer key (round(1e6·(1−density)) ∈ [0, 2e6])
+    and ranked by :func:`~anime_data_pipeline_spark.operators.ordering.
+    bucketed_global_rank` — hash-range buckets + broadcast offsets.
+    Ranking on the ROUNDED density (ties → id) keeps keep/drop
+    membership engine-exact; the cutoff count comes from a 1-row
+    count broadcast, never a driver collect.
+
+    Returns (id, degree, density, rank, kept) for every node with at
+    least one kNN edge; isolated nodes (empty probe neighborhoods —
+    maximally sparse regions) are by definition keepers and absent
+    from the ranking.
+    """
+    from anime_data_pipeline_spark.functions.compat import dround
+    from anime_data_pipeline_spark.operators.ordering import bucketed_global_rank
+
+    edges = knn_graph(
+        corpus, id_col, vec_col, k=k, planes=planes, dim=dim, mutual=False
+    )
+    dens = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        dround(F.avg("cosine"), 6).alias("density"),
+    )
+    # density ∈ [-1, 1] → key = floor(1e6·(1 − density) + 0.5) ∈
+    # [0, 2e6]: ascending key == descending density. floor(x + 0.5)
+    # (not engine round(), whose half-way ties differ across engines)
+    # on the already-6dp-rounded density is integer-exact both sides.
+    keyed = dens.withColumn(
+        "_dk",
+        F.floor((F.lit(1.0) - F.col("density")) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    ranked = bucketed_global_rank(
+        keyed, key_col="_dk", key_max=2_000_001, tiebreakers=["src"], out_col="rank"
+    )
+    total = dens.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn("kept", F.col("rank") > F.floor(F.lit(float(drop_frac)) * F.col("_n")))
+        .select(
+            F.col("src").alias(id_col), "degree", "density", "rank", "kept"
+        )
     )
 
 

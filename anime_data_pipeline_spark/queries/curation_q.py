@@ -350,15 +350,26 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent hashes (base-31 + base-37): keying the window on one
     # ~2^30 hash would falsely collapse ~N²/2P unrelated docs at scale.
     keeper = F.min("doc_id").over(Window.partitionBy("_chash", "_chash2"))
+    # uniq feeds the span op's two consumers (span explode + cleaned-
+    # text rebuild); its lineage is the quality forest + dual-hash
+    # window — persist wins over recompute here (measured 8.5→7.4 s at
+    # sf0.1; the window chain is exactly the expensive-upstream case
+    # where persist pays, unlike cheap-scan upstreams).
     uniq = (
         hyg.withColumn("_chash", polyhash(F.col("text")))
         .withColumn("_chash2", polyhash2(F.col("text")))
         .withColumn("_keeper", keeper)
         .filter(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "lang", "source", "text")
+        .persist()
     )
-    # C: ExactSubstr span cleaning; drop docs losing more than half
-    cleaned = remove_duplicate_spans(uniq, "doc_id", "text", n=_Q104_SPAN_N, min_count=2)
+    # C: ExactSubstr span cleaning; drop docs losing more than half.
+    # (lang, source) carry through so no join-back re-evaluates the
+    # quality→window-dedup chain (measured: the A-C stage was 70% of
+    # q104's wall time, dominated by re-derivations of `uniq`).
+    cleaned = remove_duplicate_spans(
+        uniq, "doc_id", "text", n=_Q104_SPAN_N, min_count=2, carry=("lang", "source")
+    )
     # Stage boundary: every downstream stage (DSIR's two featurize
     # passes, the LM aggs, the source join) re-derives the full
     # hygiene → window-dedup → span-dedup chain otherwise. Same
@@ -370,8 +381,12 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckept = (
         cleaned.filter(F.col("n_dropped") * 2 <= F.col("n_tokens"))
-        .select(F.col("doc").alias("doc_id"), F.col("cleaned").alias("text"))
-        .join(uniq.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "lang",
+            "source",
+            F.col("cleaned").alias("text"),
+        )
         .withColumn("_toks", tokens(F.col("text")))
         .persist()
     )

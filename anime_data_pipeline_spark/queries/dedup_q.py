@@ -577,3 +577,78 @@ def q91_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         comp, "doc_id", "component", _Q91_WEIGHTS, seed=_Q91_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — span-level decontamination (round 5): the q88-style salted
+# corpus (docs with doc_id % 13 = 0 get the first benchmark doc's
+# 200-char prefix appended) cleaned SURGICALLY — only the benchmark-
+# overlapping 8-token spans are removed, the rest of each document
+# survives (vs q78/q100's whole-doc flags). Bench split = doc_id % 29
+# = 0; corpus = the rest. Cleaned text is part of the compared output,
+# so the interval-union removal is verified byte-for-byte.
+# ---------------------------------------------------------------------------
+_Q118_N = 8
+
+
+def _q118_oracle() -> str:
+    n = _Q118_N
+    return f"""
+    WITH b0 AS (SELECT substr(text, 1, 200) AS t FROM documents WHERE doc_id = 0),
+    corpus AS (
+      SELECT doc_id, CASE WHEN doc_id % 13 = 0
+                          THEN text || ' ' || (SELECT t FROM b0)
+                          ELSE text END AS text
+      FROM documents WHERE doc_id % 29 <> 0
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+    btha AS (SELECT list_transform({tokens_sql("text")}, t -> {polyhash_sql("t")}) AS th
+             FROM bench),
+    universe AS (SELECT DISTINCT unnest({shingle_hashes_sql("th", n)}) AS sh FROM btha),
+    tok AS (SELECT doc_id AS doc, {tokens_sql("text")} AS toks FROM corpus),
+    tha AS (SELECT doc, toks,
+                   list_transform(toks, t -> {polyhash_sql("t")}) AS th
+            FROM tok),
+    shs AS (SELECT doc, toks, {shingle_hashes_sql("th", n)} AS sh FROM tha),
+    spans AS (SELECT doc, u.s.sh AS sh, u.s.pos AS pos
+              FROM shs, unnest(list_transform(sh, (x, i) -> {{'sh': x, 'pos': i}})) AS u(s)),
+    dpos AS (SELECT doc, list_sort(list(pos)) AS dps
+             FROM spans JOIN universe USING (sh) GROUP BY doc),
+    cov AS (SELECT s.doc, s.toks,
+                   coalesce(list_distinct(flatten(list_transform(d.dps,
+                     p -> list_transform(generate_series(p, p + {n - 1}), z -> CAST(z AS INT))))),
+                     CAST([] AS INT[])) AS cv
+            FROM shs s LEFT JOIN dpos d USING (doc))
+    SELECT doc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(cv) AS BIGINT) AS n_dropped,
+           coalesce(list_aggregate(
+               list_filter(toks, (x, i) -> NOT list_contains(cv, CAST(i AS INT))),
+               'string_agg', ' '), '') AS cleaned
+    FROM cov
+    """
+
+
+@register("q118_span_decontaminate", oracle=_q118_oracle())
+def q118_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import remove_contaminated_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.filter(F.col("doc_id") == 0).select(
+        F.substring("text", 1, 200).alias("_b0")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 29 != 0)
+        .crossJoin(F.broadcast(b0))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("_b0")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    return remove_contaminated_spans(corpus, bench, "doc_id", "text", n=_Q118_N)

@@ -684,3 +684,45 @@ def q47_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — the SQL API surface (round 5): the classic shipping-priority
+# query (TPC-H Q3 shape, adapted to this schema's columns) expressed
+# ENTIRELY through spark.sql() over catalog.register_views — the same
+# declarative text Catalyst compiles to the broadcast-join +
+# partial-agg + TakeOrderedAndProject plan the DataFrame twin queries
+# get. The reference has no SQL layer at all (SURVEY §2: imperative
+# dict loops); this pins that the engine's SQL entry point works
+# end-to-end, dialect differences confined to STRING/VARCHAR casts.
+# ---------------------------------------------------------------------------
+_Q117_CUT = "1997-03-15"
+
+_Q117_BODY = """
+    SELECT o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS {strtype}) AS o_date,
+           o.o_orderpriority,
+           floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '{cut}'
+      AND CAST(l.l_shipdate  AS DATE) > DATE '{cut}'
+    GROUP BY o.o_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS {strtype}),
+             o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "q117_sql_shipping_priority",
+    oracle=_Q117_BODY.format(strtype="VARCHAR", cut=_Q117_CUT),
+)
+def q117_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q117_BODY.format(strtype="STRING", cut=_Q117_CUT))

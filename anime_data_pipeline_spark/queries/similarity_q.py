@@ -565,3 +565,57 @@ def q93_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_Q93_NPROBE,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q116 — density-based pruning (round 5): rank every vector by mean
+# cosine to its k approximate NNs (q97's graph, out-edges only) and
+# drop the densest 20% — the SSL-prototypes/SemDeDup-family
+# diversification heuristic. The global rank goes through
+# bucketed_global_rank on the quantized density key (the q29 operator
+# reused on a double-valued score), so there is NO single-partition
+# window anywhere; the oracle mirrors the quantized key ordering.
+# ---------------------------------------------------------------------------
+_Q116_DROP = 0.2
+
+_Q116_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    qp AS (SELECT vec_id AS src, cv AS qv,
+                  unnest(list_prepend(bucket,
+                    list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+           FROM corpus),
+    scored AS (SELECT qp.src, corpus.vec_id,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN qp USING (bucket)
+               WHERE qp.src <> corpus.vec_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY src ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored),
+    edges AS (SELECT src, cosine FROM ranked WHERE rank <= {_Q97_K}),
+    dens AS (SELECT src, CAST(count(*) AS BIGINT) AS degree,
+                    {dround_sql("avg(cosine)", 6)} AS density
+             FROM edges GROUP BY src),
+    tot AS (SELECT count(*) AS n FROM dens),
+    rk AS (SELECT *, row_number() OVER (
+             ORDER BY floor((1.0 - density) * 1000000.0 + 0.5), src) AS rank
+           FROM dens)
+    SELECT src AS vec_id, degree, density, CAST(rank AS BIGINT) AS rank,
+           rank > floor({_Q116_DROP} * (SELECT n FROM tot)) AS kept
+    FROM rk
+"""
+
+
+@register("q116_density_prune", oracle=_Q116_ORACLE)
+def q116_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import density_prune
+
+    return density_prune(
+        _corpus(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=_Q97_K,
+        planes=_PLANES,
+        drop_frac=_Q116_DROP,
+    )
