@@ -44,6 +44,11 @@ _PRIORITY = [
     "q116_density_prune",
     "q117_sql_shipping_priority",
     "q118_span_decontaminate",
+    "q119_json_props_extract",
+    "q120_minhash_quality_audit",
+    "q121_embedding_dim_profile",
+    "q122_source_overlap_matrix",
+    "q123_stream_heavy_hitters",
     # (b) reworked round 5: bucketed_global_rank shuffle index (q29),
     # TakeOrdered top-k ranks (q114/q107/q109/q110), dual-content-hash
     # exact dedup (q102/q108/q104/q35/q88), q104 shared tokenization

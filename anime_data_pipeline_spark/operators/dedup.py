@@ -259,6 +259,66 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_quality_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the
+    signature-ESTIMATED Jaccard (fraction of equal minhash components
+    — the unbiased estimator the banding decision is implicitly built
+    on, Broder 1997) next to the EXACT shingle-set Jaccard, plus the
+    absolute error. The ops-side answer to "are k and bands tuned
+    right for this corpus?": a fat error tail at the threshold means
+    the signature is too short for the dedup decision being made.
+
+    Plan shape identical to minhash_lsh_pairs (persisted signature
+    table, band equi-join, per-pair column math) — the estimate adds
+    one k-length zip over arrays already in the row, no extra
+    exchange. Returns (id_a, id_b, est_jaccard, exact_jaccard,
+    abs_err), all rounded to 6dp for cross-engine rank stability.
+    """
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    rows = k // bands
+    hashed = shingle_hash_sets(df, id_col, text_col, n).withColumn(
+        "sig", minhash_signature_expr("hashes", k)
+    )
+    hashed = hashed.persist()
+    cand = band_candidates(hashed, bands, rows)
+    sides = hashed.select("doc", "hashes", "sig")
+    joined = cand.join(
+        sides.select(
+            F.col("doc").alias("id_a"), F.col("hashes").alias("ha"), F.col("sig").alias("sa")
+        ),
+        "id_a",
+    ).join(
+        sides.select(
+            F.col("doc").alias("id_b"), F.col("hashes").alias("hb"), F.col("sig").alias("sb")
+        ),
+        "id_b",
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda b: b
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.col("ha")) + F.size(F.col("hb")) - inter
+    return (
+        joined.withColumn("est_jaccard", dround(eq.cast("double") / F.lit(float(k)), 6))
+        .withColumn("exact_jaccard", dround(inter.cast("double") / union, 6))
+        .withColumn(
+            "abs_err",
+            dround(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+        .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "abs_err")
+    )
+
+
 def simhash_from_hashes(h: Column, bits: int = 30) -> Column:
     """SimHash fingerprint from a precomputed token-hash array.
 
@@ -922,6 +982,71 @@ def remove_contaminated_spans(
                     lambda x, i: ~F.array_contains(F.col("_cov"), (i + F.lit(1)).cast("int")),
                 ),
             ).alias("cleaned"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the n-gram shingle-universe intersection size and the overlap
+    coefficient |A∩B| / min(|A|,|B|) — corpus forensics for "which
+    source scraped which" before mixture weighting trusts the source
+    labels (the q75/q89 mixes assume sources are distinct corpora).
+
+    Plan shape: one tokenize/shingle pass → distinct (source, hash)
+    pairs (the per-source universes, hash-keyed), a self-equi-join ON
+    THE SHINGLE HASH (each shared shingle contributes its source-pair
+    combinations — bounded by |sources|² per hash, and |sources| is
+    small by definition of a source label), a (src_a, src_b)-keyed
+    count, and the |sources|-row size table broadcast back. Nothing
+    text-sized ever shuffles; output is |sources|²-bounded.
+
+    Returns (src_a, src_b, n_inter, overlap_coef) for pairs with
+    n_inter > 0, src_a < src_b.
+    """
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .withColumn("_th", F.transform(F.col("_toks"), polyhash))
+        .select("grp", F.explode(shingle_hashes(F.col("_th"), n)).alias("sh"))
+        .distinct()
+    )
+    sizes = base.groupBy("grp").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = base.alias("a"), base.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("grp").alias("src_a"), F.col("_sz").alias("_na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("src_b"), F.col("_sz").alias("_nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            dround(
+                F.col("n_inter").cast("double") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("overlap_coef"),
         )
     )
 

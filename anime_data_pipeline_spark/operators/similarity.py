@@ -945,6 +945,61 @@ def density_prune(
     )
 
 
+def embedding_dim_profile(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Per-dimension embedding profile: mean, population std, and the
+    count of |z| > ``z_cut`` outlier values — the feature-scaling /
+    drift audit run before standardizing vectors for ANN or quantizing
+    for serving (a skewed or dead dimension distorts cosine and wastes
+    int8 range).
+
+    Cross-engine determinism: std comes from the closed form
+    sqrt(max(0, E[x²] − mean²)) over two plain averages — NOT the
+    engines' stddev aggregates, whose Welford orderings differ — and
+    the outlier count is an integer, immune to float-sum ordering.
+
+    Plan shape: one posexplode → (dim)-keyed partial agg (dim
+    cardinality = vector width, so the stats table is dim-sized at ANY
+    corpus size), stats broadcast back onto the same explode for the
+    z-filter — two map-side passes, one tiny broadcast, no corpus
+    shuffle beyond the dim-keyed partial aggs.
+    """
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    vals = df.select(
+        F.posexplode(to_double_array(F.col(vec_col))).alias("dim", "x")
+    )
+    stats = (
+        vals.groupBy("dim")
+        .agg(F.avg("x").alias("_m"), F.avg(F.col("x") * F.col("x")).alias("_m2"))
+        .withColumn(
+            "_sd", F.sqrt(F.greatest(F.col("_m2") - F.col("_m") * F.col("_m"), F.lit(0.0)))
+        )
+    )
+    outliers = (
+        vals.join(F.broadcast(stats), "dim")
+        .filter(
+            F.abs(F.col("x") - F.col("_m"))
+            > F.lit(float(z_cut)) * F.col("_sd")
+        )
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(outliers, "dim", "left")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            dround(F.col("_m"), 6).alias("mean_v"),
+            dround(F.col("_sd"), 6).alias("std_v"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Per-vector symmetric int8 quantization + reconstruction audit.
 

@@ -652,3 +652,91 @@ def q118_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = d.filter(F.col("doc_id") % 29 == 0)
     return remove_contaminated_spans(corpus, bench, "doc_id", "text", n=_Q118_N)
+
+
+# ---------------------------------------------------------------------------
+# q120 — MinHash sketch-quality audit (round 5): per LSH candidate
+# pair, signature-estimated Jaccard (equal-component fraction, the
+# Broder estimator) vs exact shingle Jaccard + absolute error — the
+# k/bands tuning diagnostic. Oracle replays the identical signatures
+# component-for-component, so estimator AND exact set math are both
+# pinned.
+# ---------------------------------------------------------------------------
+def _q120_oracle() -> str:
+    n, k, bands = _NGRAM, _K, _BANDS
+    est = (
+        f"CAST(len(list_filter(range(1, {k + 1}), "
+        f"i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {k}"
+    )
+    exact = (
+        "CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE) / "
+        "(len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)))"
+    )
+    return f"""
+    {lsh_candidates_sql(_CORPUS_SQL, n, k, bands)},
+    audit AS (
+      SELECT cand.id_a, cand.id_b,
+             {dround_sql(est, 6)} AS est_jaccard,
+             {dround_sql(exact, 6)} AS exact_jaccard
+      FROM cand
+      JOIN sigs sa ON sa.doc = cand.id_a
+      JOIN sigs sb ON sb.doc = cand.id_b)
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           {dround_sql("abs(est_jaccard - exact_jaccard)", 6)} AS abs_err
+    FROM audit
+    """
+
+
+@register("q120_minhash_quality_audit", oracle=_q120_oracle())
+def q120_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import minhash_quality_audit
+
+    corpus = mutated_corpus(spark, sf_dir)
+    return minhash_quality_audit(corpus, "doc_id", "text", n=_NGRAM, k=_K, bands=_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# q122 — cross-source contamination matrix (round 5): n-gram shingle-
+# universe overlap between every source pair, salted with a synthetic
+# "srcagg" aggregator source that re-hosts every 4th document — the
+# corpus-forensics pass that catches inter-source scraping before
+# mixture weighting (q75/q89) trusts source labels as distinct
+# corpora. Overlap coefficient = |A∩B| / min(|A|,|B|).
+# ---------------------------------------------------------------------------
+def _q122_oracle() -> str:
+    n = _NGRAM
+    return f"""
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'srcagg' AS source, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    tha AS (SELECT source AS grp,
+                   list_transform({tokens_sql("text")}, t -> {polyhash_sql("t")}) AS th
+            FROM corpus),
+    uni AS (SELECT DISTINCT grp, unnest({shingle_hashes_sql("th", n)}) AS sh FROM tha),
+    sizes AS (SELECT grp, count(*) AS sz FROM uni GROUP BY grp),
+    inter AS (SELECT a.grp AS src_a, b.grp AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM uni a JOIN uni b ON a.sh = b.sh AND a.grp < b.grp
+              GROUP BY a.grp, b.grp)
+    SELECT i.src_a, i.src_b, i.n_inter,
+           {dround_sql("CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz)", 6)}
+             AS overlap_coef
+    FROM inter i
+    JOIN sizes sa ON sa.grp = i.src_a
+    JOIN sizes sb ON sb.grp = i.src_b
+    """
+
+
+@register("q122_source_overlap_matrix", oracle=_q122_oracle())
+def q122_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import source_overlap_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("source", "doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 4 == 0).select(
+            F.lit("srcagg").alias("source"), "doc_id", "text"
+        )
+    )
+    return source_overlap_matrix(corpus, "source", "doc_id", "text", n=_NGRAM)

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
-from anime_data_pipeline_spark.functions.compat import dround
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.registry import register
 
 # DuckDB-side spelling of dround (functions/compat.py): identical IEEE ops.
@@ -726,3 +726,40 @@ def q117_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q117_BODY.format(strtype="STRING", cut=_Q117_CUT))
+
+
+# ---------------------------------------------------------------------------
+# q119 — JSON property extraction (round 5; SURVEY S5's JSON-source
+# semantics as a column function): events.props carries a JSON string;
+# get_json_object pulls $.k JVM-side (no UDF), grouped into per-type
+# stats. The reference parses whole-file JSON on the driver
+# (prepare_aesthetic_tags_metadata.py); at 100 TB per-row JSON columns
+# must parse inside the scan stage, which is exactly what this plans.
+# ---------------------------------------------------------------------------
+@register(
+    "q119_json_props_extract",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+           {dround_sql("avg(CAST(props->>'$.k' AS BIGINT))", 6)} AS k_avg
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) % 3 <> 1
+    GROUP BY event_type
+    """,
+)
+def q119_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .filter(F.col("_k") % 3 != 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").cast("long").alias("k_sum"),
+            F.max("_k").cast("long").alias("k_max"),
+            dround(F.avg("_k"), 6).alias("k_avg"),
+        )
+    )

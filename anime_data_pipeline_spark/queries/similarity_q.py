@@ -619,3 +619,47 @@ def q116_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_PLANES,
         drop_frac=_Q116_DROP,
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — per-dimension embedding profile (round 5): mean / population
+# std (closed form from two averages — NOT engine stddev, whose
+# Welford orderings differ across engines) / integer |z|>3 outlier
+# count per dimension. The feature-scaling audit before
+# standardization or int8 quantization. Oracle unnests with explicit
+# ordinality structs (the q101 spans pattern).
+# ---------------------------------------------------------------------------
+_Q121_ZCUT = 3.0
+
+_Q121_ORACLE = f"""
+    WITH vals AS (
+      SELECT u.s.i - 1 AS dim, u.s.x AS x
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           unnest(list_transform(cv, (x, i) -> {{'x': x, 'i': i}})) AS u(s)
+    ),
+    stats AS (
+      SELECT dim, avg(x) AS m, avg(x * x) AS m2,
+             sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0.0)) AS sd
+      FROM vals GROUP BY dim
+    ),
+    outl AS (
+      SELECT v.dim, count(*) AS n_outliers
+      FROM vals v JOIN stats s ON s.dim = v.dim
+      WHERE abs(v.x - s.m) > {_Q121_ZCUT} * s.sd
+      GROUP BY v.dim
+    )
+    SELECT CAST(s.dim AS BIGINT) AS dim,
+           {dround_sql("s.m", 6)} AS mean_v,
+           {dround_sql("s.sd", 6)} AS std_v,
+           CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM stats s LEFT JOIN outl o ON o.dim = s.dim
+"""
+
+
+@register("q121_embedding_dim_profile", oracle=_Q121_ORACLE)
+def q121_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import embedding_dim_profile
+
+    return embedding_dim_profile(
+        _corpus(spark, sf_dir), "vec_id", "embedding", z_cut=_Q121_ZCUT
+    )

@@ -456,3 +456,47 @@ def q111_stream_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — streaming heavy hitters (round 5): per 1-hour event-time
+# window, the top-3 event types by count — trending detection over the
+# ingest stream. The stream emits only (window, type, count) — state
+# is |types|-sized per open window; the rank runs batch-side on the
+# tiny sink table (per-window partitioned window, never global).
+# ---------------------------------------------------------------------------
+_Q123_K = 3
+
+
+def _q123_oracle() -> str:
+    return f"""
+    WITH ev AS (SELECT make_timestamp((epoch_us(ts) // {_1H_US}) * {_1H_US})
+                         AS window_start,
+                       event_type
+                FROM events),
+    wc AS (SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM ev GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (
+             PARTITION BY window_start ORDER BY n DESC, event_type) AS rank
+           FROM wc)
+    SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {_Q123_K}
+    """
+
+
+@register("q123_stream_heavy_hitters", oracle=_q123_oracle())
+def q123_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = read_events_stream(spark, sf_dir)
+    counts = run_available_now(
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "complete",
+    ).select(F.col("w.start").alias("window_start"), "event_type", F.col("n").cast("long").alias("n"))
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= _Q123_K)
+    )
