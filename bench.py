@@ -60,6 +60,12 @@ EXTRA_QUERIES = [
     "q101_span_dedup",
     "q102_incremental_dedup",
     "q104_curation_v2",
+    # round-5 additions: density prune (kNN-graph consumer), span
+    # decontamination, MinHash audit, source overlap matrix
+    "q116_density_prune",
+    "q118_span_decontaminate",
+    "q120_minhash_quality_audit",
+    "q122_source_overlap_matrix",
 ]
 
 

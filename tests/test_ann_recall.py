@@ -247,3 +247,32 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert out[2]["scale"] == 1.0 and out[2]["q_l1"] == 0 and out[2]["mse"] == 0.0
     # extreme elements map exactly to ±127
     assert out[3]["qv"][0] == 127 and out[3]["qv"][1] == -127
+
+
+def test_density_prune_drops_planted_dense_cluster_first(spark):
+    """Semantic check: a corpus of well-spread vectors plus one planted
+    tight cluster — the cluster members must occupy the top density
+    ranks and be the ones dropped at drop_frac = cluster share."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.similarity import density_prune
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    spread = rng.normal(size=(80, dim))
+    base = rng.normal(size=dim)
+    cluster = base + rng.normal(scale=0.01, size=(20, dim))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([spread, cluster]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = density_prune(df, "vec_id", "v", k=5, planes=6, drop_frac=0.2)
+    dropped = {r["vec_id"] for r in out.filter(~F.col("kept")).collect()}
+    cluster_ids = set(range(80, 100))
+    # every dropped row is a planted-cluster member (cosines ~1.0 there)
+    assert dropped, "nothing dropped"
+    assert dropped <= cluster_ids, f"dropped non-cluster rows: {dropped - cluster_ids}"
+    # and most of the cluster is caught (some members may miss the
+    # bucket if the perturbation flips a plane — allow slack)
+    assert len(dropped) >= 10, f"only {len(dropped)} of 20 cluster rows dropped"
