@@ -49,6 +49,8 @@ _PRIORITY = [
     "q121_embedding_dim_profile",
     "q122_source_overlap_matrix",
     "q123_stream_heavy_hitters",
+    "q124_group_quantiles",
+    "q125_signature_sidetable",
     # (b) reworked round 5: bucketed_global_rank shuffle index (q29),
     # TakeOrdered top-k ranks (q114/q107/q109/q110), dual-content-hash
     # exact dedup (q102/q108/q104/q35/q88), q104 shared tokenization

@@ -740,3 +740,151 @@ def q122_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return source_overlap_matrix(corpus, "source", "doc_id", "text", n=_NGRAM)
+
+
+# ---------------------------------------------------------------------------
+# q125 — persisted signature side-table roundtrip (round 5): the
+# PRODUCTION shape q102's docstring promises — history MinHash
+# signatures + shingle sets are written ONCE to a parquet side-table;
+# an incoming batch is deduped against the STORED table (read back
+# from disk) with zero re-hashing of history text. The parquet write/
+# read is inside the query, so the gate verifies the storage
+# roundtrip byte-path too (schema, longs, arrays). At 100 TB the
+# side-table is the only history artifact each nightly batch touches.
+# ---------------------------------------------------------------------------
+def _q125_oracle() -> str:
+    # storage is value-transparent, so the oracle is q102's near stage
+    n, k, bands, t = _NGRAM, _K, _BANDS, _THRESH
+    jac = (
+        "CAST(len(list_intersect(bs.hashes, hs.hashes)) AS DOUBLE) / "
+        "(len(bs.hashes) + len(hs.hashes) - len(list_intersect(bs.hashes, hs.hashes)))"
+    )
+    batch_sql = f"""
+    SELECT doc_id + 200000 AS doc_id, text || '{_NEARDUP_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 5 = 0
+    """
+    return f"""
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    batchc AS ({batch_sql}),
+    {{h_chain}},
+    {{b_chain}},
+    cand AS (SELECT DISTINCT b.doc, h.doc AS hid
+             FROM b_bands b JOIN h_bands h
+               ON b.band_idx = h.band_idx AND b.band_val = h.band_val),
+    near AS (SELECT cand.doc, min(cand.hid) AS near_id
+             FROM cand
+             JOIN b_hashed bs ON bs.doc = cand.doc
+             JOIN h_hashed hs ON hs.doc = cand.hid
+             WHERE {jac} >= {t}
+             GROUP BY cand.doc)
+    SELECT b.doc, near.near_id
+    FROM b_hashed b LEFT JOIN near USING (doc)
+    """
+
+
+def _q125_chains() -> tuple[str, str]:
+    """The q102 oracle's per-side CTE chains, reused verbatim minus the
+    content-hash columns (this query is near-dup-only)."""
+    n, k, bands = _NGRAM, _K, _BANDS
+    rows = k // bands
+    consts = perm_constants(k)
+
+    def sig_items() -> str:
+        items = []
+        for a, b in consts:
+            items.append(
+                f"list_min(list_transform(hashes, h -> {perm_hash_sql('h', a, b)}))"
+            )
+        return "[" + ", ".join(items) + "]"
+
+    def band_selects(src: str) -> str:
+        sels = []
+        for j in range(bands):
+            v = f"sig[{j * rows + 1}]"
+            for r in range(1, rows):
+                v = f"(({v}) * 31 + sig[{j * rows + r + 1}])"
+            sels.append(f"SELECT doc, {j} AS band_idx, {v} AS band_val FROM {src}")
+        return " UNION ALL ".join(sels)
+
+    def chain(p: str, src: str) -> str:
+        return f"""
+    {p}tha AS (SELECT doc_id AS doc,
+                      list_transform({tokens_sql("text")}, t -> {polyhash_sql("t")}) AS th
+               FROM {src}),
+    {p}hashed AS (SELECT doc,
+                         list_distinct({shingle_hashes_sql("th", n)}) AS hashes
+                  FROM {p}tha),
+    {p}sigs AS (SELECT doc, {sig_items()} AS sig FROM {p}hashed),
+    {p}bands AS ({band_selects(p + "sigs")})"""
+
+    return chain("h_", "hist"), chain("b_", "batchc")
+
+
+_Q125_H, _Q125_B = _q125_chains()
+
+
+@register(
+    "q125_signature_sidetable",
+    oracle=_q125_oracle().format(h_chain=_Q125_H, b_chain=_Q125_B),
+)
+def q125_signature_sidetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from anime_data_pipeline_spark.functions.text import tokens
+    from anime_data_pipeline_spark.operators.dedup import (
+        band_values_expr,
+        minhash_signature_expr,
+        shingle_hash_sets,
+    )
+
+    n, k, bands = _NGRAM, _K, _BANDS
+    rows = k // bands
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # Nightly build: hash history ONCE, persist (doc, hashes, sig)
+    side = tempfile.mkdtemp(prefix="sigtab_")
+    shingle_hash_sets(d, "doc_id", "text", n).withColumn(
+        "sig", minhash_signature_expr("hashes", k)
+    ).write.mode("overwrite").parquet(side)
+
+    # Batch run: history comes ONLY from the stored side-table
+    stored = spark.read.parquet(side)
+    h_bands = stored.select(
+        "doc", F.posexplode(band_values_expr("sig", bands, rows)).alias(
+            "band_idx", "band_val"
+        )
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+    )
+    b_hashed = shingle_hash_sets(batch, "doc_id", "text", n).withColumn(
+        "sig", minhash_signature_expr("hashes", k)
+    ).persist()
+    b_bands = b_hashed.select(
+        "doc", F.posexplode(band_values_expr("sig", bands, rows)).alias(
+            "band_idx", "band_val"
+        )
+    )
+    cand = (
+        b_bands.join(
+            h_bands.select("band_idx", "band_val", F.col("doc").alias("_hid")),
+            ["band_idx", "band_val"],
+        )
+        .select("doc", "_hid")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.col("ha")) + F.size(F.col("hb")) - inter
+    near = (
+        cand.join(b_hashed.select(F.col("doc"), F.col("hashes").alias("hb")), "doc")
+        .join(
+            stored.select(F.col("doc").alias("_hid"), F.col("hashes").alias("ha")),
+            "_hid",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= _THRESH)
+        .groupBy("doc")
+        .agg(F.min("_hid").alias("near_id"))
+    )
+    return b_hashed.select("doc").join(near, "doc", "left")

@@ -478,3 +478,56 @@ def q110_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("doc", "bm25", "rerank_score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — per-group discrete quantiles (round 5): p50/p90 of document
+# length per language via deterministic (value, id) rank — the
+# corpus-report quantile with NO percentile interpolation (the exact
+# cross-engine-safe form; engine/DuckDB percentile_cont interpolation
+# and ordering semantics differ). Value at rank ceil(q·n), ties broken
+# by doc_id, so the answer is a real corpus value, reproducible at any
+# parallelism. Per-group windows partition by lang (bounded groups).
+# ---------------------------------------------------------------------------
+@register(
+    "q124_group_quantiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p50_chars,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p90_chars
+    FROM ranked GROUP BY lang
+    """,
+)
+def q124_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("n_chars"),
+        )
+    ).cast("long")
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(0.5).alias("p50_chars"),
+        pick(0.9).alias("p90_chars"),
+    )
