@@ -205,3 +205,25 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is identity for arbitrary uint8 arrays
+    across all channel counts and degenerate sizes (1×1, 1×N, N×1)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, ch, seed):
+        arr = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+        out = decode_png(encode_png(arr))
+        assert out is not None and out.shape == (h, w, ch)
+        assert np.array_equal(out, arr)
+
+    roundtrip()
