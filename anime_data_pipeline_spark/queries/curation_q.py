@@ -406,3 +406,96 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_src = nll.join(ckept.select("doc_id", "source"), "doc_id")
     band = rank_band_filter(with_src, "source", "mean_nll", "doc_id", lo=0.25, hi=0.75)
     return band.join(w, "doc_id").select("doc_id", "source", "dsir_logw", "mean_nll")
+
+
+# ---------------------------------------------------------------------------
+# q126 — per-source curation funnel report (round 5): the ops
+# dashboard an LLM-data team reads daily — for each source, raw count,
+# quality survivors, dual-hash-unique survivors, and the retention
+# rates. Composes the hygiene + keeper-window stages over the
+# q104-style salted corpus (exact copies re-keyed +100000 so dedup
+# demonstrably removes rows per source). All exchanges are
+# source-keyed partial aggs on top of the chain's hash shuffles.
+# ---------------------------------------------------------------------------
+_Q126_QT = 0.5
+
+
+def _q126_oracle() -> str:
+    score = quality_sql_projection("text")["quality_score"]
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, source, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    hyg AS (SELECT * FROM corpus WHERE ({score}) >= {_Q126_QT}),
+    uniq AS (SELECT doc_id, source FROM (
+               SELECT *, min(doc_id) OVER (
+                 PARTITION BY {polyhash_sql("text")}, {polyhash2_sql("text")}) AS keeper
+               FROM hyg) WHERE doc_id = keeper),
+    raw_c AS (SELECT source, count(*) AS n_raw FROM corpus GROUP BY source),
+    hyg_c AS (SELECT source, count(*) AS n_quality FROM hyg GROUP BY source),
+    unq_c AS (SELECT source, count(*) AS n_unique FROM uniq GROUP BY source)
+    SELECT r.source,
+           CAST(r.n_raw AS BIGINT) AS n_raw,
+           CAST(coalesce(h.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+           {dround_sql("coalesce(h.n_quality, 0) / CAST(r.n_raw AS DOUBLE)", 6)}
+             AS quality_rate,
+           {dround_sql("coalesce(u.n_unique, 0) / CAST(r.n_raw AS DOUBLE)", 6)}
+             AS unique_rate
+    FROM raw_c r
+    LEFT JOIN hyg_c h USING (source)
+    LEFT JOIN unq_c u USING (source)
+    """
+
+
+@register("q126_curation_report", oracle=_q126_oracle())
+def q126_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from anime_data_pipeline_spark.catalog import load_table
+    from anime_data_pipeline_spark.functions.hashing import polyhash, polyhash2
+    from anime_data_pipeline_spark.operators.textstats import quality_columns
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+    )
+    hyg = (
+        quality_columns(corpus, "text")
+        .filter(F.col("quality_score") >= _Q126_QT)
+        .select("doc_id", "source", "text")
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("_ch", "_ch2"))
+    uniq = (
+        hyg.withColumn("_ch", polyhash(F.col("text")))
+        .withColumn("_ch2", polyhash2(F.col("text")))
+        .withColumn("_k", keeper)
+        .filter(F.col("doc_id") == F.col("_k"))
+        .select("doc_id", "source")
+    )
+    raw_c = corpus.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    hyg_c = hyg.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+    unq_c = uniq.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    return (
+        raw_c.join(hyg_c, "source", "left")
+        .join(unq_c, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("n_quality"), F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+            dround(
+                F.coalesce(F.col("n_quality"), F.lit(0)) / F.col("n_raw").cast("double"),
+                6,
+            ).alias("quality_rate"),
+            dround(
+                F.coalesce(F.col("n_unique"), F.lit(0)) / F.col("n_raw").cast("double"),
+                6,
+            ).alias("unique_rate"),
+        )
+    )
