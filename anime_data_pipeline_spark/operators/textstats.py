@@ -466,3 +466,82 @@ def sliding_chunks(
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC idea at token
+    granularity): a chunk boundary falls AFTER token i whenever
+    ``hash(token_i) % divisor == 0``, so boundaries move with the
+    CONTENT, not byte offsets — insert one word at the front of a
+    document and every fixed-size chunk shifts, but content-defined
+    chunks re-align after the next boundary, which is what makes
+    chunk-level dedup across document revisions work (mean chunk
+    length ≈ ``divisor`` tokens).
+
+    Map-only native array math: token hashes materialize once per row,
+    boundary positions are an index filter, spans fold their hash from
+    the token-hash array (the shingle-fold discipline), one explode.
+    No shuffle; at 100 TB this runs at scan speed and the (doc,
+    chunk_hash) output feeds exact_dedup for revision-tolerant
+    chunk-store dedup. Docs with no tokens emit no chunks.
+
+    Returns (doc, chunk_idx, start, end, n_chunk_tokens, chunk_hash)
+    with 1-based inclusive token positions.
+    """
+    from anime_data_pipeline_spark.functions.hashing import P
+
+    if divisor <= 0:
+        raise ValueError("divisor must be positive")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.aggregate(
+                F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 31 + c) % F.lit(P),
+            ),
+        ).alias("_th"),
+    ).withColumn("_n", F.size("_th"))
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1))),
+        lambda i: (i <= F.col("_n"))
+        & (F.element_at(F.col("_th"), i) % F.lit(divisor) == 0),
+    )
+    ends = F.array_sort(
+        F.array_distinct(F.concat(bpos, F.array(F.col("_n"))))
+    )
+    withe = base.filter(F.col("_n") > 0).withColumn("_ends", ends)
+    chunk = lambda idx: F.struct(  # noqa: E731
+        F.when(idx == 1, F.lit(1))
+        .otherwise(F.element_at(F.col("_ends"), (idx - 1).cast("int")) + 1)
+        .cast("long")
+        .alias("start"),
+        F.element_at(F.col("_ends"), idx.cast("int")).cast("long").alias("end"),
+    )
+    spans = withe.select(
+        "doc",
+        "_th",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.size("_ends")), chunk)
+        ).alias("_i", "_c"),
+    )
+    length = F.col("_c.end") - F.col("_c.start") + 1
+    fold = F.aggregate(
+        F.slice(F.col("_th"), F.col("_c.start").cast("int"), length.cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(P),
+    )
+    return spans.select(
+        "doc",
+        (F.col("_i") + 1).cast("long").alias("chunk_idx"),
+        F.col("_c.start").alias("start"),
+        F.col("_c.end").alias("end"),
+        length.cast("long").alias("n_chunk_tokens"),
+        fold.alias("chunk_hash"),
+    )

@@ -531,3 +531,48 @@ def q124_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).alias("p50_chars"),
         pick(0.9).alias("p90_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — content-defined chunking (round 5): Rabin/FastCDC-style
+# token-level chunk boundaries (hash(token) % 64 == 0), spans and
+# span hashes computed entirely from the token-hash array. The
+# revision-tolerant chunk-store dedup primitive: boundaries move with
+# content, so an edited document re-aligns after its next boundary.
+# Oracle replays the identical boundary filter + per-span fold.
+# ---------------------------------------------------------------------------
+_Q127_DIV = 64
+
+
+def _q127_oracle() -> str:
+    d = _Q127_DIV
+    th = "list_transform(" + tokens_sql("text") + ", t -> " + polyhash_sql("t") + ")"
+    return f"""
+    WITH tha AS (SELECT doc_id AS doc, {th} AS th FROM documents),
+    nz AS (SELECT doc, th, len(th) AS n FROM tha WHERE len(th) > 0),
+    be AS (SELECT doc, th, n,
+                  list_sort(list_distinct(list_concat(
+                    list_filter(generate_series(1, n), i -> th[i] % {d} = 0),
+                    [n]))) AS ends
+           FROM nz),
+    spans AS (SELECT doc, th, ends, u.s AS i
+              FROM be, unnest(generate_series(1, len(ends))) AS u(s)),
+    sp AS (SELECT doc, th, i AS chunk_idx,
+                  CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i - 1 AS INT)] + 1 END AS s,
+                  ends[CAST(i AS INT)] AS e
+           FROM spans)
+    SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start, CAST(e AS BIGINT) AS "end",
+           CAST(e - s + 1 AS BIGINT) AS n_chunk_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th[s:e]),
+                       (a, b) -> (a * 31 + b) % {P}) AS chunk_hash
+    FROM sp
+    """
+
+
+@register("q127_cdc_chunks", oracle=_q127_oracle())
+def q127_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.textstats import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "doc_id", "text", divisor=_Q127_DIV)

@@ -140,3 +140,33 @@ def test_hash_chain_deterministic_and_seed_sensitive():
     assert hash_chain(1, 8) == hash_chain(1, 8)
     assert hash_chain(1, 8) != hash_chain(2, 8)
     assert all(0 <= x < P for x in hash_chain(3, 32))
+
+
+def test_cdc_chunks_realign_after_prefix_edit(spark):
+    """The CDC property: prepending words shifts every FIXED-size chunk,
+    but content-defined chunks re-align at the next boundary — the two
+    versions must share most chunk hashes (revision-tolerant dedup)."""
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.operators.textstats import cdc_chunks
+
+    words = " ".join(f"w{i * 7919 % 1000}x{i % 13}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, words), (2, "inserted preamble words here " + words)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(df, "doc_id", "text", divisor=16)
+    h1 = {r["chunk_hash"] for r in out.filter(F.col("doc") == 1).collect()}
+    h2 = {r["chunk_hash"] for r in out.filter(F.col("doc") == 2).collect()}
+    shared = len(h1 & h2)
+    assert shared >= max(1, int(0.7 * len(h1))), (
+        f"chunks failed to re-align: {shared}/{len(h1)} shared"
+    )
+    # spans tile the doc exactly: starts/ends contiguous, cover 1..n
+    rows = sorted(
+        ((r["chunk_idx"], r["start"], r["end"]) for r in
+         out.filter(F.col("doc") == 1).collect())
+    )
+    assert rows[0][1] == 1
+    for (ia, sa, ea), (ib, sb, eb) in zip(rows, rows[1:]):
+        assert sb == ea + 1 and ib == ia + 1
