@@ -576,3 +576,61 @@ def q127_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, "doc_id", "text", divisor=_Q127_DIV)
+
+
+# ---------------------------------------------------------------------------
+# q128 — sequence-length bucketing (round 5): the TEXT twin of the
+# reference's aspect-ratio image buckets (bucket_manager.py:99-159 —
+# group samples into shape classes so batches pad minimally): each doc
+# goes to the next power-of-two token-length bucket (clamped to
+# [16, 2048]); per bucket, the doc count, true tokens, padded tokens,
+# and the padding-waste fraction a bucketed batcher would pay. One
+# map-only bucket expr + one partial-aggregated groupBy.
+# ---------------------------------------------------------------------------
+_Q128_MIN, _Q128_MAX = 16, 2048
+
+
+def _q128_oracle() -> str:
+    lo, hi = _Q128_MIN, _Q128_MAX
+    n = ws_token_count_sql("text")
+    b = (
+        f"least(greatest(CAST(power(2, ceil(log2(greatest({n}, 1)))) AS BIGINT), "
+        f"{lo}), {hi})"
+    )
+    return f"""
+    WITH d AS (SELECT {n} AS n_tokens, {b} AS bucket FROM documents)
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS true_tokens,
+           CAST(sum(least(bucket, greatest(n_tokens, 0))) AS BIGINT) AS kept_tokens,
+           CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+           {dround_sql("1.0 - sum(least(bucket, greatest(n_tokens, 0))) / CAST(count(*) * bucket AS DOUBLE)", 6)}
+             AS pad_waste_frac
+    FROM d GROUP BY bucket
+    """
+
+
+@register("q128_length_buckets", oracle=_q128_oracle())
+def q128_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = ws_token_count(F.col("text"))
+    bucket = F.least(
+        F.greatest(
+            F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(n, F.lit(1))))).cast("long"),
+            F.lit(_Q128_MIN),
+        ),
+        F.lit(_Q128_MAX),
+    )
+    d = docs.select(n.alias("n_tokens"), bucket.alias("bucket"))
+    kept = F.least(F.col("bucket"), F.greatest(F.col("n_tokens"), F.lit(0)))
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("true_tokens"),
+        F.sum(kept).cast("long").alias("kept_tokens"),
+        (F.count(F.lit(1)) * F.first("bucket")).cast("long").alias("padded_tokens"),
+        dround(
+            F.lit(1.0)
+            - F.sum(kept) / (F.count(F.lit(1)) * F.first("bucket")).cast("double"),
+            6,
+        ).alias("pad_waste_frac"),
+    )
