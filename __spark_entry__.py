@@ -54,6 +54,7 @@ _PRIORITY = [
     "q126_curation_report",
     "q127_cdc_chunks",
     "q128_length_buckets",
+    "q129_robust_outliers",
     # (b) reworked round 5: bucketed_global_rank shuffle index (q29),
     # TakeOrdered top-k ranks (q114/q107/q109/q110), dual-content-hash
     # exact dedup (q102/q108/q104/q35/q88), q104 shared tokenization

@@ -634,3 +634,90 @@ def q128_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — robust outlier flagging (round 5): per-language median and
+# MAD (median absolute deviation) of document length from the same
+# rank-exact discrete quantile as q124 — mean/std outlier rules break
+# under the heavy-tailed length distributions real corpora have; the
+# median/MAD rule does not. Two rank passes (median, then deviation
+# median), both per-group windows; outliers = |x − med| > 3·MAD.
+# ---------------------------------------------------------------------------
+def _q129_oracle() -> str:
+    return """
+    WITH r1 AS (
+      SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    med AS (SELECT lang, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                                  THEN n_chars END) AS med
+            FROM r1 GROUP BY lang),
+    dev AS (SELECT d.lang, d.doc_id, d.n_chars,
+                   abs(d.n_chars - m.med) AS dv, m.med
+            FROM documents d JOIN med m USING (lang)),
+    r2 AS (SELECT *,
+                  row_number() OVER (PARTITION BY lang ORDER BY dv, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM dev),
+    mad AS (SELECT lang, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                                  THEN dv END) AS mad
+            FROM r2 GROUP BY lang)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(max(m.med) AS BIGINT) AS med_chars,
+           CAST(max(a.mad) AS BIGINT) AS mad_chars,
+           CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d
+    JOIN med m USING (lang)
+    JOIN mad a USING (lang)
+    GROUP BY d.lang
+    """
+
+
+@register("q129_robust_outliers", oracle=_q129_oracle())
+def q129_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+
+    def group_median(df, val_col, out_col):
+        w = Window.partitionBy("lang").orderBy(F.asc(val_col), F.asc("doc_id"))
+        wc = Window.partitionBy("lang")
+        ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wc)
+        )
+        return ranked.groupBy("lang").agg(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(0.5) * F.col("_n")).cast("long"),
+                    F.col(val_col),
+                )
+            ).alias(out_col)
+        )
+
+    med = group_median(docs, "n_chars", "med")
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "dv", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = group_median(dev, "dv", "mad")
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med").cast("long").alias("med_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
