@@ -40,6 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q130_pq_adc_topk",
+    "q131_hard_negatives",
+    "q132_bpe_merge_pairs",
+    "q133_cluster_balanced_sample",
+    "q134_vocab_coverage",
+    "q135_doc_stitching",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

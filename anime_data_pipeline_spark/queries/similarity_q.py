@@ -15,15 +15,19 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.hashing import P
 from anime_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine_sql,
     embedding_neardup_pairs,
     ivf_topk,
     knn_graph,
+    PQ_SEED_PERM,
+    pq_d2_sql,
     quantize_int8,
     seed_centroids,
     seed_centroids_sql,
+    seed_constants,
     srp_bucket_sql,
     srp_lsh_topk,
     to_double_array,
@@ -662,4 +666,171 @@ def q121_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_dim_profile(
         _corpus(spark, sf_dir), "vec_id", "embedding", z_cut=_Q121_ZCUT
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — product-quantization ADC top-k: deterministic 16-word codebook
+# (seeded TakeOrdered, own perm slot), map-only literal encode to m=8
+# codes, asymmetric-distance scan over codes only (64× less IO than
+# raw doubles at dim=64), partitioned per-query rank on the ROUNDED
+# distance so cross-engine ULP noise can't flip an ordering. The
+# oracle derives the identical codebook in SQL and mirrors the
+# fixed-order j-ascending distance sum.
+# ---------------------------------------------------------------------------
+_PQ_KS = 16
+_PQ_M = 8
+_PQ_SUB = 8  # 64-dim / 8 subspaces
+_PQ_K = 10
+_PQ_SEED_SQL = seed_centroids_sql(
+    "embeddings", "vec_id", "embedding", _PQ_KS, perm=PQ_SEED_PERM
+)
+
+_Q130_ORACLE = f"""
+    WITH cb AS (SELECT cid, cv AS w FROM ({_PQ_SEED_SQL})),
+    sub AS (SELECT j FROM range(0, {_PQ_M}) t(j)),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    cd AS (SELECT corpus.vec_id, cb.cid, sub.j,
+                  {pq_d2_sql("cv", "j", _PQ_SUB)} AS d2
+           FROM corpus CROSS JOIN cb CROSS JOIN sub),
+    codes AS (SELECT vec_id, j, cid AS code FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM cd)
+              WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, cv AS qv FROM corpus
+          WHERE vec_id % {_QUERY_MOD} = 0),
+    dt AS (SELECT query_id, cb.cid, sub.j,
+                  {pq_d2_sql("qv", "j", _PQ_SUB)} AS d2
+           FROM q CROSS JOIN cb CROSS JOIN sub),
+    adc AS (SELECT dt.query_id, codes.vec_id,
+                   {dround_sql("list_aggregate(list(dt.d2 ORDER BY dt.j), 'sum')", 6)} AS adc_d2
+            FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.cid
+            GROUP BY dt.query_id, codes.vec_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+               FROM adc)
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc_d2
+    FROM ranked WHERE rank <= {_PQ_K}
+"""
+
+
+@register("q130_pq_adc_topk", oracle=_Q130_ORACLE)
+def q130_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    cb = pq_codebook(corpus, "vec_id", "embedding", ks=_PQ_KS)
+    return pq_adc_topk(
+        corpus,
+        _queries(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        cb,
+        m=_PQ_M,
+        k=_PQ_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — contrastive hard-negative mining: per query vector, the k most
+# cosine-similar corpus vectors with a DIFFERENT label, found via the
+# multi-probe SRP-LSH bucket join (probe expansion on the broadcast
+# query side only; label predicate applied map-side before the rank
+# shuffle). The pairs an embedding/contrastive trainer feeds as
+# in-batch hard negatives.
+# ---------------------------------------------------------------------------
+_Q131_K = 5
+
+_Q131_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, cv AS qv, bucket
+          FROM corpus WHERE vec_id % {_QUERY_MOD} = 0),
+    qp AS (SELECT query_id, qlabel, qv,
+                  unnest(list_prepend(bucket,
+                    list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+           FROM q),
+    scored AS (SELECT qp.query_id, corpus.vec_id, corpus.label,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN qp USING (bucket)
+               WHERE corpus.label <> qp.qlabel),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, label, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= {_Q131_K}
+"""
+
+
+@register("q131_hard_negatives", oracle=_Q131_ORACLE)
+def q131_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = srp_lsh_topk(
+        _corpus(spark, sf_dir),
+        _queries(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=_Q131_K,
+        planes=_PLANES,
+        hamming_probes=1,
+        neg_label_col="label",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q133 — cluster-balanced sampling: cap each IVF cell at CAP vectors,
+# chosen by a seeded-hash order (reproducible at any parallelism, no
+# RNG state). The diversity-preserving subsample a pretraining mix
+# wants: dense regions of embedding space can't crowd out sparse ones
+# the way a uniform sample lets them. Cell assignment reuses q44's
+# coarse quantizer (broadcast/literal centroids, map-only); the cap is
+# a per-cell window rank — partitioned by cell, never global.
+# ---------------------------------------------------------------------------
+_Q133_CAP = 20
+_Q133_PERM = 983  # perm-family slot for the within-cell sampling order
+_Q133_A, _Q133_B = seed_constants(_Q133_PERM)
+
+_Q133_ORACLE = f"""
+    WITH cents AS ({_SEED_SQL}),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+      ) WHERE rn = 1),
+    ranked AS (SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY cell
+                   ORDER BY ({_Q133_A} * (vec_id % {P}) + {_Q133_B}) % {P}, vec_id) AS rank
+               FROM assign)
+    SELECT vec_id, cell, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_Q133_CAP}
+"""
+
+
+@register("q133_cluster_balanced_sample", oracle=_Q133_ORACLE)
+def q133_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.operators.similarity import assign_cells
+
+    raw = _corpus(spark, sf_dir)
+    corpus = raw.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    assigned = assign_cells(corpus, "vec_id", "v", _centroids(raw), out_col="cell")
+    hk = (
+        F.lit(_Q133_A) * (F.col("vec_id").cast("long") % F.lit(P)) + F.lit(_Q133_B)
+    ) % F.lit(P)
+    w = W.partitionBy("cell").orderBy(hk.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q133_CAP)
+        .select("vec_id", "cell", "rank")
     )

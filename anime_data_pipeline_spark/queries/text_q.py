@@ -721,3 +721,240 @@ def q129_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — BPE merge-pair counts: the first iteration of byte-pair-
+# encoding tokenizer training. Adjacent CHARACTER pairs inside each
+# distinct word, weighted by the word's corpus frequency — the pair
+# with the highest count is BPE's first merge. Two map-side-combinable
+# shuffles: the word-frequency agg (vocabulary-sized keys, never
+# documents) and the pair agg (alphabet²-bounded keys); the per-word
+# pair expansion runs on the DISTINCT vocabulary, so corpus-scale text
+# is never re-scanned per pair. Global top-k is orderBy+limit
+# (TakeOrderedAndProject) with rank derived over the survivors.
+# ---------------------------------------------------------------------------
+_Q132_TOPK = 20
+
+
+def _q132_oracle() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({toks}) AS w FROM documents)
+      GROUP BY w),
+    pairs AS (
+      SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r, n
+      FROM words, unnest(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2),
+    agg AS (
+      SELECT l, r, CAST(sum(n) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY l, r),
+    top AS (
+      SELECT * FROM agg
+      ORDER BY pair_count DESC, l, r LIMIT {_Q132_TOPK})
+    SELECT l, r, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, l, r) AS BIGINT) AS rank
+    FROM top
+"""
+
+
+@register("q132_bpe_merge_pairs", oracle=_q132_oracle())
+def q132_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.col("word").substr(i, F.lit(1)).alias("l"),
+                        F.col("word").substr(i + 1, F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            F.col("n"),
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "n")
+    )
+    agg = pairs.groupBy("l", "r").agg(F.sum("n").cast("long").alias("pair_count"))
+    top = agg.orderBy(F.desc("pair_count"), "l", "r").limit(_Q132_TOPK)
+    w = W.orderBy(F.desc("pair_count"), "l", "r")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q134 — tokenizer vocabulary coverage audit: derive a top-V vocabulary
+# from corpus word frequencies (the vocabulary-construction step), then
+# measure per-source OOV rates against it. Three map-side-combinable
+# shuffles: word freq (vocabulary-sized keys), the top-V TakeOrdered,
+# and the source rollup; the membership check is a broadcast
+# left-join of exploded tokens against the V-row vocab (V is fixed —
+# broadcastable at ANY corpus size).
+# ---------------------------------------------------------------------------
+_Q134_V = 500  # vocabulary size
+
+
+def _q134_oracle() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH freq AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest({toks}) AS w FROM documents)
+      GROUP BY w),
+    vocab AS (SELECT word FROM freq ORDER BY n DESC, word LIMIT {_Q134_V}),
+    tok AS (SELECT doc_id, source, unnest({toks}) AS w FROM documents),
+    perdoc AS (
+      SELECT tok.doc_id, tok.source,
+             count(*) AS n_tok,
+             count(*) FILTER (WHERE vocab.word IS NULL) AS n_oov
+      FROM tok LEFT JOIN vocab ON tok.w = vocab.word
+      GROUP BY tok.doc_id, tok.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+           {dround_sql("sum(n_oov) / CAST(sum(n_tok) AS DOUBLE)", 6)} AS oov_rate
+    FROM perdoc GROUP BY source
+"""
+
+
+@register("q134_vocab_coverage", oracle=_q134_oracle())
+def q134_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_Q134_V)
+        .select(F.col("w").alias("vword"))
+    )
+    perdoc = (
+        tok.join(F.broadcast(vocab), tok["w"] == vocab["vword"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("vword").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_oov").cast("long").alias("oov_tokens"),
+        dround(
+            F.sum("n_oov") / F.sum("n_tok").cast("double"), 6
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — document-stitching detection: find (a, b) pairs where doc b
+# CONTINUES doc a (b's first K tokens = a's last K tokens) — the
+# shard-boundary-split / pagination artifact a scraped corpus needs
+# re-joined before packing. Map-only head/tail K-gram hashing, one
+# equi-join on the 8-byte hash, then a string verify of the actual
+# K-grams (the dual-hash lesson: a bare polyhash match over ~2^30
+# buckets WOULD birthday-collide at corpus scale). Planted
+# continuation docs (doc_id % 13, +100000) give the detector known
+# positives, identically derived in both engines.
+# ---------------------------------------------------------------------------
+_Q135_K = 8
+
+
+def _q135_oracle() -> str:
+    toks = tokens_sql("text")
+    tail = f"array_to_string(list_slice({toks}, len({toks}) - {_Q135_K - 1}, len({toks})), ' ')"
+    head = f"array_to_string(list_slice({toks}, 1, {_Q135_K}), ' ')"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             {tail} || ' continuation segment follows here now' AS text
+      FROM documents
+      WHERE doc_id % 13 = 0 AND len({toks}) >= {_Q135_K}),
+    keyed AS (
+      SELECT doc_id,
+             CASE WHEN len({toks}) >= {_Q135_K} THEN {head} END AS head_s,
+             CASE WHEN len({toks}) >= {_Q135_K} THEN {tail} END AS tail_s
+      FROM corpus),
+    hashed AS (
+      SELECT doc_id, head_s, tail_s,
+             {polyhash_sql("head_s")} AS head_h,
+             {polyhash_sql("tail_s")} AS tail_h
+      FROM keyed)
+    SELECT a.doc_id AS src_doc, b.doc_id AS cont_doc,
+           CAST(a.tail_h AS BIGINT) AS overlap_hash
+    FROM hashed a JOIN hashed b
+      ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+    WHERE a.tail_s = b.head_s
+"""
+
+
+@register("q135_doc_stitching", oracle=_q135_oracle())
+def q135_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.hashing import polyhash
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    k = _Q135_K
+    tail_s = F.concat_ws(" ", F.slice(toks, -k, k))
+    cont = (
+        docs.filter((F.col("doc_id") % 13 == 0) & (F.size(toks) >= k))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                tail_s, F.lit(" continuation segment follows here now")
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(cont)
+    ctoks = tokens(F.col("text"))
+    keyed = corpus.select(
+        "doc_id",
+        F.when(F.size(ctoks) >= k, F.concat_ws(" ", F.slice(ctoks, 1, k))).alias(
+            "head_s"
+        ),
+        F.when(F.size(ctoks) >= k, F.concat_ws(" ", F.slice(ctoks, -k, k))).alias(
+            "tail_s"
+        ),
+    )
+    hashed = keyed.select(
+        "doc_id",
+        "head_s",
+        "tail_s",
+        polyhash(F.col("head_s")).alias("head_h"),
+        polyhash(F.col("tail_s")).alias("tail_h"),
+    )
+    a = hashed.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("tail_s").alias("a_tail_s"),
+        F.col("tail_h").alias("overlap_hash"),
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("cont_doc"),
+        F.col("head_s").alias("b_head_s"),
+        F.col("head_h").alias("b_head_h"),
+    )
+    return (
+        a.join(b, (a["overlap_hash"] == b["b_head_h"]) & (a["src_doc"] != b["cont_doc"]))
+        .filter(F.col("a_tail_s") == F.col("b_head_s"))
+        .select("src_doc", "cont_doc", F.col("overlap_hash").cast("long").alias("overlap_hash"))
+    )

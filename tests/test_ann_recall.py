@@ -276,3 +276,54 @@ def test_density_prune_drops_planted_dense_cluster_first(spark):
     # and most of the cluster is caught (some members may miss the
     # bucket if the perturbation flips a plane — allow slack)
     assert len(dropped) >= 10, f"only {len(dropped)} of 20 cluster rows dropped"
+
+
+def test_pq_self_query_has_zero_adc_distance(spark, sf_dir):
+    """A query that IS a codebook seed row reconstructs exactly (its
+    own codeword at every subspace), so its ADC distance to itself is
+    0.0 — and pq_encode must assign it its own cid per subspace."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(corpus, "vec_id", "embedding", ks=16)
+    seed_ids = [cid for cid, _ in cb][:3]
+    codes = (
+        pq_encode(corpus, "vec_id", "embedding", cb, m=8)
+        .filter(F.col("vec_id").isin(seed_ids))
+        .collect()
+    )
+    for r in codes:
+        assert r["code"] == r["vec_id"], (
+            f"seed row {r['vec_id']} subspace {r['j']} encoded to {r['code']}"
+        )
+    queries = corpus.filter(F.col("vec_id").isin(seed_ids))
+    out = pq_adc_topk(corpus, queries, "vec_id", "embedding", cb, m=8, k=3)
+    selfpairs = {
+        r["query_id"]: r["adc_d2"]
+        for r in out.collect()
+        if r["query_id"] == r["vec_id"]
+    }
+    assert set(selfpairs) == set(seed_ids)
+    assert all(d == 0.0 for d in selfpairs.values()), selfpairs
+
+
+def test_pq_encode_plan_is_broadcast_join(spark, sf_dir):
+    """The encode must broadcast the tiny codebook — never a literal
+    CASE tree (plan-size blow-up) and never a shuffled join."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(corpus, "vec_id", "embedding", ks=16)
+    plan = (
+        pq_encode(corpus, "vec_id", "embedding", cb, m=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
