@@ -46,6 +46,9 @@ _PRIORITY = [
     "q133_cluster_balanced_sample",
     "q134_vocab_coverage",
     "q135_doc_stitching",
+    "q136_margin_bitext_mining",
+    "q137_blocklist_filter",
+    "q138_teacher_majority_vote",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

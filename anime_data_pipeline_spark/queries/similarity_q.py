@@ -834,3 +834,115 @@ def q133_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _Q133_CAP)
         .select("vec_id", "cell", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — cross-lingual margin-based bitext mining (Artetxe & Schwenk
+# margin criterion, the CCMatrix/NLLB mining step): candidate en↔de
+# pairs from the SRP bucket join (Hamming-1 probes on the en side
+# only), margin(x,y) = cos(x,y) / (0.5·(avgₖNN(x) + avgₖNN(y))) with
+# the k-NN averages taken over each side's own candidate set, keep
+# margin ≥ threshold. Every window is partitioned (by src or by tgt);
+# the per-side averages are id-keyed aggregates joined back — no
+# global sort, no all-pairs: the candidate set is bucket-pruned
+# exactly like q42/q48.
+# ---------------------------------------------------------------------------
+_Q136_K = 4
+_Q136_MARGIN = 1.0
+
+_Q136_ORACLE = f"""
+    WITH emb AS (SELECT e.vec_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v,
+                        {srp_bucket_sql("CAST(e.embedding AS DOUBLE[])", _PLANES)} AS bucket
+                 FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    x AS (SELECT vec_id AS src_id, v AS xv,
+                 unnest(list_prepend(bucket,
+                   list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+          FROM emb WHERE lang = 'en'),
+    y AS (SELECT vec_id AS tgt_id, v AS yv, bucket FROM emb WHERE lang = 'de'),
+    cand AS (SELECT x.src_id, y.tgt_id,
+                    {cosine_sql("xv", "yv")} AS c
+             FROM x JOIN y USING (bucket)),
+    rk AS (SELECT src_id, tgt_id, c,
+                  row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rx,
+                  row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS ry
+           FROM cand),
+    ax AS (SELECT src_id, {dround_sql("avg(c)", 6)} AS ax
+           FROM rk WHERE rx <= {_Q136_K} GROUP BY src_id),
+    ay AS (SELECT tgt_id, {dround_sql("avg(c)", 6)} AS ay
+           FROM rk WHERE ry <= {_Q136_K} GROUP BY tgt_id),
+    scored AS (SELECT cand.src_id, cand.tgt_id,
+                      {dround_sql("c", 6)} AS cosine,
+                      {dround_sql("c / (0.5 * (ax + ay))", 6)} AS margin
+               FROM cand JOIN ax USING (src_id) JOIN ay USING (tgt_id))
+    SELECT src_id, tgt_id, cosine, margin
+    FROM scored WHERE margin >= {_Q136_MARGIN}
+"""
+
+
+@register("q136_margin_bitext_mining", oracle=_Q136_ORACLE)
+def q136_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.operators.similarity import (
+        dot,
+        sq_norm,
+        srp_bucket,
+    )
+
+    emb = _corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .select("vec_id", "lang", to_double_array(F.col("embedding")).alias("v"))
+        .withColumn("bucket0", srp_bucket("v", _PLANES, dim=64))
+    )
+    probe_set = F.array(
+        F.col("bucket0"),
+        *[F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(_PLANES)],
+    )
+    x = base.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("xv"),
+        F.explode(probe_set).alias("bucket"),
+    )
+    y = base.filter(F.col("lang") == "de").select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("v").alias("yv"),
+        F.col("bucket0").alias("bucket"),
+    )
+    cand = x.join(y, "bucket").select(
+        "src_id",
+        "tgt_id",
+        (
+            dot(F.col("xv"), F.col("yv"))
+            / (F.sqrt(sq_norm(F.col("xv"))) * F.sqrt(sq_norm(F.col("yv"))))
+        ).alias("c"),
+    )
+    wx = W.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
+    wy = W.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
+    rk = cand.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    ax = (
+        rk.filter(F.col("rx") <= _Q136_K)
+        .groupBy("src_id")
+        .agg(dround(F.avg("c"), 6).alias("ax"))
+    )
+    ay = (
+        rk.filter(F.col("ry") <= _Q136_K)
+        .groupBy("tgt_id")
+        .agg(dround(F.avg("c"), 6).alias("ay"))
+    )
+    return (
+        cand.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            dround(F.col("c"), 6).alias("cosine"),
+            dround(F.col("c") / (F.lit(0.5) * (F.col("ax") + F.col("ay"))), 6).alias(
+                "margin"
+            ),
+        )
+        .filter(F.col("margin") >= _Q136_MARGIN)
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
-from anime_data_pipeline_spark.functions.hashing import P, polyhash_sql
+from anime_data_pipeline_spark.functions.hashing import P, perm_constants, polyhash_sql
 from anime_data_pipeline_spark.functions.text import tokens_sql
 from anime_data_pipeline_spark.operators.textstats import (
     bpe_token_count,
@@ -957,4 +957,186 @@ def q135_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a["overlap_hash"] == b["b_head_h"]) & (a["src_doc"] != b["cont_doc"]))
         .filter(F.col("a_tail_s") == F.col("b_head_s"))
         .select("src_doc", "cont_doc", F.col("overlap_hash").cast("long").alias("overlap_hash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — blocklist phrase filtering: match a phrase dictionary (1- and
+# 2-token phrases) against every document and emit hit counts, the
+# matched phrases, and the block verdict — the safety/spam filter
+# stage of a pretraining pipeline. The dictionary is a broadcast
+# constant (fixed size at ANY corpus scale); matching explodes each
+# doc's 1/2-gram shingles ONCE and equi-joins them against the
+# dictionary — never a per-phrase scan, so cost is O(tokens), not
+# O(tokens × phrases). Planted spam phrases (doc_id % 6 / % 10) give
+# both verdicts real members.
+# ---------------------------------------------------------------------------
+_Q137_PHRASES = ["buy now", "click here", "limited offer", "winner"]
+
+
+def _q137_oracle() -> str:
+    toks = tokens_sql("text")
+    phrases = ", ".join(f"('{p}')" for p in _Q137_PHRASES)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 6 = 0 THEN ' buy now limited offer' ELSE '' END
+                  || CASE WHEN doc_id % 10 = 0 THEN ' click here winner' ELSE '' END AS text
+      FROM documents),
+    bl AS (SELECT * FROM (VALUES {phrases}) AS t(phrase)),
+    grams AS (
+      SELECT doc_id, source, unnest(
+        list_concat({toks},
+          list_transform(range(1, len({toks})),
+            i -> ({toks})[i] || ' ' || ({toks})[i + 1]))) AS g
+      FROM docs),
+    hits AS (
+      SELECT grams.doc_id, grams.source, bl.phrase
+      FROM grams JOIN bl ON grams.g = bl.phrase),
+    perdoc AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             string_agg(DISTINCT phrase, ',' ORDER BY phrase) AS matched
+      FROM hits GROUP BY doc_id, source)
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(p.matched, '') AS matched,
+           (p.doc_id IS NOT NULL) AS blocked
+    FROM docs d LEFT JOIN perdoc p USING (doc_id, source)
+"""
+
+
+@register("q137_blocklist_filter", oracle=_q137_oracle())
+def q137_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" buy now limited offer")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(" click here winner")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    bl = docs.sparkSession.createDataFrame(
+        [(p,) for p in _Q137_PHRASES], "phrase string"
+    )
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(toks, F.when(F.size(toks) >= 2, bigrams).otherwise(F.array()))
+        ).alias("g"),
+    )
+    hits = grams.join(F.broadcast(bl), grams["g"] == bl["phrase"])
+    perdoc = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("phrase"))).alias("matched"),
+        )
+        .select(
+            F.col("doc_id").alias("h_doc"), "n_hits", "matched"
+        )
+    )
+    return (
+        docs.join(perdoc, docs["doc_id"] == perdoc["h_doc"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce(F.col("matched"), F.lit("")).alias("matched"),
+            F.col("h_doc").isNotNull().alias("blocked"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — multi-teacher majority-vote label resolution: three simulated
+# teacher models label every document (the true lang, with seeded-hash
+# noise flipping ~30% of each teacher's predictions to a hash-chosen
+# lang) and the resolver takes the per-doc majority, ties broken by
+# lexicographic label. The weak-supervision/distillation step: vote
+# counting is one (doc, label) partial agg and the winner is a window
+# partitioned BY DOC — parallelism = corpus, nothing global. Teacher
+# noise is pure int64 hash math (no RNG state), identical in both
+# engines at any parallelism.
+# ---------------------------------------------------------------------------
+_Q138_LANGS = ["de", "en", "es", "fr", "zh"]
+_Q138_CONSTS = perm_constants(903)[900:903]
+
+
+def _q138_oracle() -> str:
+    langs = "[" + ", ".join(f"'{x}'" for x in _Q138_LANGS) + "]"
+    teachers = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, source, {t} AS teacher,
+             CASE WHEN (({a} * doc_id + {b}) % {P}) % 10 < 3
+                  THEN ({langs})[CAST((({a} * doc_id + {b}) % {P}) % 5 AS INTEGER) + 1]
+                  ELSE lang END AS pred
+      FROM documents"""
+        for t, (a, b) in enumerate(_Q138_CONSTS)
+    )
+    return f"""
+    WITH preds AS (
+{teachers}
+    ),
+    votes AS (SELECT doc_id, source, pred,
+                     CAST(count(*) AS BIGINT) AS n_votes
+              FROM preds GROUP BY doc_id, source, pred),
+    win AS (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY n_votes DESC, pred) AS rn
+            FROM votes)
+    SELECT doc_id, source, pred AS majority_label, n_votes,
+           (n_votes = 3) AS unanimous
+    FROM win WHERE rn = 1
+"""
+
+
+@register("q138_teacher_majority_vote", oracle=_q138_oracle())
+def q138_teacher_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    langs_lit = F.array(*[F.lit(x) for x in _Q138_LANGS])
+
+    def pred(a: int, b: int):
+        h = (F.lit(a) * F.col("doc_id").cast("long") + F.lit(b)) % F.lit(P)
+        return F.when(
+            h % 10 < 3,
+            F.element_at(langs_lit, (h % 5).cast("int") + 1),
+        ).otherwise(F.col("lang"))
+
+    preds = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(*[pred(a, b) for a, b in _Q138_CONSTS])
+        ).alias("pred"),
+    )
+    votes = preds.groupBy("doc_id", "source", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("n_votes"), F.asc("pred"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            F.col("pred").alias("majority_label"),
+            "n_votes",
+            (F.col("n_votes") == 3).alias("unanimous"),
+        )
     )
