@@ -49,6 +49,8 @@ _PRIORITY = [
     "q136_margin_bitext_mining",
     "q137_blocklist_filter",
     "q138_teacher_majority_vote",
+    "q139_ann_recall_audit",
+    "q140_source_lang_chi2",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

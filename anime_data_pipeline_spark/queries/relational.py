@@ -763,3 +763,57 @@ def q119_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("_k"), 6).alias("k_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — source × lang chi-square independence audit: the contingency-
+# table drift check a multi-source corpus runs to catch a source whose
+# language mix shifted (scraper regression, upstream re-crawl). One
+# (source, lang) count agg (|sources|·|langs| cells — tiny at ANY
+# corpus size), marginals as two re-aggregations of the cell table,
+# expected counts by broadcast joins on the marginals, per-source
+# chi-square contributions + cell counts. Everything after the first
+# agg operates on the cell table only.
+# ---------------------------------------------------------------------------
+_Q140_ORACLE = f"""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY source, lang),
+    rowm AS (SELECT source, sum(o) AS rt FROM cells GROUP BY source),
+    colm AS (SELECT lang, sum(o) AS ct FROM cells GROUP BY lang),
+    n AS (SELECT sum(o) AS total FROM cells),
+    contrib AS (
+      SELECT cells.source,
+             sum((o - rt * ct / total) * (o - rt * ct / total)
+                 / (rt * ct / total)) AS chi2,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells
+      JOIN rowm USING (source) JOIN colm USING (lang) CROSS JOIN n
+      GROUP BY cells.source)
+    SELECT source, {dround_sql("chi2", 6)} AS chi2_contrib, n_cells
+    FROM contrib
+"""
+
+
+@register("q140_source_lang_chi2", oracle=_Q140_ORACLE)
+def q140_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rowm = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("total"))
+    e = F.col("rt") * F.col("ct") / F.col("total")
+    return (
+        cells.join(F.broadcast(rowm), "source")
+        .join(F.broadcast(colm), "lang")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            dround(
+                F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6
+            ).alias("chi2_contrib"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )

@@ -910,6 +910,9 @@ def q136_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("yv"),
         F.col("bucket0").alias("bucket"),
     )
+    # Persisted stage boundary: cand feeds the two kNN-average aggs AND
+    # the final join — without it the bucket join + cosine re-derive 3×
+    # (measured 20 exchanges → 8).
     cand = x.join(y, "bucket").select(
         "src_id",
         "tgt_id",
@@ -917,7 +920,7 @@ def q136_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot(F.col("xv"), F.col("yv"))
             / (F.sqrt(sq_norm(F.col("xv"))) * F.sqrt(sq_norm(F.col("yv"))))
         ).alias("c"),
-    )
+    ).persist()
     wx = W.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
     wy = W.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
     rk = cand.withColumn("rx", F.row_number().over(wx)).withColumn(
@@ -945,4 +948,78 @@ def q136_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("margin") >= _Q136_MARGIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — ANN recall audit: recall@k of the multi-probe SRP-LSH search
+# against the exact brute-force ground truth, per query. The quality
+# gate an ANN deployment runs on a sampled query set before trusting
+# the index at full scale — here the sample is the same broadcast
+# query set, so the exact side stays a broadcast-scored scan and the
+# audit adds one (query, id)-keyed join + a per-query agg.
+# ---------------------------------------------------------------------------
+_Q139_K = 10
+
+_Q139_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    q AS (SELECT vec_id AS query_id, cv AS qv, bucket FROM corpus
+          WHERE vec_id % {_QUERY_MOD} = 0),
+    exact AS (SELECT query_id, vec_id FROM (
+        SELECT q.query_id, corpus.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cosine_sql("qv", "cv")} DESC, corpus.vec_id) AS rank
+        FROM corpus CROSS JOIN q) WHERE rank <= {_Q139_K}),
+    qp AS (SELECT query_id, qv,
+                  unnest(list_prepend(bucket,
+                    list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+           FROM q),
+    approx AS (SELECT query_id, vec_id FROM (
+        SELECT qp.query_id, corpus.vec_id,
+               row_number() OVER (PARTITION BY qp.query_id
+                 ORDER BY {cosine_sql("qv", "cv")} DESC, corpus.vec_id) AS rank
+        FROM corpus JOIN qp USING (bucket)) WHERE rank <= {_Q139_K})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           {dround_sql(f"count(a.vec_id) / CAST(count(*) AS DOUBLE)", 6)} AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+"""
+
+
+@register("q139_ann_recall_audit", oracle=_Q139_ORACLE)
+def q139_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    queries = _queries(spark, sf_dir)
+    exact = brute_force_topk(corpus, queries, "vec_id", "embedding", k=_Q139_K).select(
+        "query_id", "vec_id"
+    )
+    approx = srp_lsh_topk(
+        corpus,
+        queries,
+        "vec_id",
+        "embedding",
+        k=_Q139_K,
+        planes=_PLANES,
+        hamming_probes=1,
+    ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["a_qid"])
+            & (exact["vec_id"] == approx["a_vid"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("a_vid").cast("long").alias("n_hits"),
+            dround(
+                F.count("a_vid") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+        )
     )
