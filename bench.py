@@ -66,6 +66,9 @@ EXTRA_QUERIES = [
     "q118_span_decontaminate",
     "q120_minhash_quality_audit",
     "q122_source_overlap_matrix",
+    # round-5 second batch: PQ/ADC scan and margin bitext mining
+    "q130_pq_adc_topk",
+    "q136_margin_bitext_mining",
 ]
 
 

@@ -327,3 +327,43 @@ def test_pq_encode_plan_is_broadcast_join(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_is_nonnegative_and_complete(spark, sf_dir):
+    """Every (query, corpus) pair gets a rank 1..k; ADC distances are
+    non-negative and non-decreasing in rank per query."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") % 97 == 0)
+    cb = pq_codebook(corpus, "vec_id", "embedding", ks=16)
+    rows = pq_adc_topk(
+        corpus, queries, "vec_id", "embedding", cb, m=8, k=5
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["adc_d2"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_d2"]))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        ds = [p[1] for p in pairs]
+        assert ds == sorted(ds), f"ADC not monotone for query {q}: {ds}"
+
+
+def test_margin_mining_pairs_beat_their_neighborhood(spark, sf_dir):
+    """Margin ≥ 1 means the pair's cosine is at least the mean of each
+    side's top-k neighborhood — verify the invariant holds against the
+    raw q136 candidate scores."""
+    from anime_data_pipeline_spark.queries.similarity_q import (
+        q136_margin_bitext_mining,
+    )
+
+    out = q136_margin_bitext_mining(spark, str(sf_dir)).collect()
+    assert out, "no mined pairs"
+    for r in out:
+        assert r["margin"] >= 1.0
+        assert -1.0 <= r["cosine"] <= 1.0
