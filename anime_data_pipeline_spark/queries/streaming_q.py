@@ -500,3 +500,76 @@ def q123_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(rk).cast("long"))
         .filter(F.col("rank") <= _Q123_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — streaming blocklist/safety filter: the ingest-time twin of
+# q137. The phrase dictionary is INLINED as a literal array and each
+# micro-batch row is classified map-side (padded-substring containment
+# over the space-joined token stream) — a STATELESS append-mode
+# stream: no watermark, no state store, no shuffle; at 100 TB/day
+# ingest this runs at source parallelism. (The batch q137 uses the
+# shingle-join form instead because a large dictionary can't inline;
+# for the bounded safety dictionary a literal is the streaming-optimal
+# shape.) Planted phrases (doc_id % 6 / % 10) match q137's.
+# ---------------------------------------------------------------------------
+_Q141_PHRASES = ["buy now", "click here", "limited offer", "winner"]
+
+
+def _q141_oracle() -> str:
+    checks = ", ".join(
+        f"CASE WHEN contains(' ' || text || ' ', ' {p} ') THEN '{p}' END"
+        for p in sorted(_Q141_PHRASES)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 6 = 0 THEN ' buy now limited offer' ELSE '' END
+                  || CASE WHEN doc_id % 10 = 0 THEN ' click here winner' ELSE '' END AS text
+      FROM documents),
+    m AS (SELECT doc_id, source,
+                 list_filter([{checks}], x -> x IS NOT NULL) AS ml
+          FROM docs)
+    SELECT doc_id, source,
+           CAST(len(ml) AS BIGINT) AS n_phrases,
+           coalesce(array_to_string(ml, ','), '') AS matched,
+           (len(ml) > 0) AS blocked
+    FROM m
+"""
+
+
+@register("q141_stream_blocklist", oracle=_q141_oracle())
+def q141_stream_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.streaming.pipeline import read_documents_stream
+
+    s = read_documents_stream(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" buy now limited offer")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(" click here winner")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    ml = F.filter(
+        F.array(
+            *[
+                F.when(padded.contains(f" {p} "), F.lit(p))
+                for p in sorted(_Q141_PHRASES)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    classified = s.select(
+        "doc_id",
+        "source",
+        F.size(ml).cast("long").alias("n_phrases"),
+        F.concat_ws(",", ml).alias("matched"),
+        (F.size(ml) > 0).alias("blocked"),
+    )
+    return run_available_now(classified, "append")
