@@ -1023,3 +1023,124 @@ def q139_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — IVF index freshness/drift audit: assign an incoming batch
+# (odd vec_ids) to the centroids trained on the INDEXED history (even
+# vec_ids) and compare per-cell occupancy shares and mean
+# assignment-cosine between history and batch — the monitoring query
+# that tells a serving ANN index "your coarse quantizer has drifted,
+# retrain". Everything is cell-keyed: two assigns (map-only literal
+# centroids), two |cells|-row aggs, one join on cell. The shares
+# compare against 1-row totals via broadcast.
+# ---------------------------------------------------------------------------
+_Q142_SEED_SQL = seed_centroids_sql(
+    "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+    "vec_id",
+    "embedding",
+    _CENTROID_K,
+)
+
+_Q142_ORACLE = f"""
+    WITH cents AS ({_Q142_SEED_SQL}),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      vec_id % 2 = 0 AS is_hist
+               FROM embeddings),
+    assign AS (
+      SELECT vec_id, is_hist, cid AS cell, c FROM (
+        SELECT corpus.vec_id, corpus.is_hist, cents.cid,
+               {cosine_sql("v", "cv")} AS c,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {cosine_sql("v", "cv")} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+      ) WHERE rn = 1),
+    hist AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_hist,
+                    {dround_sql("avg(c)", 6)} AS cos_hist
+             FROM assign WHERE is_hist GROUP BY cell),
+    newb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
+                    {dround_sql("avg(c)", 6)} AS cos_new
+             FROM assign WHERE NOT is_hist GROUP BY cell),
+    tot AS (SELECT sum(CASE WHEN is_hist THEN 1 ELSE 0 END) AS th,
+                   sum(CASE WHEN is_hist THEN 0 ELSE 1 END) AS tn
+            FROM assign)
+    SELECT coalesce(h.cell, n.cell) AS cell,
+           CAST(coalesce(h.n_hist, 0) AS BIGINT) AS n_hist,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           {dround_sql("coalesce(h.n_hist, 0) / CAST(t.th AS DOUBLE)", 6)} AS hist_share,
+           {dround_sql("coalesce(n.n_new, 0) / CAST(t.tn AS DOUBLE)", 6)} AS new_share,
+           coalesce(h.cos_hist, 0.0) AS cos_hist,
+           coalesce(n.cos_new, 0.0) AS cos_new,
+           (abs(coalesce(n.n_new, 0) / CAST(t.tn AS DOUBLE)
+                - coalesce(h.n_hist, 0) / CAST(t.th AS DOUBLE)) > 0.02) AS drift_flag
+    FROM hist h FULL OUTER JOIN newb n ON h.cell = n.cell
+    CROSS JOIN tot t
+"""
+
+
+@register("q142_ivf_drift_audit", oracle=_Q142_ORACLE)
+def q142_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.similarity import assign_cells
+
+    raw = _corpus(spark, sf_dir)
+    cents = seed_centroids(
+        raw.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", _CENTROID_K
+    )
+    corpus = raw.select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        (F.col("vec_id") % 2 == 0).alias("is_hist"),
+    )
+    assigned = assign_cells(corpus, "vec_id", "v", cents, out_col="cell")
+    # assignment cosine to the OWN cell centroid, recomputed against the
+    # tiny centroid table (broadcast) — assign_cells returns the argmax
+    # cell; the audit also needs its score.
+    cent_rows = [(int(cid), [float(x) for x in cv]) for cid, cv in cents]
+    cent_df = spark.createDataFrame(cent_rows, "cell long, cv array<double>")
+    from anime_data_pipeline_spark.operators.similarity import cosine
+
+    scored = assigned.join(F.broadcast(cent_df), "cell").withColumn(
+        "c", cosine(F.col("v"), F.col("cv"))
+    )
+    hist = (
+        scored.filter(F.col("is_hist"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hist"),
+            dround(F.avg("c"), 6).alias("cos_hist"),
+        )
+    )
+    newb = (
+        scored.filter(~F.col("is_hist"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            dround(F.avg("c"), 6).alias("cos_new"),
+        )
+    )
+    tot = scored.agg(
+        F.sum(F.when(F.col("is_hist"), 1).otherwise(0)).alias("th"),
+        F.sum(F.when(F.col("is_hist"), 0).otherwise(1)).alias("tn"),
+    )
+    joined = (
+        hist.withColumnRenamed("cell", "h_cell")
+        .join(
+            newb.withColumnRenamed("cell", "n_cell"),
+            F.col("h_cell") == F.col("n_cell"),
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    hs = F.coalesce(F.col("n_hist"), F.lit(0)) / F.col("th").cast("double")
+    ns = F.coalesce(F.col("n_new"), F.lit(0)) / F.col("tn").cast("double")
+    return joined.select(
+        F.coalesce(F.col("h_cell"), F.col("n_cell")).alias("cell"),
+        F.coalesce(F.col("n_hist"), F.lit(0)).cast("long").alias("n_hist"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        dround(hs, 6).alias("hist_share"),
+        dround(ns, 6).alias("new_share"),
+        F.coalesce(F.col("cos_hist"), F.lit(0.0)).alias("cos_hist"),
+        F.coalesce(F.col("cos_new"), F.lit(0.0)).alias("cos_new"),
+        (F.abs(ns - hs) > 0.02).alias("drift_flag"),
+    )
