@@ -53,6 +53,7 @@ _PRIORITY = [
     "q140_source_lang_chi2",
     "q141_stream_blocklist",
     "q142_ivf_drift_audit",
+    "q143_json_schema_profile",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

@@ -817,3 +817,81 @@ def q140_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — JSON schema-inference profile: per (event_type, key), how
+# often each key appears in the semi-structured `props` column and how
+# its value is typed — the schema-drift audit an event pipeline runs
+# before promoting JSON fields to real columns. Keys are enumerated
+# DYNAMICALLY (json keys explode — no hard-coded field list), so new
+# upstream fields surface without a code change. Deterministic
+# mutations plant the drift: event_id % 5 string-types the value,
+# % 3 adds a second key. One (type, key) agg over the exploded keys;
+# key space is schema-sized, never row-sized.
+# ---------------------------------------------------------------------------
+_Q143_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_id, event_type, props,
+             json_extract_string(props, '$.k') AS v
+      FROM events),
+    mut AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN '{{"k": "' || v || '"}}'
+                  WHEN event_id % 3 = 0 THEN '{{"k": ' || v || ', "tag": "a"}}'
+                  ELSE props END AS m
+      FROM ev),
+    keyed AS (
+      SELECT event_type, m, unnest(json_keys(m)) AS key FROM mut),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM mut GROUP BY event_type)
+    SELECT k.event_type, k.key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(count(*) FILTER (
+             WHERE contains(m, '"' || k.key || '": "')) AS BIGINT) AS n_string_typed,
+           {dround_sql("count(*) / CAST(any_value(t.n_events) AS DOUBLE)", 6)} AS presence_rate
+    FROM keyed k JOIN tot t USING (event_type)
+    GROUP BY k.event_type, k.key
+"""
+
+
+@register("q143_json_schema_profile", oracle=_Q143_ORACLE)
+def q143_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "props",
+        F.get_json_object(F.col("props"), "$.k").alias("v"),
+    )
+    m = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit('{"k": "'), F.col("v"), F.lit('"}')),
+        )
+        .when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('{"k": '), F.col("v"), F.lit(', "tag": "a"}')),
+        )
+        .otherwise(F.col("props"))
+    )
+    mut = ev.select("event_type", m.alias("m"))
+    tot = mut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    keyed = mut.select(
+        "event_type", "m", F.explode(F.json_object_keys(F.col("m"))).alias("key")
+    )
+    is_str = F.col("m").contains(
+        F.concat(F.lit('"'), F.col("key"), F.lit('": "'))
+    )
+    return (
+        keyed.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.count(F.when(is_str, 1)).cast("long").alias("n_string_typed"),
+            dround(
+                F.count(F.lit(1)) / F.first("n_events").cast("double"), 6
+            ).alias("presence_rate"),
+        )
+    )
