@@ -54,6 +54,8 @@ _PRIORITY = [
     "q141_stream_blocklist",
     "q142_ivf_drift_audit",
     "q143_json_schema_profile",
+    "q144_ab_test_ztest",
+    "q145_event_cooccurrence_lift",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround_sql
 from anime_data_pipeline_spark.operators.joins import asof_join, range_join_bucketed
 from anime_data_pipeline_spark.registry import register
 
@@ -196,5 +197,174 @@ def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("period").cast("long").alias("period"),
             "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — A/B-test two-proportion z-test: users hash-split into variants
+# (user_id % 2), per event_type the conversion-rate difference is
+# tested with the pooled-proportion z statistic — the experiment
+# readout an event pipeline serves. All aggregates are
+# (event_type, variant)-keyed distinct-user counts; variant totals are
+# a 2-row broadcast; the z math is scalar column arithmetic on the
+# |event_types|-row result.
+# ---------------------------------------------------------------------------
+_Q144_ORACLE = f"""
+    WITH users AS (SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+    tot AS (SELECT variant, CAST(count(*) AS BIGINT) AS n FROM users GROUP BY variant),
+    conv AS (SELECT event_type, user_id, user_id % 2 AS variant FROM events
+             GROUP BY event_type, user_id HAVING count(*) >= 3),
+    cc AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS c
+           FROM conv GROUP BY event_type, variant),
+    wide AS (SELECT event_type,
+                    CAST(coalesce(sum(CASE WHEN variant = 0 THEN c END), 0) AS BIGINT) AS conv_a,
+                    CAST(coalesce(sum(CASE WHEN variant = 1 THEN c END), 0) AS BIGINT) AS conv_b
+             FROM cc GROUP BY event_type),
+    n2 AS (SELECT
+             CAST(coalesce(sum(CASE WHEN variant = 0 THEN n END), 0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(CASE WHEN variant = 1 THEN n END), 0) AS BIGINT) AS n_b
+           FROM tot),
+    stats AS (SELECT w.event_type, w.conv_a, w.conv_b, n2.n_a, n2.n_b,
+                     w.conv_a / CAST(n2.n_a AS DOUBLE) AS ra,
+                     w.conv_b / CAST(n2.n_b AS DOUBLE) AS rb,
+                     (w.conv_a + w.conv_b) / CAST(n2.n_a + n2.n_b AS DOUBLE) AS pp
+              FROM wide w CROSS JOIN n2)
+    SELECT event_type, conv_a, conv_b, n_a, n_b,
+           {dround_sql("ra", 6)} AS rate_a,
+           {dround_sql("rb", 6)} AS rate_b,
+           CASE WHEN pp * (1.0 - pp) = 0 THEN 0.0
+                ELSE {dround_sql("(ra - rb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))", 6)}
+           END AS z,
+           CASE WHEN pp * (1.0 - pp) = 0 THEN FALSE
+                ELSE (abs((ra - rb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96)
+           END AS significant
+    FROM stats
+"""
+
+
+@register("q144_ab_test_ztest", oracle=_Q144_ORACLE)
+def q144_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    tot = users.groupBy("variant").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n2 = tot.agg(
+        F.coalesce(F.sum(F.when(F.col("variant") == 0, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    conv = (
+        ev.groupBy("event_type", "user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(F.count(F.lit(1)).alias("_ne"))
+        .filter(F.col("_ne") >= 3)
+        .drop("_ne")
+    )
+    cc = conv.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wide = cc.groupBy("event_type").agg(
+        F.coalesce(F.sum(F.when(F.col("variant") == 0, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return (
+        wide.crossJoin(F.broadcast(n2))
+        .select(
+            "event_type",
+            "conv_a",
+            "conv_b",
+            "n_a",
+            "n_b",
+            dround(ra, 6).alias("rate_a"),
+            dround(rb, 6).alias("rate_b"),
+            F.when(pp * (F.lit(1.0) - pp) == 0, F.lit(0.0))
+            .otherwise(dround(z, 6))
+            .alias("z"),
+            F.when(pp * (F.lit(1.0) - pp) == 0, F.lit(False))
+            .otherwise(F.abs(z) > 1.96)
+            .alias("significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — event co-occurrence lift (association rules): for every
+# unordered event-type pair, the fraction of users showing both and
+# the lift n_ab·N / (n_a·n_b) — the market-basket readout over the
+# event log. The per-user fan-out is bounded by |event_types|² (25
+# here), so the self-join on user_id is NOT quadratic in events: it
+# joins the DISTINCT (user, type) table with itself, ≤ |types| rows
+# per user per side.
+# ---------------------------------------------------------------------------
+_Q145_ORACLE = f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS total FROM ut),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           {dround_sql("p.n_ab / CAST(n.total AS DOUBLE)", 6)} AS support,
+           {dround_sql("(p.n_ab * n.total) / CAST(ta.n_t * tb.n_t AS DOUBLE)", 6)} AS lift
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+"""
+
+
+@register("q145_event_cooccurrence_lift", oracle=_Q145_ORACLE)
+def q145_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.agg(F.countDistinct("user_id").cast("long").alias("total"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            dround(F.col("n_ab") / F.col("total").cast("double"), 6).alias("support"),
+            dround(
+                (F.col("n_ab") * F.col("total"))
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
         )
     )
