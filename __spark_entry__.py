@@ -56,6 +56,8 @@ _PRIORITY = [
     "q143_json_schema_profile",
     "q144_ab_test_ztest",
     "q145_event_cooccurrence_lift",
+    "q146_level_shift",
+    "q147_last_touch_attribution",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

@@ -368,3 +368,131 @@ def q145_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — level-shift changepoint detection: per event_type, compare the
+# trailing 3-day mean volume against the 3 days before it and flag
+# days where the level jumps by more than the threshold ratio — the
+# volume-anomaly monitor an ingest pipeline pages on. Day keys are
+# epoch-day integers (no calendar semantics to disagree on); both
+# rolling means are frame windows PARTITIONED BY event_type over the
+# |types|·|days|-row daily table, so nothing is corpus-sized after the
+# first agg.
+# ---------------------------------------------------------------------------
+_Q146_RATIO = 0.25
+
+_Q146_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day),
+    rolled AS (
+      SELECT event_type, day, n,
+             avg(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS recent3,
+             avg(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 5 PRECEDING AND 3 PRECEDING) AS prev3,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily)
+    SELECT event_type, CAST(day AS BIGINT) AS day, n,
+           {dround_sql("recent3", 6)} AS recent3,
+           {dround_sql("prev3", 6)} AS prev3,
+           (rn >= 6 AND abs(recent3 - prev3) > {_Q146_RATIO} * prev3) AS level_shift
+    FROM rolled
+"""
+
+
+@register("q146_level_shift", oracle=_Q146_ORACLE)
+def q146_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    base = W.partitionBy("event_type").orderBy("day")
+    recent3 = F.avg("n").over(base.rowsBetween(-2, 0))
+    prev3 = F.avg("n").over(base.rowsBetween(-5, -3))
+    rn = F.row_number().over(base)
+    return daily.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n",
+        dround(recent3, 6).alias("recent3"),
+        dround(prev3, 6).alias("prev3"),
+        ((rn >= 6) & (F.abs(recent3 - prev3) > F.lit(_Q146_RATIO) * prev3)).alias(
+            "level_shift"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — last-touch attribution: every purchase is attributed to the
+# user's most recent PRECEDING marketing touch (view/click), with the
+# touch-to-purchase latency — the classic attribution readout. The
+# engine computes it in ONE pass: a running `max(struct(ts, id,
+# type))` over a per-user frame (unbounded preceding → 1 preceding),
+# so no self-join and no per-purchase scan; ties at equal ts resolve
+# by event_id in both engines. Window partitions by user — parallelism
+# = users.
+# ---------------------------------------------------------------------------
+_Q147_ORACLE = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT event_id, user_id, ts, event_type FROM events
+          WHERE event_type IN ('view', 'click')),
+    ranked AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             t.event_id AS touch_id, t.event_type AS touch_type,
+             epoch_us(p.ts) - epoch_us(t.ts) AS latency_us,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)))
+    SELECT p.event_id AS purchase_id, p.user_id,
+           r.touch_id, r.touch_type,
+           CAST(r.latency_us AS BIGINT) AS latency_us
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.purchase_id = p.event_id
+"""
+
+
+@register("q147_last_touch_attribution", oracle=_Q147_ORACLE)
+def q147_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.col("us").alias("t_us"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    attr = F.max(touch).over(w)
+    return (
+        ev.withColumn("_attr", attr)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("_attr.t_id").alias("touch_id"),
+            F.col("_attr.t_type").alias("touch_type"),
+            (F.col("us") - F.col("_attr.t_us")).cast("long").alias("latency_us"),
+        )
+    )
