@@ -58,6 +58,7 @@ _PRIORITY = [
     "q145_event_cooccurrence_lift",
     "q146_level_shift",
     "q147_last_touch_attribution",
+    "q148_label_propagation",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

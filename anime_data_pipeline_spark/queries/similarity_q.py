@@ -1144,3 +1144,75 @@ def q142_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cos_new"), F.lit(0.0)).alias("cos_new"),
         (F.abs(ns - hs) > 0.02).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — kNN label propagation (one round): every vector takes the
+# majority label of its top-k approximate neighbors (q97's SRP-bucket
+# graph), ties by lexicographically-smallest label — the
+# semi-supervised label-smoothing / label-noise-detection step over an
+# embedding space. The graph reuses the bucket-pruned edge build (no
+# N²); voting is one (src, label) agg and a per-src argmax window.
+# Output flags where the propagated label disagrees with the stored
+# one — the candidate mislabels.
+# ---------------------------------------------------------------------------
+_Q148_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv,
+                           {srp_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES)} AS bucket
+                    FROM embeddings),
+    qp AS (SELECT vec_id AS src, cv AS qv,
+                  unnest(list_prepend(bucket,
+                    list_transform(range(0, {_PLANES}), j -> xor(bucket, 1 << j)))) AS bucket
+           FROM corpus),
+    scored AS (SELECT qp.src, corpus.vec_id, corpus.label,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN qp USING (bucket)
+               WHERE qp.src <> corpus.vec_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY src ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored),
+    edges AS (SELECT src, label FROM ranked WHERE rank <= {_Q97_K}),
+    votes AS (SELECT src, label, CAST(count(*) AS BIGINT) AS n_votes
+              FROM edges GROUP BY src, label),
+    win AS (SELECT *, row_number() OVER (
+              PARTITION BY src ORDER BY n_votes DESC, label) AS rn
+            FROM votes)
+    SELECT c.vec_id, c.label AS own_label, w.label AS propagated_label,
+           w.n_votes,
+           (c.label <> w.label) AS relabel_candidate
+    FROM win w JOIN (SELECT vec_id, label FROM corpus) c ON c.vec_id = w.src
+    WHERE w.rn = 1
+"""
+
+
+@register("q148_label_propagation", oracle=_Q148_ORACLE)
+def q148_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _corpus(spark, sf_dir)
+    edges = knn_graph(corpus, "vec_id", "embedding", k=_Q97_K, planes=_PLANES).select(
+        "src", "dst"
+    )
+    labels = corpus.select("vec_id", "label")
+    votes = (
+        edges.join(
+            labels.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("nlabel")
+            ),
+            "dst",
+        )
+        .groupBy("src", "nlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("n_votes"), F.asc("nlabel"))
+    winner = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        winner.join(labels, winner["src"] == labels["vec_id"])
+        .select(
+            "vec_id",
+            F.col("label").alias("own_label"),
+            F.col("nlabel").alias("propagated_label"),
+            "n_votes",
+            (F.col("label") != F.col("nlabel")).alias("relabel_candidate"),
+        )
+    )
