@@ -59,6 +59,7 @@ _PRIORITY = [
     "q146_level_shift",
     "q147_last_touch_attribution",
     "q148_label_propagation",
+    "q149_rake_keywords",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

@@ -1140,3 +1140,105 @@ def q138_teacher_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_votes") == 3).alias("unanimous"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — RAKE keyword extraction (Rose et al. 2010): candidate phrases
+# are maximal stopword-free token runs (capped at 4 tokens), each word
+# scores degree/frequency over the phrase corpus, and a phrase scores
+# the sum of its word scores — the classic unsupervised keyword
+# extractor. Per-doc segmentation is a running stopword-count window
+# PARTITIONED BY DOC; word stats are one vocabulary-keyed agg; the
+# final top-k is orderBy+limit with rank over the survivors. English
+# docs only (the stopword list is the en profile).
+# ---------------------------------------------------------------------------
+_Q149_TOPK = 20
+_Q149_MAXLEN = 4
+
+
+def _q149_oracle() -> str:
+    from anime_data_pipeline_spark.operators.textstats import STOPWORDS
+
+    toks = tokens_sql("text")
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, (u).pos AS pos, (u).w AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                 i -> struct_pack(pos := i, w := tk[i]))) AS u
+        FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE lang = 'en'))),
+    seg AS (
+      SELECT doc_id, pos, w, w IN ({stops}) AS is_stop,
+             sum(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tok),
+    member AS (
+      SELECT doc_id, grp, pos, w,
+             count(*) OVER (PARTITION BY doc_id, grp) AS plen
+      FROM seg WHERE NOT is_stop),
+    capped AS (SELECT * FROM member WHERE plen <= {_Q149_MAXLEN}),
+    wstats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS degree FROM capped GROUP BY w),
+    phrases AS (
+      SELECT c.doc_id, c.grp,
+             string_agg(c.w, ' ' ORDER BY c.pos) AS phrase,
+             {dround_sql("sum(ws.degree / CAST(ws.freq AS DOUBLE))", 6)} AS pscore
+      FROM capped c JOIN wstats ws ON ws.w = c.w
+      GROUP BY c.doc_id, c.grp),
+    agg AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             max(pscore) AS score
+      FROM phrases GROUP BY phrase),
+    top AS (SELECT * FROM agg ORDER BY score DESC, phrase LIMIT {_Q149_TOPK})
+    SELECT phrase, n_occurrences, score,
+           CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT) AS rank
+    FROM top
+"""
+
+
+@register("q149_rake_keywords", oracle=_q149_oracle())
+def q149_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.functions.text import tokens
+    from anime_data_pipeline_spark.operators.textstats import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    is_stop = F.col("w").isin(*STOPWORDS)
+    seg = tok.withColumn(
+        "grp",
+        F.sum(is_stop.cast("int")).over(
+            W.partitionBy("doc_id").orderBy("pos")
+        ),
+    ).filter(~is_stop)
+    member = seg.withColumn(
+        "plen", F.count(F.lit(1)).over(W.partitionBy("doc_id", "grp"))
+    ).filter(F.col("plen") <= _Q149_MAXLEN)
+    wstats = member.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    scored = member.join(wstats, "w").withColumn(
+        "wscore", F.col("degree") / F.col("freq").cast("double")
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                ),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+        dround(F.sum("wscore"), 6).alias("pscore"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("pscore").alias("score"),
+    )
+    top = agg.orderBy(F.desc("score"), "phrase").limit(_Q149_TOPK)
+    w_ = W.orderBy(F.desc("score"), "phrase")
+    return top.withColumn("rank", F.row_number().over(w_).cast("long"))
