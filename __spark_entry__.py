@@ -60,6 +60,7 @@ _PRIORITY = [
     "q147_last_touch_attribution",
     "q148_label_propagation",
     "q149_rake_keywords",
+    "q150_doremi_reweight",
     "q115_png_decode_bucket",
     "q116_density_prune",
     "q117_sql_shipping_priority",

@@ -212,3 +212,87 @@ def q114_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "dsir_logw", "gumbel_key", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — DoReMi-style domain reweighting (Xie et al. 2023, one
+# excess-loss round): each source's mix weight is its document share
+# multiplied by exp(η · excess proxy loss), where the proxy loss is
+# the corpus's own unigram LM (q79/q103's operator) and excess is the
+# source loss above the corpus baseline — sources the LM finds
+# surprising get UPweighted, the size prior keeps giants from
+# vanishing. All post-NLL math runs on the |sources|-row table;
+# baseline and the normalizer are 1-row broadcasts. exp() is applied
+# to the 6-digit-rounded excess in BOTH engines, and the weight is
+# re-rounded, so a 1-ulp libm divergence cannot surface.
+# ---------------------------------------------------------------------------
+_Q150_ETA = 2.0
+
+_Q150_ORACLE = f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({tokens_sql("text")}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS n_term FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(n_term) AS DOUBLE) AS n_total FROM vocab),
+    scored AS (SELECT doc, -ln(n_term / n_total) AS nll
+               FROM tok JOIN vocab USING (term) CROSS JOIN tot),
+    per_doc AS (SELECT doc, {dround_sql("avg(nll)", 6)} AS mean_nll
+                FROM scored GROUP BY doc),
+    with_src AS (SELECT p.doc, d.source, p.mean_nll
+                 FROM per_doc p JOIN documents d ON d.doc_id = p.doc),
+    base AS (SELECT {dround_sql("avg(mean_nll)", 6)} AS baseline,
+                    CAST(count(*) AS BIGINT) AS n_total_docs
+             FROM with_src),
+    per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       {dround_sql("avg(mean_nll)", 6)} AS loss
+                FROM with_src GROUP BY source),
+    ex AS (SELECT s.source, s.n_docs, s.loss,
+                  {dround_sql("greatest(0.0, s.loss - b.baseline)", 6)} AS excess,
+                  (s.n_docs / CAST(b.n_total_docs AS DOUBLE))
+                    * exp({_Q150_ETA} * {dround_sql("greatest(0.0, s.loss - b.baseline)", 6)}) AS raw_w
+           FROM per_src s CROSS JOIN base b),
+    z AS (SELECT sum(raw_w) AS zsum FROM ex)
+    SELECT ex.source, ex.n_docs, ex.loss, ex.excess,
+           {dround_sql("ex.raw_w / z.zsum", 6)} AS weight
+    FROM ex CROSS JOIN z
+"""
+
+
+@register("q150_doremi_reweight", oracle=_Q150_ORACLE)
+def q150_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.terms import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text").select(
+        "doc", dround(F.col("mean_nll"), 6).alias("mean_nll")
+    )
+    with_src = scored.join(
+        docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    base = with_src.agg(
+        dround(F.avg("mean_nll"), 6).alias("baseline"),
+        F.count(F.lit(1)).cast("long").alias("n_total_docs"),
+    )
+    per_src = with_src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        dround(F.avg("mean_nll"), 6).alias("loss"),
+    )
+    excess = dround(
+        F.greatest(F.lit(0.0), F.col("loss") - F.col("baseline")), 6
+    )
+    ex = per_src.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        "loss",
+        excess.alias("excess"),
+        (
+            (F.col("n_docs") / F.col("n_total_docs").cast("double"))
+            * F.exp(F.lit(_Q150_ETA) * excess)
+        ).alias("raw_w"),
+    )
+    z = ex.agg(F.sum("raw_w").alias("zsum"))
+    return ex.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "loss",
+        "excess",
+        dround(F.col("raw_w") / F.col("zsum"), 6).alias("weight"),
+    )
