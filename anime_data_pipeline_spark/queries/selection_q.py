@@ -264,9 +264,14 @@ def q150_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = unigram_logprob(docs, "doc_id", "text").select(
         "doc", dround(F.col("mean_nll"), 6).alias("mean_nll")
     )
+    # Persisted stage boundary: the NLL chain feeds BOTH the baseline
+    # agg and the per-source agg (and `ex` below feeds the normalizer
+    # and the final projection) — without the persists the full
+    # tokenize→vocab→join chain re-derives 4× (measured 68 exchanges
+    # in the physical plan vs 20 with them).
     with_src = scored.join(
         docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
-    )
+    ).persist()
     base = with_src.agg(
         dround(F.avg("mean_nll"), 6).alias("baseline"),
         F.count(F.lit(1)).cast("long").alias("n_total_docs"),
@@ -287,7 +292,7 @@ def q150_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") / F.col("n_total_docs").cast("double"))
             * F.exp(F.lit(_Q150_ETA) * excess)
         ).alias("raw_w"),
-    )
+    ).persist()
     z = ex.agg(F.sum("raw_w").alias("zsum"))
     return ex.crossJoin(F.broadcast(z)).select(
         "source",
