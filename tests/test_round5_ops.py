@@ -1,0 +1,111 @@
+"""Invariant tests for the round-5 second-half operators (q132-q150):
+data-driven checks computed independently in Python against the same
+parquet tables the queries read."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_bpe_pair_total_matches_python(spark, sf_dir):
+    """Σ pair_count over ALL pairs = Σ_words freq(word)·(len(word)−1)
+    for words of length ≥ 2 — computed independently in pandas."""
+    from anime_data_pipeline_spark.queries.text_q import (
+        q132_bpe_merge_pairs,
+        _Q132_TOPK,
+    )
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).df()["text"]
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    expected = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            expected[(w[i], w[i + 1])] += n
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q132_TOPK]
+    out = q132_bpe_merge_pairs(spark, str(sf_dir)).collect()
+    got = [((r["l"], r["r"]), r["pair_count"]) for r in out]
+    assert got == top
+
+
+def test_doc_stitching_finds_every_planted_continuation(spark, sf_dir):
+    from anime_data_pipeline_spark.queries.text_q import (
+        q135_doc_stitching,
+        _Q135_K,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    planted = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if r.doc_id % 13 == 0 and len([t for t in r.text.split(" ") if t]) >= _Q135_K
+    }
+    pairs = {
+        (r["src_doc"], r["cont_doc"])
+        for r in q135_doc_stitching(spark, str(sf_dir)).collect()
+    }
+    for d in planted:
+        assert (d, d + 100000) in pairs, f"missing planted stitch for doc {d}"
+
+
+def test_attribution_touch_precedes_purchase(spark, sf_dir):
+    from anime_data_pipeline_spark.queries.temporal_q import (
+        q147_last_touch_attribution,
+    )
+
+    out = q147_last_touch_attribution(spark, str(sf_dir)).collect()
+    n_purchases = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert len(out) == n_purchases
+    for r in out:
+        if r["touch_id"] is not None:
+            assert r["latency_us"] >= 0
+            assert r["touch_type"] in ("view", "click")
+
+
+def test_doremi_weights_sum_to_one_and_upweight_lossy(spark, sf_dir):
+    from anime_data_pipeline_spark.queries.selection_q import (
+        q150_doremi_reweight,
+    )
+
+    rows = q150_doremi_reweight(spark, str(sf_dir)).collect()
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    # a source with excess 0 must not out-weigh an equal-share source
+    # with positive excess
+    by_excess = sorted(rows, key=lambda r: r["excess"])
+    zero = [r for r in by_excess if r["excess"] == 0.0]
+    pos = [r for r in by_excess if r["excess"] > 0.0]
+    if zero and pos:
+        same_share = [
+            (z, p)
+            for z in zero
+            for p in pos
+            if z["n_docs"] == p["n_docs"]
+        ]
+        for z, p in same_share:
+            assert p["weight"] > z["weight"]
+
+
+def test_chi2_contributions_are_nonnegative(spark, sf_dir):
+    from anime_data_pipeline_spark.queries.relational import (
+        q140_source_lang_chi2,
+    )
+
+    rows = q140_source_lang_chi2(spark, str(sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r["chi2_contrib"] >= 0.0
+        assert r["n_cells"] >= 1
