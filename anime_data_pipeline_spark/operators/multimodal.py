@@ -13,15 +13,18 @@ At 100 TB the binary column dominates I/O, so every stage here:
 - is map-only (partition-parallel, no shuffle), with per-batch
   vectorized decode.
 
-Codec status: **PNG decodes for real** — a pure-stdlib zlib codec
-(operators/png_codec.py, no PIL/cv2 needed) handles 8-bit
-non-interlaced PNG end-to-end (header meta AND full pixels for the
-inference preprocessing chain). JPEG/GIF and exotic PNGs still need
-PIL (absent in this container) and stay behind the ``_decode_real`` /
-``pil_decoder_loader`` seam; the deterministic FIMG fake container
-remains for oracle-checkable synthetic corpora. The default decoder
-accepts FIMG *and* PNG; the Spark plumbing — schemas, batch iteration,
-null-for-corrupt, partitioning — is identical across all three.
+Codec status: **PNG, GIF, and baseline JPEG decode for real** — three
+pure-stdlib codecs (operators/png_codec.py zlib+filters,
+operators/gif_codec.py LZW+interlace, operators/jpeg_codec.py
+Huffman+IDCT; no PIL/cv2 needed) cover what normal exporters write:
+header meta AND full pixels for the inference preprocessing chain.
+Only the exotic tails — 16-bit/interlaced PNG, progressive/arithmetic
+JPEG pixels (their header meta still parses), WEBP/TIFF/BMP — fall
+through to the PIL seam (absent in this container); the deterministic
+FIMG fake container remains for oracle-checkable synthetic corpora.
+The default decoder accepts FIMG, PNG, GIF, and JPEG; the Spark
+plumbing — schemas, batch iteration, null-for-corrupt, partitioning —
+is identical across all of them.
 
 FIMG container: b"FIMG" | width:int32le | height:int32le | mode:1 byte
 (R=RGB, A=RGBA, L=gray, P=palette) | payload bytes. The payload stands
@@ -63,14 +66,16 @@ def encode_fimg(width: int, height: int, mode: str = "RGB", payload: bytes = b""
 
 
 def _decode_real(content: bytes) -> tuple[int, int, str] | None:
-    """Real codec dispatch. PNG (8-bit, non-interlaced — what normal
-    exporters write) decodes NATIVELY via the stdlib zlib codec
-    (operators/png_codec.py): header meta here, full pixels via
-    ``png_pixel_decoder_loader``. JPEG/GIF and exotic PNGs (16-bit /
-    interlaced) still need PIL (reference dbimutils.py:6-26 for the
-    GIF/16-bit/alpha handling) — unavailable in this container, so they
-    raise; corrupt PNG bytes return None (dropped-with-count row,
-    reference bucket_manager.py:187-189)."""
+    """Real codec dispatch by magic bytes. PNG (8-bit non-interlaced),
+    GIF (87a/89a), and JPEG (any SOFn for header meta) decode NATIVELY
+    via the stdlib codecs: header meta here, full pixels via
+    ``image_pixel_decoder_loader``. Exotic PNGs (16-bit/interlaced) and
+    non-{PNG,GIF,JPEG} formats still need PIL (reference
+    dbimutils.py:6-26) — unavailable in this container, so they raise;
+    corrupt bytes behind a valid magic return None (dropped-with-count
+    row, reference bucket_manager.py:187-189)."""
+    from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
+    from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import (
         PNG_MAGIC,
         png_ihdr,
@@ -85,18 +90,30 @@ def _decode_real(content: bytes) -> tuple[int, int, str] | None:
         if png_supported(ihdr):
             return png_meta(content)
         raise NotImplementedError("16-bit/interlaced PNG needs PIL")
-    raise NotImplementedError("non-PNG codecs not available in this environment")
+    if content[:6] in GIF_MAGICS:
+        return gif_meta(content)
+    if content[:3] == JPEG_MAGIC:
+        return jpeg_meta(content)
+    raise NotImplementedError(
+        "non-{PNG,GIF,JPEG} codecs not available in this environment"
+    )
 
 
 def _decode_default(content: bytes) -> tuple[int, int, str] | None:
-    """Default per-blob decode: FIMG stub container OR real PNG; None
-    for anything else (corrupt/foreign bytes)."""
+    """Default per-blob decode: FIMG stub container OR a real PNG /
+    GIF / JPEG; None for anything else (corrupt/foreign bytes)."""
+    from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
+    from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
 
     if content[:4] == FIMG_MAGIC:
         return _decode_fimg(content)
     if content[:8] == PNG_MAGIC:
         return png_meta(content)
+    if content[:6] in GIF_MAGICS:
+        return gif_meta(content)
+    if content[:3] == JPEG_MAGIC:
+        return jpeg_meta(content)
     return None
 
 
@@ -122,6 +139,44 @@ def png_pixel_decoder_loader() -> "Callable[[], Callable]":
                 if plte is not None:
                     return palette_to_rgb(arr, plte)
             return arr
+
+        return decode
+
+    return load
+
+
+def image_pixel_decoder_loader() -> "Callable[[], Callable]":
+    """Loader yielding the FULL pixel decode for every natively-coded
+    format — PNG (palette expanded), GIF (first frame, palette
+    expanded), baseline JPEG — dispatched by magic bytes; bytes →
+    (h, w, ch) uint8 numpy array, None for corrupt/unsupported. Feeds
+    the numpy preprocessing chain in operators/inference.py exactly
+    where a PIL decode would."""
+
+    def load() -> "Callable[[bytes], np.ndarray | None]":
+        from anime_data_pipeline_spark.operators.gif_codec import (
+            GIF_MAGICS,
+            decode_gif,
+        )
+        from anime_data_pipeline_spark.operators.jpeg_codec import (
+            JPEG_MAGIC,
+            decode_jpeg,
+        )
+        from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC
+
+        png_decode = png_pixel_decoder_loader()()
+
+        def decode(content: bytes) -> "np.ndarray | None":
+            if content[:8] == PNG_MAGIC:
+                return png_decode(content)
+            if content[:6] in GIF_MAGICS:
+                return decode_gif(content)
+            if content[:3] == JPEG_MAGIC:
+                arr = decode_jpeg(content)
+                if arr is not None and arr.ndim == 2:
+                    arr = arr[:, :, None]
+                return arr
+            return None
 
         return decode
 

@@ -1,0 +1,346 @@
+"""Stdlib GIF + baseline JPEG codec tests (operators/gif_codec.py,
+operators/jpeg_codec.py): lossless GIF roundtrips through real LZW
+(dictionary growth, mid-stream resets, interlace), JPEG roundtrips
+bounded by quantization error (4:4:4, 4:2:0, restart markers), decode
+of EXTERNAL real-world GIF bytes (guards against mirrored
+encoder/decoder bugs), corrupt handling, and the SURVEY S7 e2e —
+mixed-format real images through decode_image_meta's default decoder
+into bucket assignment (reference bucket_manager.py:180-189)."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+from anime_data_pipeline_spark.operators.gif_codec import (
+    decode_gif,
+    encode_gif,
+    gif_meta,
+)
+from anime_data_pipeline_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_meta,
+)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_random_256_colors():
+    """Random indices over a full 256-entry palette force LZW code
+    widths through 9→12 bits; roundtrip must be bit-exact."""
+    r = _rng()
+    pal = r.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = r.integers(0, 256, (73, 100), dtype=np.uint8)
+    data = encode_gif(idx, pal)
+    assert gif_meta(data) == (100, 73, "P")
+    assert np.array_equal(decode_gif(data), pal[idx])
+
+
+def test_gif_roundtrip_dict_reset():
+    """An image large enough that the LZW dictionary fills (4096) and
+    the encoder emits a mid-stream CLEAR; decode must resync."""
+    r = _rng(3)
+    pal = r.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = r.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_roundtrip_interlaced():
+    r = _rng(5)
+    pal = r.integers(0, 256, (64, 3), dtype=np.uint8)
+    idx = r.integers(0, 64, (37, 23), dtype=np.uint8)
+    data = encode_gif(idx, pal, interlace=True)
+    assert np.array_equal(decode_gif(data), pal[idx])
+
+
+def test_gif_compressible_runs():
+    """Run-heavy data exercises multi-byte dictionary entries (the
+    compression path, not just literals)."""
+    pal = _rng(9).integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = np.tile(np.arange(16, dtype=np.uint8).repeat(50), (40, 1))[:, :512]
+    data = encode_gif(idx, pal)
+    assert len(data) < idx.size // 4  # actually compressed
+    assert np.array_equal(decode_gif(data), pal[idx])
+
+
+def test_gif_external_fixtures_decode():
+    """REAL GIF bytes produced by external encoders (the canonical 1x1
+    tracking-pixel GIFs, public bytes): decoding these proves the LZW
+    width schedule and block layout match the spec, not merely our own
+    encoder (which a mirrored bug would also satisfy)."""
+    for b64 in (
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7",
+        "R0lGODdhAQABAIAAAAAAAAAAACwAAAAAAQABAAACAkQBADs=",
+    ):
+        data = base64.b64decode(b64)
+        assert gif_meta(data) == (1, 1, "P")
+        arr = decode_gif(data)
+        assert arr is not None and arr.shape == (1, 1, 3)
+        assert arr.tolist() == [[[0, 0, 0]]]
+
+
+def test_gif_corrupt_and_truncated():
+    pal = _rng(11).integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = _rng(12).integers(0, 4, (8, 8), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    assert decode_gif(b"NOTG" + good[4:]) is None
+    assert gif_meta(b"GIF89a") is None  # too short for the LSD
+    assert decode_gif(good[:20]) is None  # truncated before image data
+    # truncated mid-LZW: missing pixels → None
+    assert decode_gif(good[: len(good) - 6]) is None
+
+
+def test_gif_small_frame_on_larger_screen():
+    """A frame smaller than the logical screen lands at its offset on
+    a palette-0 background (animation-style first frame)."""
+    import struct
+
+    pal = np.array([[9, 9, 9], [255, 0, 0]], dtype=np.uint8)
+    idx = np.ones((2, 2), dtype=np.uint8)
+    data = bytearray(encode_gif(idx, pal))
+    # patch logical screen to 4x4 and the image descriptor offset to (1,1)
+    data[6:10] = struct.pack("<HH", 4, 4)
+    desc = bytes(data).index(b"\x2c")
+    data[desc + 1 : desc + 5] = struct.pack("<HH", 1, 1)
+    out = decode_gif(bytes(data))
+    assert out.shape == (4, 4, 3)
+    assert out[0, 0].tolist() == [9, 9, 9]
+    assert out[1, 1].tolist() == [255, 0, 0]
+    assert out[2, 2].tolist() == [255, 0, 0]
+    assert out[3, 3].tolist() == [9, 9, 9]
+
+
+def test_gif_roundtrip_property():
+    """Property: encode→decode is palette-expansion identity for
+    arbitrary sizes/palette widths, interlaced or not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ncol=st.sampled_from([2, 5, 16, 100, 256]),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, ncol, interlace, seed):
+        r = np.random.default_rng(seed)
+        pal = r.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = r.integers(0, ncol, (h, w), dtype=np.uint8)
+        out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert out is not None and np.array_equal(out, pal[idx])
+
+    roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_gray_near_exact():
+    img = np.full((24, 31), 130, dtype=np.uint8)
+    data = encode_jpeg(img, 90)
+    assert jpeg_meta(data) == (31, 24, "L")
+    out = decode_jpeg(data)
+    assert out.shape == (24, 31)
+    assert np.abs(out.astype(int) - 130).max() <= 2
+
+
+def test_jpeg_gradient_rgb_within_quant_error():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255), np.clip(128 + yy - xx, 0, 255)],
+        -1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 92))
+    assert out.shape == (40, 56, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 8
+
+
+def test_jpeg_420_subsampled():
+    """2x2 chroma subsampling: decoder walks interleaved MCUs with
+    mixed sampling factors and upsamples; luma stays tight, chroma
+    cost shows only at color edges."""
+    yy, xx = np.mgrid[0:33, 0:47]  # non-multiple-of-16 dims exercise padding
+    img = np.stack(
+        [np.clip(yy * 5, 0, 255), np.clip(xx * 4, 0, 255), np.clip(100 + yy, 0, 255)],
+        -1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 92, subsample=True))
+    assert out.shape == (33, 47, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 24
+
+
+def test_jpeg_restart_markers():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255), np.clip(128 + yy - xx, 0, 255)],
+        -1,
+    ).astype(np.uint8)
+    data = encode_jpeg(img, 85, restart_interval=3)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    out = decode_jpeg(data)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 12
+
+
+def test_jpeg_noise_bounded_by_quality():
+    """Worst-case content (uniform noise) still roundtrips within the
+    q95 quantization budget — pins the Huffman/zigzag/IDCT agreement
+    on every coefficient position."""
+    noise = _rng(13).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, 95))
+    err = np.abs(out.astype(int) - noise.astype(int))
+    assert err.mean() < 6.0 and err.max() <= 32
+
+
+def test_jpeg_meta_progressive_and_corrupt():
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    good = encode_jpeg(img, 80)
+    # patch SOF0 (FFC0) → SOF2 (FFC2): progressive — meta parses the
+    # frame header, pixel decode declines
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_meta(prog) == (16, 16, "L")
+    assert decode_jpeg(prog) is None
+    assert jpeg_meta(b"\xff\xd8\xffnope") is None
+    assert decode_jpeg(good[:40]) is None
+    assert decode_jpeg(b"junk") is None
+
+
+def test_jpeg_roundtrip_property():
+    """Property: decode(encode(x, q=90)) stays within a loose global
+    error budget for arbitrary small images, gray and RGB."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, rgb, seed):
+        r = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = r.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out is not None and out.shape == shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 64
+
+    roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + e2e
+# ---------------------------------------------------------------------------
+
+
+def test_image_pixel_decoder_dispatch():
+    from anime_data_pipeline_spark.operators.multimodal import (
+        image_pixel_decoder_loader,
+    )
+    from anime_data_pipeline_spark.operators.png_codec import encode_png
+
+    decode = image_pixel_decoder_loader()()
+    r = _rng(21)
+    arr = r.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode(encode_png(arr)), arr)
+    pal = r.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = r.integers(0, 256, (7, 11), dtype=np.uint8)
+    assert np.array_equal(decode(encode_gif(idx, pal)), pal[idx])
+    smooth = np.full((16, 16, 3), 99, dtype=np.uint8)
+    out = decode(encode_jpeg(smooth, 95))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - 99).max() <= 3
+    gray = np.full((8, 8), 42, dtype=np.uint8)
+    gout = decode(encode_jpeg(gray, 95))
+    assert gout.shape == (8, 8, 1)  # channel axis normalized for the chain
+    assert decode(b"who knows") is None
+
+
+def test_decode_image_meta_e2e_mixed_formats(spark):
+    """SURVEY S7 closed for PNG+GIF+JPEG: one corpus mixing all three
+    real formats (plus a corrupt row) through decode_image_meta's
+    DEFAULT decoder → bucket assignment, no injection anywhere."""
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        assign_bucket_columns,
+        select_bucket_py,
+    )
+    from anime_data_pipeline_spark.operators.multimodal import decode_image_meta
+    from anime_data_pipeline_spark.operators.png_codec import encode_png
+
+    r = _rng(31)
+    pal = r.integers(0, 256, (256, 3), dtype=np.uint8)
+    blobs = [
+        ("a.png", encode_png(r.integers(0, 256, (768, 1024, 3), dtype=np.uint8))),
+        ("b.gif", encode_gif(r.integers(0, 256, (512, 640), dtype=np.uint8), pal)),
+        ("c.jpg", encode_jpeg(np.full((384, 896, 3), 120, dtype=np.uint8), 85)),
+        ("d.bad", b"GIF89a-truncated"),
+    ]
+    df = spark.createDataFrame(blobs, "image_key string, content binary")
+    meta = decode_image_meta(df)
+    rows = {row["image_key"]: row["image_meta"] for row in meta.collect()}
+    assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (1024, 768)
+    assert rows["b.gif"]["mode"] == "P"
+    assert (rows["b.gif"]["width"], rows["b.gif"]["height"]) == (640, 512)
+    assert rows["c.jpg"]["mode"] == "RGB"
+    assert (rows["c.jpg"]["width"], rows["c.jpg"]["height"]) == (896, 384)
+    assert rows["d.bad"] is None
+
+    cfg = BucketConfig()
+    ok = meta.filter(F.col("image_meta").isNotNull()).select(
+        "image_key",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+    )
+    assigned = {
+        row["image_key"]: (row["bucket_w"], row["bucket_h"])
+        for row in assign_bucket_columns(ok, cfg=cfg).collect()
+    }
+    for key, (w, h) in [("b.gif", (640, 512)), ("c.jpg", (896, 384))]:
+        exp = select_bucket_py(w, h, cfg)
+        assert assigned[key] == (exp["bucket_w"], exp["bucket_h"])
+
+
+def test_gif_jpeg_pixels_through_preprocess_chain():
+    """Full GIF/JPEG pixel decode feeding the inference preprocessing
+    math (reference dbimutils.py:6-26: pad-square-on-white → resize)."""
+    from anime_data_pipeline_spark.operators.inference import (
+        area_resize,
+        make_square_white,
+    )
+    from anime_data_pipeline_spark.operators.multimodal import (
+        image_pixel_decoder_loader,
+    )
+
+    decode = image_pixel_decoder_loader()()
+    r = _rng(33)
+    pal = r.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = r.integers(0, 256, (30, 50), dtype=np.uint8)
+    for blob in (
+        encode_gif(idx, pal),
+        encode_jpeg(pal[idx], 90),
+    ):
+        px = decode(blob)
+        assert px is not None and px.shape == (30, 50, 3)
+        sq = make_square_white(px, 50)
+        assert sq.shape == (50, 50, 3)
+        small = area_resize(sq, 25)
+        assert small.shape == (25, 25, 3)
