@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q151_gif_jpeg_decode_bucket",
     "q130_pq_adc_topk",
     "q131_hard_negatives",
     "q132_bpe_merge_pairs",

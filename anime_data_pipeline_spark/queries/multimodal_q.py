@@ -566,3 +566,123 @@ def q115_png_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_w",
         "bucket_h",
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — REAL GIF + JPEG decode e2e (SURVEY S7 closed for GIF/JPEG,
+# round 5): a synthetic corpus of genuine spec-valid GIF89a files
+# (stdlib LZW encoder) and baseline JFIF JPEGs (stdlib Huffman
+# encoder), dims/format/mode derived from doc_id, every 30th row
+# corrupt-after-magic — decoded by decode_image_meta's DEFAULT
+# decoder (magic-byte dispatch, no injection), then aspect-ratio
+# bucket assignment on the DECODED dimensions (reference
+# bucket_manager.py:180-189 flow). The oracle recomputes
+# dims/mode/buckets straight from doc_id, so any LSD/SOF parse,
+# endianness, or dispatch bug in either codec breaks the hash match.
+# ---------------------------------------------------------------------------
+_Q151_IMGS = """
+  SELECT doc_id AS image_key,
+         CAST(16 + (doc_id * 37) % 97 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 61) % 89 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 30 <> 0
+"""
+
+
+def _q151_oracle() -> str:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        bucket_oracle_sql,
+    )
+
+    return f"""
+    WITH assigned AS ({bucket_oracle_sql(_Q151_IMGS, BucketConfig())})
+    SELECT image_key AS doc_id,
+           CAST(16 + (image_key * 37) % 97 AS INTEGER) AS width,
+           CAST(16 + (image_key * 61) % 89 AS INTEGER) AS height,
+           CASE CAST(image_key % 4 AS INTEGER)
+             WHEN 0 THEN 'P' WHEN 2 THEN 'P'
+             WHEN 1 THEN 'L' ELSE 'RGB' END AS mode,
+           bucket_w, bucket_h
+    FROM assigned
+    """
+
+
+def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 5 = 0) → (doc_id, content: binary) of real
+    GIF (even doc_id: constant-index frame, 4-entry palette) and real
+    JPEG (odd doc_id: constant-fill gray or RGB) bytes; dims from
+    doc_id int math. Every 30th row is corrupt-after-magic — the P6
+    null path through the REAL codecs (GIF structural check / JPEG
+    marker walk both reject it)."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.gif_codec import encode_gif
+    from anime_data_pipeline_spark.operators.jpeg_codec import encode_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    palette = np.array(
+        [[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 0, 255]], dtype=np.uint8
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 30 == 0:
+                    # valid magics, structurally-broken bodies
+                    blobs.append(
+                        b"GIF89a\xff\xff\xff\xff\xff\xff\xff"
+                        if i % 2 == 0
+                        else b"\xff\xd8\xff\xfe\x00\x04zz"
+                    )
+                    continue
+                w = 16 + (i * 37) % 97
+                h = 16 + (i * 61) % 89
+                if i % 2 == 0:
+                    idx = np.full((h, w), i % 4, dtype=np.uint8)
+                    blobs.append(encode_gif(idx, palette))
+                else:
+                    fill = 40 + i % 160
+                    shape = (h, w) if i % 4 == 1 else (h, w, 3)
+                    blobs.append(
+                        encode_jpeg(np.full(shape, fill, dtype=np.uint8), 85)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q151_gif_jpeg_decode_bucket", oracle=_q151_oracle())
+def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        assign_bucket_columns,
+    )
+
+    decoded = decode_image_meta(_gif_jpeg_corpus(spark, sf_dir))
+    ok = decoded.filter(F.col("image_meta").isNotNull()).select(
+        F.col("doc_id").alias("image_key"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mode").alias("mode"),
+    )
+    assigned = assign_bucket_columns(ok, cfg=BucketConfig())
+    return assigned.select(
+        F.col("image_key").alias("doc_id"),
+        "width",
+        "height",
+        "mode",
+        "bucket_w",
+        "bucket_h",
+    )
