@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
     "q151_gif_jpeg_decode_bucket",
+    "q152_url_canonical_dedup",
+    "q153_normalized_dedup",
     "q130_pq_adc_topk",
     "q131_hard_negatives",
     "q132_bpe_merge_pairs",

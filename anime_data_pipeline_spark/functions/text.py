@@ -37,3 +37,34 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
         f"list_distinct(list_transform(generate_series(1, len({toks_expr}) - {n - 1}), "
         f"i -> {joined})) ELSE CAST([] AS VARCHAR[]) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style dedup normalization (Wenzek et al. 2020 §4.1: lowercase,
+# strip accents, map digits to 0, drop punctuation, collapse
+# whitespace) — applied BEFORE hashing so that trivially-reformatted
+# duplicates collapse. Pure native expressions (translate + regexp),
+# whole-stage codegen; the _sql twin mirrors every rule for the
+# oracle. The accent table is an explicit Latin-1/Latin-Ext subset
+# (both engines translate char-for-char — no locale dependence).
+# ---------------------------------------------------------------------------
+_ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçšžłæœß"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyyncszlaos"
+
+
+def ccnet_normalize(text: Column) -> Column:
+    t = F.lower(text)
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    t = F.regexp_replace(t, r"[^a-z0 ]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def ccnet_normalize_sql(text_expr: str) -> str:
+    t = f"lower({text_expr})"
+    t = f"translate({t}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+    t = f"regexp_replace({t}, '[0-9]', '0', 'g')"
+    t = f"regexp_replace({t}, '[^a-z0 ]', ' ', 'g')"
+    t = f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+    return t

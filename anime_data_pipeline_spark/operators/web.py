@@ -1,0 +1,72 @@
+"""URL canonicalization for web-crawl ingest (LLM-pipeline extension
+surface: URL-level dedup is the first dedup stage of every crawl
+pipeline — RefinedWeb §3.1, CCNet — and runs BEFORE content dedup
+because it needs no document bytes at all).
+
+Pure native-expression column math (regexp/string functions only —
+whole-stage codegen, no UDF, no shuffle): canonicalize, then any
+exact-dedup machinery (operators/dedup.py) groups on the canonical
+form. The DuckDB twin (``canonicalize_url_sql``) mirrors every rule so
+gate queries are fully oracle-checked.
+
+Rules (the standard safe-normalization subset — each one only merges
+URLs that cannot differ in content):
+- drop the fragment (``#...`` never reaches the server),
+- lowercase scheme and host (DNS is case-insensitive; paths are NOT),
+- strip a leading ``www.`` label,
+- strip default ports (``:80`` for http, ``:443`` for https),
+- drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``) and tidy
+  the leftover separators,
+- collapse a trailing ``/`` before end-of-path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRACKING = r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL column; native expressions only."""
+    # 1) fragment off
+    u = F.regexp_replace(url, r"#.*$", "")
+    # 2) split scheme://authority rest (path+query, case-preserved)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    # 3) host cleanup: www. label, default ports
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
+    )
+    # 4) tracking params out, separators tidied
+    rest = F.regexp_replace(rest, _TRACKING, "")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # 5) trailing slash before end or query
+    rest = F.regexp_replace(rest, r"/+(\?|$)", "$1")
+    return F.concat(scheme, F.lit("://"), auth, rest)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """The identical canonicalization as DuckDB SQL text (RE2 regexes,
+    explicit 'g' flags; replacement backreferences are ``\\1``)."""
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+    auth = f"regexp_replace({auth}, '^www\\.', '')"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '') "
+        f"ELSE {auth} END"
+    )
+    rest = f"regexp_replace({rest}, '{_TRACKING}', '', 'g')"
+    rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
+    rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
+    rest = f"regexp_replace({rest}, '/+(\\?|$)', '\\1', 'g')"
+    return f"({scheme} || '://' || {auth} || {rest})"

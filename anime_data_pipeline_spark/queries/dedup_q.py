@@ -888,3 +888,155 @@ def q125_signature_sidetable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("_hid").alias("near_id"))
     )
     return b_hashed.select("doc").join(near, "doc", "left")
+
+
+# ---------------------------------------------------------------------------
+# q152 — URL canonicalization + URL-level dedup (RefinedWeb §3.1 /
+# CCNet stage 0, round 5): a synthetic crawl frontier derived from
+# doc_id (mixed-case schemes/hosts, www labels, default ports,
+# utm/fbclid tracking params, fragments, trailing slashes) is
+# canonicalized by operators/web.canonicalize_url — pure native
+# regexp expressions, no UDF, no shuffle — then deduped by canonical
+# form (keeper = min doc_id). The oracle rebuilds the identical raw
+# URLs from doc_id and applies the DuckDB twin canonicalize_url_sql,
+# so every normalization rule is hash-checked rule-for-rule.
+# ---------------------------------------------------------------------------
+def _q152_raw_url_spark() -> "F.Column":
+    i = F.col("doc_id")
+    scheme = F.when(i % 7 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = (
+        F.when(i % 5 == 0, F.lit("Example.COM"))
+        .when(i % 5 == 1, F.lit("www.example.com"))
+        .when(i % 5 == 2, F.lit("EXAMPLE.com"))
+        .when(i % 5 == 3, F.lit("news.site.ORG"))
+        .otherwise(F.lit("WWW.News.Site.org"))
+    )
+    port = F.when(
+        i % 6 == 0, F.when(i % 7 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"), (i % 17).cast("string"), F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit(""))
+    )
+    query = (
+        F.when(i % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), (i % 11).cast("string")))
+        .when(i % 3 == 1, F.concat(F.lit("?id="), (i % 11).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    query = F.when(i % 9 == 0, F.concat(query, F.lit("&utm_campaign=Spring"))).otherwise(query)
+    frag = F.when(i % 4 == 0, F.concat(F.lit("#Sec"), (i % 3).cast("string"))).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+_Q152_RAW_URL_SQL = """
+  (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'http' END || '://'
+   || CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.example.com'
+        WHEN 2 THEN 'EXAMPLE.com' WHEN 3 THEN 'news.site.ORG'
+        ELSE 'WWW.News.Site.org' END
+   || CASE WHEN doc_id % 6 = 0
+           THEN CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE ':80' END
+           ELSE '' END
+   || '/p/' || CAST(doc_id % 17 AS VARCHAR)
+   || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+   || (CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+            WHEN doc_id % 3 = 1
+            THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+            ELSE '' END
+       || CASE WHEN doc_id % 9 = 0 THEN '&utm_campaign=Spring' ELSE '' END)
+   || CASE WHEN doc_id % 4 = 0 THEN '#Sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+"""
+
+
+def _q152_oracle() -> str:
+    from anime_data_pipeline_spark.operators.web import canonicalize_url_sql
+
+    canon = canonicalize_url_sql(_Q152_RAW_URL_SQL)
+    return f"""
+    WITH frontier AS (
+      SELECT doc_id, {canon} AS canon_url
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT canon_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM frontier GROUP BY canon_url
+    """
+
+
+@register("q152_url_canonical_dedup", oracle=_q152_oracle())
+def q152_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.web import canonicalize_url
+
+    frontier = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", _q152_raw_url_spark().alias("raw_url"))
+        .withColumn("canon_url", canonicalize_url(F.col("raw_url")))
+    )
+    return frontier.groupBy("canon_url").agg(
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — CCNet-normalized exact dedup (Wenzek et al. 2020 §4.1, round
+# 5): duplicates that raw exact-dedup CANNOT see — uppercased copies
+# with punctuation bolted on, accent-injected copies with punctuation noise
+# — collapse once both sides pass through functions/text.
+# ccnet_normalize (lowercase → accent fold → digits→0 → punct→space →
+# whitespace collapse; all native translate/regexp expressions).
+# Grouping is by the normalized CONTENT itself (exact_dedup's
+# collision-free semantics, not hash-only). The oracle builds the
+# identical mutated corpus and applies the SQL twin rule-for-rule.
+# ---------------------------------------------------------------------------
+_Q153_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, translate(text, 'ae', 'áé') || ' ...' FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 6 = 0
+"""
+
+
+def _q153_oracle() -> str:
+    from anime_data_pipeline_spark.functions.text import ccnet_normalize_sql
+
+    norm = ccnet_normalize_sql("text")
+    return f"""
+    WITH corpus AS ({_Q153_CORPUS_SQL}),
+    normed AS (SELECT doc_id, {norm} AS norm_text FROM corpus)
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM normed GROUP BY norm_text
+    """
+
+
+@register("q153_normalized_dedup", oracle=_q153_oracle())
+def q153_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.text import ccnet_normalize
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    upper_copies = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    accent_copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.translate(F.col("text"), "ae", "áé"), F.lit(" ...")).alias("text"),
+    )
+    corpus = base.unionByName(upper_copies).unionByName(accent_copies)
+    normed = corpus.select("doc_id", ccnet_normalize(F.col("text")).alias("norm_text"))
+    return normed.groupBy("norm_text").agg(
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.length(F.first("norm_text")).cast("long").alias("n_chars_norm"),
+    ).drop("norm_text")
