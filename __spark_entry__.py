@@ -43,6 +43,7 @@ _PRIORITY = [
     "q151_gif_jpeg_decode_bucket",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",
+    "q154_pagerank",
     "q130_pq_adc_topk",
     "q131_hard_negatives",
     "q132_bpe_merge_pairs",

@@ -1,0 +1,123 @@
+"""Link-graph analytics over edge lists (LLM-pipeline extension
+surface: PageRank is the classic crawl-frontier prioritizer and
+host-quality prior — OPIC/Common-Crawl-style harvest ranking — and
+pairs with the URL canonicalization stage in operators/web.py).
+
+Spark-first power iteration: each round is one equi-join shuffle of a
+(node, rank) table against the edge list plus a per-dst aggregation —
+payloads are an 8-byte id and a double, never documents. Dangling
+mass (nodes with no out-edges) is redistributed uniformly via a 1-row
+scalar broadcast (the repo's established scalar-crossJoin pattern).
+``localCheckpoint`` after every iteration bounds lineage (the same
+iterative-plan discipline as connected_components in
+operators/dedup.py). A fixed iteration count keeps runs deterministic
+and oracle-replayable (the DuckDB twin unrolls the same iterations as
+generated CTE stages — no recursive-aggregate support needed).
+
+At 100 TB: edges shuffle once per iteration on ``dst`` (AQE handles
+skewed in-degree); ranks/outdeg are node-cardinality tables that
+co-partition with the edge join keys. No collect anywhere; the only
+driver-size object is the 1-row dangling-mass aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) edge list.
+
+    Returns (node, pr) — UNROUNDED doubles; callers round for
+    oracle-compared output. Nodes = union of both endpoints; dangling
+    nodes contribute their mass uniformly; rank mass is conserved at
+    1.0 every iteration (pinned in tests)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    d = float(damping)
+
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+    for _ in range(int(n_iter)):
+        with_deg = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
+            ranks["node"], "pr", "deg"
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()),
+                e["src"] == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - d) / F.col("n")
+                    + d * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.col("n"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> str:
+    """DuckDB twin: the SAME power iteration unrolled as generated CTE
+    stages (it0..itN), one contrib/dangling pair per round —
+    bit-comparable to :func:`pagerank` after the caller's rounding.
+    ``edges_sql`` must yield (src, dst)."""
+    d = float(damping)
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "it0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        prev = f"it{k - 1}"
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, sum(r.pr / o.deg) AS s "
+            f"FROM edges e JOIN {prev} r ON r.node = e.src "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.pr), 0.0) AS dang FROM {prev} r "
+            f"WHERE r.node NOT IN (SELECT src FROM outdeg))"
+        )
+        parts.append(
+            f"it{k} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1.0 - {d!r}) / (SELECT n FROM nn) "
+            f"+ {d!r} * (coalesce(c{k}.s, 0.0) + (SELECT dang FROM d{k}) / (SELECT n FROM nn)) AS pr "
+            f"FROM nodes LEFT JOIN c{k} ON c{k}.node = nodes.node)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr FROM it{int(n_iter)}"

@@ -5,6 +5,7 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     coverage_q,
     curation_q,
     dedup_q,
+    graph_q,
     mix_q,
     multimodal_q,
     relational,

@@ -1,0 +1,63 @@
+"""PageRank (operators/graph.py) unit tests: agreement with an
+INDEPENDENT dense numpy power iteration on a hand-made graph
+(dangling node included), rank-mass conservation, and damping
+behavior. The gate query q154 pins Spark↔DuckDB twin parity; these
+pin the math itself against a third implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from anime_data_pipeline_spark.operators.graph import pagerank
+
+_EDGES = [
+    (0, 1),
+    (0, 2),
+    (1, 2),
+    (2, 0),
+    (3, 2),
+    (2, 4),
+    # node 4 has no out-edges: dangling
+]
+
+
+def _numpy_pagerank(edges, n_iter=5, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        new = np.full(n, (1.0 - d) / n)
+        dang = pr[out == 0].sum()
+        new += d * dang / n
+        for u, v in edges:
+            new[idx[v]] += d * pr[idx[u]] / out[idx[u]]
+        pr = new
+    return {u: pr[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    df = spark.createDataFrame(_EDGES, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=5).collect()}
+    want = _numpy_pagerank(_EDGES, n_iter=5)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-12, node
+
+
+def test_pagerank_mass_conserved(spark):
+    df = spark.createDataFrame(_EDGES, "src long, dst long")
+    for it in (1, 3, 7):
+        total = sum(r["pr"] for r in pagerank(df, n_iter=it).collect())
+        assert abs(total - 1.0) < 1e-9, (it, total)
+
+
+def test_pagerank_sink_accumulates(spark):
+    """In 0→1→2 (a chain into a sink), rank must strictly increase
+    down the chain."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=10).collect()}
+    assert got[0] < got[1] < got[2]
