@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q155_markov_transitions",
+    "q156_source_js_divergence",
+    "q157_hits",
     "q151_gif_jpeg_decode_bucket",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",

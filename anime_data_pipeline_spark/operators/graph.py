@@ -85,6 +85,112 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg) over a (src, dst) edge list.
+
+    Returns (node, hub, auth) — UNROUNDED doubles; callers round for
+    oracle-compared output. Each round: auth(v) = Σ_{u→v} hub(u) then
+    L1-normalize, hub(u) = Σ_{u→v} auth_new(v) then L1-normalize.
+    L1 (sum-to-1) normalization keeps the DuckDB twin a plain
+    sum-window expression — no sqrt ulp concerns.
+
+    Plan shape per round: two equi-join shuffles of an (node, score)
+    table against the edge list plus per-endpoint aggregation —
+    payloads are 8-byte ids and doubles. Normalizers are 1-row scalar
+    broadcasts. ``localCheckpoint`` bounds lineage exactly as in
+    :func:`pagerank`. At 100 TB the edge table shuffles once per
+    round per direction on its join key; score tables co-partition.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scores = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node",
+        (F.lit(1.0) / F.col("n")).alias("hub"),
+        (F.lit(1.0) / F.col("n")).alias("auth"),
+    ).localCheckpoint()
+    for _ in range(int(n_iter)):
+        a_raw = (
+            e.join(
+                scores.select(F.col("node").alias("_u"), "hub"),
+                e["src"] == F.col("_u"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        auth = nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        a_sum = auth.agg(F.sum("a").alias("asum"))
+        auth = auth.crossJoin(F.broadcast(a_sum)).select(
+            "node", (F.col("a") / F.col("asum")).alias("auth")
+        ).localCheckpoint()
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("_v"), "auth"),
+                e["dst"] == F.col("_v"),
+            )
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        hub = nodes.join(h_raw, nodes["node"] == h_raw["src"], "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        h_sum = hub.agg(F.sum("h").alias("hsum"))
+        hub = hub.crossJoin(F.broadcast(h_sum)).select(
+            "node", (F.col("h") / F.col("hsum")).alias("hub")
+        ).localCheckpoint()
+        scores = hub.join(auth, "node").select("node", "hub", "auth")
+    return scores
+
+
+def hits_oracle_sql(edges_sql: str, *, n_iter: int = 5) -> str:
+    """DuckDB twin of :func:`hits`: the same rounds unrolled as
+    generated CTE stages with L1 normalization via scalar subqueries.
+    ``edges_sql`` must yield (src, dst)."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes)",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        prev = f"h{k - 1}"
+        parts.append(
+            f"ar{k} AS (SELECT nodes.node, coalesce(x.a, 0.0) AS a FROM nodes "
+            f"LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS a FROM edges e "
+            f"JOIN {prev} h ON h.node = e.src GROUP BY e.dst) x ON x.node = nodes.node)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT node, a / (SELECT sum(a) FROM ar{k}) AS auth FROM ar{k})"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT nodes.node, coalesce(x.h, 0.0) AS h FROM nodes "
+            f"LEFT JOIN (SELECT e.src AS node, sum(a.auth) AS h FROM edges e "
+            f"JOIN a{k} a ON a.node = e.dst GROUP BY e.src) x ON x.node = nodes.node)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT node, h / (SELECT sum(h) FROM hr{k}) AS hub FROM hr{k})"
+        )
+    n = int(n_iter)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT h.node, h.hub, a.auth FROM h{n} h JOIN a{n} a ON a.node = h.node"
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     *,

@@ -243,3 +243,69 @@ def gumbel_topk(
         top.withColumn("rank", F.row_number().over(w))
         .withColumnRenamed("_gk", "gumbel_key")
     )
+
+
+def group_js_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """(group_a, group_b, js_div) — pairwise Jensen–Shannon divergence
+    between the hashed-unigram token distributions of each group
+    (typically ``source``): the corpus-drift probe that tells a mixing
+    stage which sources are near-duplicates of each other and which
+    bring genuinely new token mass (complements q105's numeric-feature
+    PSI with a content-level signal).
+
+    Distributions are add-one smoothed over B FIXED hash buckets, so
+    each group's distribution is a dense B-row table regardless of
+    corpus size. JS = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2, natural
+    log; smoothing keeps every term finite.
+
+    Plan shape: one explode→groupBy((group, bucket)) with map-side
+    combine (the exchange carries ≤ |groups|·B partial rows per
+    partition, never tokens), then all downstream joins run on
+    |groups|·B-row tables — broadcast-sized at any corpus scale. The
+    pair join produces |groups|²·B rows; group cardinality is sources
+    (small) by construction.
+    """
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.transform(toks, lambda t: _token_hash(t) % F.lit(buckets))
+            ).alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("grp").agg(F.sum("cnt").alias("tot"))
+    grid = totals.select(
+        "grp", "tot", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("bucket")
+    )
+    dense = grid.join(counts, ["grp", "bucket"], "left").select(
+        "grp",
+        "bucket",
+        (
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+            / (F.col("tot") + F.lit(float(buckets)))
+        ).alias("p"),
+    )
+    a = dense.select(
+        F.col("grp").alias("group_a"), "bucket", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("grp").alias("group_b"), "bucket", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("group_a") < F.col("group_b"))
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        F.col("pa") * F.log(F.col("pa") / m) + F.col("pb") * F.log(F.col("pb") / m)
+    )
+    return (
+        pairs.select("group_a", "group_b", term.alias("_t"))
+        .groupBy("group_a", "group_b")
+        .agg(F.sum("_t").alias("js_div"))
+    )

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
-from anime_data_pipeline_spark.operators.graph import pagerank, pagerank_oracle_sql
+from anime_data_pipeline_spark.operators.graph import (
+    hits,
+    hits_oracle_sql,
+    pagerank,
+    pagerank_oracle_sql,
+)
 from anime_data_pipeline_spark.registry import register
 
 _Q154_EDGES_SQL = """
@@ -59,4 +64,56 @@ def q154_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_q154_edges(spark, sf_dir), damping=0.85, n_iter=5)
     return ranks.select(
         F.col("node").cast("long").alias("node"), dround(F.col("pr"), 6).alias("pr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — HITS hubs/authorities: the complementary link-quality prior
+# to q154's PageRank (hub pages = link directories worth crawling,
+# authority pages = content worth keeping). Distinct deterministic
+# edge families (mod 89) so the two graph queries don't share a graph;
+# src 7's out-edges removed so zero-hub nodes are exercised. The
+# DuckDB oracle unrolls the identical L1-normalized rounds
+# (hits_oracle_sql), hash-checking every join, sum, and normalizer.
+# ---------------------------------------------------------------------------
+_Q157_EDGES_SQL = """
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 89 AS src, (doc_id * 29 + 5) % 89 AS dst FROM documents
+    UNION ALL
+    SELECT (doc_id * 19 + 2) % 89, (doc_id * 41 + 13) % 89 FROM documents
+  ) WHERE src <> dst AND src <> 7
+"""
+
+
+def _q157_oracle() -> str:
+    inner = hits_oracle_sql(_Q157_EDGES_SQL, n_iter=5)
+    return f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           {dround_sql("hub", 6)} AS hub,
+           {dround_sql("auth", 6)} AS auth
+    FROM ({inner})
+    """
+
+
+def _q157_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = docs.select((i % 89).alias("src"), ((i * 29 + 5) % 89).alias("dst"))
+    e2 = docs.select(
+        ((i * 19 + 2) % 89).alias("src"), ((i * 41 + 13) % 89).alias("dst")
+    )
+    return (
+        e1.unionByName(e2)
+        .distinct()
+        .filter((F.col("src") != F.col("dst")) & (F.col("src") != 7))
+    )
+
+
+@register("q157_hits", oracle=_q157_oracle())
+def q157_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = hits(_q157_edges(spark, sf_dir), n_iter=5)
+    return scores.select(
+        F.col("node").cast("long").alias("node"),
+        dround(F.col("hub"), 6).alias("hub"),
+        dround(F.col("auth"), 6).alias("auth"),
     )

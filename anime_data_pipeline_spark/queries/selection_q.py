@@ -301,3 +301,44 @@ def q150_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "excess",
         dround(F.col("raw_w") / F.col("zsum"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — pairwise source token-distribution JS divergence: which
+# sources bring new token mass and which are near-copies of each
+# other — the content-level complement of q105's numeric PSI drift.
+# Hashed-unigram distributions over 256 fixed buckets (add-one
+# smoothed), Jensen–Shannon with natural log. Everything after the
+# one (source, bucket) aggregation runs on |sources|·256-row tables.
+# ---------------------------------------------------------------------------
+_Q156_B = 256
+
+_Q156_ORACLE = f"""
+    WITH tok AS (SELECT source, unnest({tokens_sql("text")}) AS t FROM documents),
+    counts AS (SELECT source AS grp, {polyhash_sql("t")} % {_Q156_B} AS bucket,
+                      count(*) AS cnt
+               FROM tok GROUP BY 1, 2),
+    totals AS (SELECT grp, sum(cnt) AS tot FROM counts GROUP BY grp),
+    grid AS (SELECT grp, tot, unnest(range(0, {_Q156_B})) AS bucket FROM totals),
+    dense AS (SELECT g.grp, g.bucket,
+                     (coalesce(c.cnt, 0) + 1.0) / (g.tot + {_Q156_B}) AS p
+              FROM grid g LEFT JOIN counts c
+                ON c.grp = g.grp AND c.bucket = g.bucket),
+    pairs AS (SELECT a.grp AS group_a, b.grp AS group_b, a.p AS pa, b.p AS pb
+              FROM dense a JOIN dense b
+                ON a.bucket = b.bucket AND a.grp < b.grp)
+    SELECT group_a, group_b,
+           {dround_sql("sum(0.5 * (pa * ln(pa / ((pa + pb) / 2)) + pb * ln(pb / ((pa + pb) / 2))))", 6)} AS js_div
+    FROM pairs GROUP BY group_a, group_b
+"""
+
+
+@register("q156_source_js_divergence", oracle=_Q156_ORACLE)
+def q156_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.selection import group_js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_js_divergence(docs, "source", "text", buckets=_Q156_B)
+    return out.select(
+        "group_a", "group_b", dround(F.col("js_div"), 6).alias("js_div")
+    )

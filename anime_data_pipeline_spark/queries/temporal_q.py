@@ -496,3 +496,51 @@ def q147_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us") - F.col("_attr.t_us")).cast("long").alias("latency_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — Markov event-transition matrix: per-user event streams ordered
+# by (ts, event_id), each consecutive pair is a (from_type, to_type)
+# transition; output counts and the row-normalized transition
+# probability — the classic next-event/journey model behind session
+# simulation and funnel diagnostics. Engine: one per-user lead window
+# (parallelism = users; the window never sees more than one user's
+# rows) + one (from, to) agg; the per-from normalizer is a window over
+# the |types|² aggregated table, which is trivially small at any
+# corpus size. Oracle: the identical lead/agg in DuckDB.
+# ---------------------------------------------------------------------------
+_Q155_ORACLE = f"""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type, count(*) AS n FROM nxt
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           {dround_sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)", 6)} AS p
+    FROM t
+"""
+
+
+@register("q155_markov_transitions", oracle=_Q155_ORACLE)
+def q155_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.functions.compat import dround
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        dround(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
+    )

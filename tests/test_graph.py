@@ -61,3 +61,57 @@ def test_pagerank_sink_accumulates(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=10).collect()}
     assert got[0] < got[1] < got[2]
+
+
+# ---------------------------------------------------------------------------
+# HITS (operators/graph.hits): independent dense numpy iteration twin,
+# L1 normalization invariants, and hub/authority asymmetry.
+# ---------------------------------------------------------------------------
+from anime_data_pipeline_spark.operators.graph import hits  # noqa: E402
+
+
+def _numpy_hits(edges, n_iter=5):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        auth = np.zeros(n)
+        for u, v in edges:
+            auth[idx[v]] += hub[idx[u]]
+        auth /= auth.sum()
+        hub = np.zeros(n)
+        for u, v in edges:
+            hub[idx[u]] += auth[idx[v]]
+        hub /= hub.sum()
+    return {u: (hub[idx[u]], auth[idx[u]]) for u in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    df = spark.createDataFrame(_EDGES, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, n_iter=5).collect()}
+    want = _numpy_hits(_EDGES, n_iter=5)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node][0] - want[node][0]) < 1e-12, ("hub", node)
+        assert abs(got[node][1] - want[node][1]) < 1e-12, ("auth", node)
+
+
+def test_hits_l1_normalized(spark):
+    df = spark.createDataFrame(_EDGES, "src long, dst long")
+    for it in (1, 3):
+        rows = hits(df, n_iter=it).collect()
+        assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9
+
+
+def test_hits_star_graph(spark):
+    """Star 0→{1,2,3}: node 0 is the only hub (all hub mass), the
+    leaves split authority evenly and have zero hub."""
+    df = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, n_iter=3).collect()}
+    assert abs(got[0][0] - 1.0) < 1e-12 and abs(got[0][1]) < 1e-12
+    for leaf in (1, 2, 3):
+        assert abs(got[leaf][0]) < 1e-12
+        assert abs(got[leaf][1] - 1.0 / 3) < 1e-12

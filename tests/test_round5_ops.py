@@ -109,3 +109,42 @@ def test_chi2_contributions_are_nonnegative(spark, sf_dir):
     for r in rows:
         assert r["chi2_contrib"] >= 0.0
         assert r["n_cells"] >= 1
+
+
+def test_markov_transition_rows_are_probability_distributions(spark, sf_dir):
+    """q155: per from_type, probabilities sum to 1 and counts equal the
+    number of consecutive per-user pairs (= events - users with ≥1
+    event)."""
+    from anime_data_pipeline_spark.queries.temporal_q import q155_markov_transitions
+
+    out = q155_markov_transitions(spark, sf_dir).toPandas()
+    sums = out.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all(), sums
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert out["n"].sum() == n_events - n_users
+
+
+def test_group_js_divergence_bounds_and_self_zero(spark):
+    """JS(p, q) ∈ [0, ln 2]; two groups with identical text have
+    divergence 0; disjoint-vocabulary groups approach the bound."""
+    import math
+
+    from anime_data_pipeline_spark.operators.selection import group_js_divergence
+
+    rows = [
+        ("a", "alpha beta gamma delta"),
+        ("b", "alpha beta gamma delta"),
+        ("c", "zzzz qqqq xxxx wwww vvvv uuuu tttt ssss"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, text string")
+    out = {
+        (r["group_a"], r["group_b"]): r["js_div"]
+        for r in group_js_divergence(df, "grp", "text", buckets=64).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for v in out.values():
+        assert -1e-12 <= v <= math.log(2.0) + 1e-12
+    assert abs(out[("a", "b")]) < 1e-12
+    assert out[("a", "c")] > out[("a", "b")]
