@@ -40,6 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q158_readability",
+    "q159_zipf_slope",
+    "q160_top_bigram_positions",
+    "q161_containment_dedup",
     "q155_markov_transitions",
     "q156_source_js_divergence",
     "q157_hits",

@@ -1099,3 +1099,57 @@ def remove_duplicate_lines(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_removed"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram CONTAINMENT via shared-shingle blocking —
+    the asymmetric near-dup arbiter (Broder 1997's containment
+    C(A,B) = |A∩B| / |A|): catches subset duplicates (an excerpt, a
+    quoted doc, a truncated re-crawl) whose symmetric Jaccard is far
+    below any near-dup threshold because the sizes differ.
+
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) for pairs where the
+    LARGER directional containment meets ``threshold`` (id_a < id_b).
+
+    Scale shape identical to ngram_jaccard_pairs: shingles carried as
+    8-byte hashes, optional ``max_df`` hot-shingle bound, per-doc set
+    size attached via one window and carried through the blocking
+    join — the only additions are two divisions at the end.
+    """
+    from pyspark.sql import Window as W
+
+    sh = shingle_hash_sets(df, id_col, text_col, n).select(
+        "doc", F.explode(F.col("hashes")).alias("sh")
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
+        sh = sh.join(F.broadcast(rare), "sh")
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    i = F.col("inter").cast("double")
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            (i / F.col("sza")).alias("cont_a_in_b"),
+            (i / F.col("szb")).alias("cont_b_in_a"),
+        )
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold)
+    )

@@ -545,3 +545,69 @@ def cdc_chunks(
         length.cast("long").alias("n_chunk_tokens"),
         fold.alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease / Flesch–Kincaid grade): the
+# document-difficulty prior used when targeting a training-mix reading
+# level (e.g. educational-quality filtering). Engine-portable
+# spelling: sentences = count of [.!?]+ runs (≥1), syllables = count
+# of [aeiouy]+ vowel groups per word (≥1 each) — both via
+# regexp_extract_all, identical in Java regex and RE2 for these
+# classes. Stateless per-row column math: map-only at any scale.
+# ---------------------------------------------------------------------------
+def readability_columns(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_words, n_sentences, n_syllables, flesch, fk_grade."""
+    text = F.lower(F.col(text_col))
+    toks = tokens(text)
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = syl.cast("double") / n_words
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sent)
+        .withColumn("n_syllables", syl)
+        .withColumn(
+            "flesch",
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        )
+        .withColumn(
+            "fk_grade",
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+        )
+    )
+
+
+def readability_sql_projection(text_expr: str) -> dict[str, str]:
+    """DuckDB twins of readability_columns, same clamps and classes."""
+    toks = f"list_filter(string_split(lower({text_expr}), ' '), t -> t <> '')"
+    n_words = f"greatest(len({toks}), 1)"
+    n_sent = f"greatest(len(regexp_extract_all(lower({text_expr}), '[.!?]+')), 1)"
+    syl = (
+        f"list_aggregate(list_transform({toks}, "
+        f"w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)), 'sum')"
+    )
+    wps = f"(CAST({n_words} AS DOUBLE) / {n_sent})"
+    spw = f"(CAST({syl} AS DOUBLE) / {n_words})"
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "n_sentences": f"CAST({n_sent} AS BIGINT)",
+        "n_syllables": f"CAST({syl} AS BIGINT)",
+        "flesch": f"(206.835 - 1.015 * {wps} - 84.6 * {spw})",
+        "fk_grade": f"(0.39 * {wps} + 11.8 * {spw} - 15.59)",
+    }

@@ -1040,3 +1040,85 @@ def q153_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_copies"),
         F.length(F.first("norm_text")).cast("long").alias("n_chars_norm"),
     ).drop("norm_text")
+
+
+# ---------------------------------------------------------------------------
+# q161 — n-gram CONTAINMENT dedup (Broder's asymmetric C(A,B) =
+# |A∩B|/|A|): catches subset duplicates — excerpts, truncated
+# re-crawls, quoted docs — whose symmetric Jaccard sits near
+# |A|/|B| << threshold and sails through q34. Corpus = documents +
+# half-length excerpt docs (1/4 of ids, re-keyed +300000, text = the
+# first ⌈n_tokens/2⌉ tokens), so every planted excerpt has
+# containment 1.0 in its parent but Jaccard ≈ 0.5. Same 8-byte
+# shared-shingle blocking + max_df hot-key bound as q34; the only new
+# math is the two directional divisions.
+# ---------------------------------------------------------------------------
+_Q161_N, _Q161_THRESH, _Q161_MAXDF = 3, 0.9, 25
+
+_Q161_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           coalesce(list_aggregate(
+             list_slice({tokens_sql("text")}, 1,
+               greatest(CAST(floor(len({tokens_sql("text")}) / 2.0) AS INT), 1)),
+             'string_agg', ' '), '') AS text
+    FROM documents WHERE doc_id % 4 = 0
+"""
+
+_Q161_ORACLE = f"""
+    {_hashed_cte(_Q161_N, _Q161_CORPUS_SQL)},
+    ex AS (SELECT doc, unnest(hashes) AS sh FROM hashed),
+    rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= {_Q161_MAXDF}),
+    kept AS (SELECT ex.doc, ex.sh FROM ex JOIN rare USING (sh)),
+    sizes AS (SELECT doc, count(*) AS sz FROM kept GROUP BY doc),
+    inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc < b.doc
+              GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / sa.sz AS ca,
+             CAST(n_inter AS DOUBLE) / sb.sz AS cb
+      FROM inter
+      JOIN sizes sa ON sa.doc = inter.id_a
+      JOIN sizes sb ON sb.doc = inter.id_b)
+    SELECT id_a, id_b,
+           {dround_sql("ca", 6)} AS cont_a_in_b,
+           {dround_sql("cb", 6)} AS cont_b_in_a
+    FROM scored WHERE greatest(ca, cb) >= {_Q161_THRESH}
+"""
+
+
+def _q161_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    half = F.greatest(
+        F.floor(F.size(toks) / F.lit(2.0)).cast("int"), F.lit(1)
+    )
+    excerpts = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("text"),
+    )
+    return d.unionByName(excerpts)
+
+
+@register("q161_containment_dedup", oracle=_Q161_ORACLE)
+def q161_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(
+        _q161_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_Q161_N,
+        threshold=_Q161_THRESH,
+        max_df=_Q161_MAXDF,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        dround(F.col("cont_a_in_b"), 6).alias("cont_a_in_b"),
+        dround(F.col("cont_b_in_a"), 6).alias("cont_b_in_a"),
+    )

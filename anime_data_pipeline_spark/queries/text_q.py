@@ -1242,3 +1242,168 @@ def q149_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("score"), "phrase").limit(_Q149_TOPK)
     w_ = W.orderBy(F.desc("score"), "phrase")
     return top.withColumn("rank", F.row_number().over(w_).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q158 — readability scoring (Flesch reading ease + Flesch–Kincaid
+# grade): the reading-level prior for educational-quality mixing.
+# Runs over the mutated corpus so sentence punctuation actually
+# varies. Stateless map-only column math; the oracle recomputes every
+# clamp and vowel-group count with the identical regex classes.
+# ---------------------------------------------------------------------------
+def _q158_oracle() -> str:
+    from anime_data_pipeline_spark.operators.textstats import readability_sql_projection
+
+    proj = readability_sql_projection("text")
+    return f"""
+    WITH docs AS ({_DOCS_CTE})
+    SELECT doc_id,
+           {proj["n_words"]} AS n_words,
+           {proj["n_sentences"]} AS n_sentences,
+           CAST({proj["n_syllables"]} AS BIGINT) AS n_syllables,
+           {dround_sql(proj["flesch"], 6)} AS flesch,
+           {dround_sql(proj["fk_grade"], 6)} AS fk_grade
+    FROM docs
+    """
+
+
+@register("q158_readability", oracle=_q158_oracle())
+def q158_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.textstats import readability_columns
+
+    out = readability_columns(_mutated(spark, sf_dir), "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        dround(F.col("flesch"), 6).alias("flesch"),
+        dround(F.col("fk_grade"), 6).alias("fk_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — Zipf rank-frequency slope per source: fit ln(freq) against
+# ln(rank) over each source's top-100 tokens by closed-form OLS.
+# Natural corpora sit near slope −1; a source whose slope is far off
+# is template spam or tag soup — a corpus-health probe next to q156's
+# JS divergence. One (source, token) wordcount shuffle (map-side
+# combined), a per-source rank window, then 100-row-per-source sums.
+# ---------------------------------------------------------------------------
+_Q159_TOPK = 100
+
+_Q159_ORACLE = f"""
+    WITH tok AS (SELECT source, unnest({tokens_sql("text")}) AS t FROM documents),
+    wc AS (SELECT source, t, count(*) AS freq FROM tok GROUP BY source, t),
+    ranked AS (SELECT source, freq,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY freq DESC, t) AS rnk
+               FROM wc),
+    top AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM ranked WHERE rnk <= {_Q159_TOPK}),
+    s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM top GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_top,
+           {dround_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope,
+           {dround_sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS zipf_intercept
+    FROM s
+"""
+
+
+@register("q159_zipf_slope", oracle=_Q159_ORACLE)
+def q159_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("freq"), F.asc("t"))
+    top = (
+        wc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _Q159_TOPK)
+        .select(
+            "source",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    s = top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_top"),
+        dround(slope, 6).alias("zipf_slope"),
+        dround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — positional index probe: find every (doc, position) occurrence
+# of the corpus's most frequent bigram — the phrase-search primitive
+# (positional postings) BM25 (q107) doesn't exercise. Engine: one
+# bigram wordcount (map-side combined), top-1 via
+# orderBy+limit(1) = TakeOrderedAndProject, then a broadcast
+# semi-join back onto the positional postings — the corpus-sized side
+# never shuffles. Positions are 0-based bigram starts.
+# ---------------------------------------------------------------------------
+_Q160_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+    bgl AS (SELECT doc_id,
+                   list_transform(range(2, len(toks) + 1),
+                                  i -> toks[i - 1] || ' ' || toks[i]) AS bgs
+            FROM tok),
+    ex AS (SELECT doc_id, unnest(bgs) AS bg,
+                  generate_subscripts(bgs, 1) - 1 AS pos
+           FROM bgl),
+    top AS (SELECT bg, count(*) AS n_total FROM ex GROUP BY bg
+            ORDER BY n_total DESC, bg LIMIT 1)
+    SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, e.bg AS bigram,
+           CAST(t.n_total AS BIGINT) AS n_total
+    FROM ex e JOIN top t USING (bg)
+"""
+
+
+@register("q160_top_bigram_positions", oracle=_Q160_ORACLE)
+def q160_top_bigram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    bgs = F.when(
+        F.size(F.col("_toks")) >= 2,
+        F.expr(
+            "transform(sequence(2, size(_toks)),"
+            " i -> concat_ws(' ', _toks[i - 2], _toks[i - 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.posexplode(bgs).alias("pos", "bg"))
+    top = (
+        ex.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.desc("n_total"), F.asc("bg"))
+        .limit(1)
+    )
+    return ex.join(F.broadcast(top), "bg").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("bg").alias("bigram"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )

@@ -148,3 +148,73 @@ def test_group_js_divergence_bounds_and_self_zero(spark):
         assert -1e-12 <= v <= math.log(2.0) + 1e-12
     assert abs(out[("a", "b")]) < 1e-12
     assert out[("a", "c")] > out[("a", "b")]
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. it ran away!' — 6 words, 2 sentences, syllables:
+    the=1 cat=1 sat.=1 it=1 ran=1 away!=2 → 7. Flesch = 206.835 −
+    1.015·3 − 84.6·(7/6)."""
+    from anime_data_pipeline_spark.operators.textstats import readability_columns
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran away!")], "doc_id long, text string"
+    )
+    r = readability_columns(df, "text").collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 7
+    assert abs(r["flesch"] - (206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6.0))) < 1e-9
+    assert abs(r["fk_grade"] - (0.39 * 3.0 + 11.8 * (7.0 / 6.0) - 15.59)) < 1e-9
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A half-length excerpt: containment(excerpt→parent) = 1.0 while
+    Jaccard ≈ 0.5 — the pair appears in the containment output at
+    threshold 0.9 but NOT in ngram_jaccard_pairs at 0.9."""
+    from anime_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, words), (2, excerpt), (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert abs(cont[0]["cont_b_in_a"] - 1.0) < 1e-12
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_zipf_slope_exact_on_synthetic_power_law(spark):
+    """freq(rank) = round of C·rank^(-0.7) for 10 tokens in one group →
+    fitted slope recovers ≈ −0.7 (exact power law, exact OLS)."""
+    import math
+
+    from anime_data_pipeline_spark.queries.text_q import _Q159_TOPK  # noqa: F401
+
+    rows = []
+    for rnk in range(1, 11):
+        freq = int(round(10000 * rnk ** -0.7))
+        tok = f"t{rnk:02d}"
+        rows.extend([("s", tok)] * freq)
+    df = spark.createDataFrame(rows, "source string, t string")
+    text = df.groupBy("source").agg(
+        F.concat_ws(" ", F.collect_list("t")).alias("text")
+    )
+    from anime_data_pipeline_spark.queries.text_q import q159_zipf_slope  # noqa: F401
+    # Use the operator inline: wordcount → rank → OLS (mirrors q159).
+    from pyspark.sql import Window as W
+
+    wc = df.groupBy("source", "t").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.partitionBy("source").orderBy(F.desc("freq"), F.asc("t"))
+    top = wc.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 100)
+    pts = [(math.log(r["rnk"]), math.log(r["freq"])) for r in top.collect()]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(slope + 0.7) < 0.01
