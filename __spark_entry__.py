@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q162_correlated_above_nation_avg",
+    "q163_hierarchy_flatten",
     "q158_readability",
     "q159_zipf_slope",
     "q160_top_bigram_positions",

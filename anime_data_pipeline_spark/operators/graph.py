@@ -227,3 +227,50 @@ def pagerank_oracle_sql(
             f"FROM nodes LEFT JOIN c{k} ON c{k}.node = nodes.node)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr FROM it{int(n_iter)}"
+
+
+def pointer_jump_roots(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    *,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Flatten a forest: (node, root, depth) for every node of a
+    (node, parent) table — parent NULL marks a root. Spark's answer to
+    a recursive-CTE hierarchy walk.
+
+    Pointer jumping (path doubling): each round replaces every node's
+    current ancestor pointer with that ancestor's pointer and adds the
+    distances, so after k rounds each pointer has skipped 2^k hops —
+    ``n_rounds=5`` resolves any depth ≤ 2^5 = 32 (a 64-bit id space's
+    division-chain forests max out near depth 19; callers with deeper
+    trees raise n_rounds logarithmically). A chain-shaped 100 TB
+    hierarchy costs O(log depth) self-join shuffles of (node, anc, d)
+    triples — never O(depth) rounds and never a per-node recursion.
+    ``localCheckpoint`` per round bounds lineage exactly as in
+    :func:`pagerank`; roots carry a self-pointer so the join is total
+    (no null keys reach the exchange).
+    """
+    state = nodes.select(
+        F.col(node_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint()
+    for _ in range(int(n_rounds)):
+        nxt = state.select(
+            F.col("node").alias("_n2"), F.col("anc").alias("_a2"), F.col("d").alias("_d2")
+        )
+        state = (
+            state.join(nxt, state["anc"] == nxt["_n2"])
+            .select(
+                "node",
+                F.col("_a2").alias("anc"),
+                (F.col("d") + F.col("_d2")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))

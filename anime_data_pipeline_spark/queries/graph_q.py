@@ -117,3 +117,39 @@ def q157_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("hub"), 6).alias("hub"),
         dround(F.col("auth"), 6).alias("auth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — hierarchy flatten (recursive-CTE replacement): every node of
+# a synthesized forest (node = doc_id; parent = doc_id div 10; ids
+# < 10 are roots) resolved to its (root, depth) via
+# operators/graph.pointer_jump_roots — path doubling, O(log depth)
+# self-join rounds instead of DuckDB's O(depth) recursive walk. The
+# oracle IS the recursive CTE, so the hash-match proves the doubling
+# algebra equals the textbook recursion.
+# ---------------------------------------------------------------------------
+_Q163_ORACLE = """
+    WITH RECURSIVE up(node, cur, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT node, cur // 10, d + 1 FROM up WHERE cur >= 10
+    )
+    SELECT node, CAST(cur AS BIGINT) AS root, CAST(d AS BIGINT) AS depth
+    FROM up WHERE cur < 10
+"""
+
+
+@register("q163_hierarchy_flatten", oracle=_Q163_ORACLE)
+def q163_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.graph import pointer_jump_roots
+
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") < 10, F.lit(None).cast("long"))
+        .otherwise(F.expr("doc_id div 10"))
+        .alias("parent"),
+    )
+    out = pointer_jump_roots(nodes, "node", "parent", n_rounds=5)
+    return out.select(
+        "node", F.col("root").cast("long").alias("root"), F.col("depth").alias("depth")
+    )

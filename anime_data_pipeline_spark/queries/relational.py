@@ -895,3 +895,66 @@ def q143_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("presence_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — correlated-subquery decorrelation: customers whose lifetime
+# order total exceeds their NATION's average customer total. The
+# classic "compare each row to its group's aggregate" correlated
+# subquery; the oracle keeps the correlated spelling (DuckDB
+# decorrelates it), the engine expresses the decorrelated plan
+# directly — a per-customer agg, then a per-nation window aggregate —
+# so Spark never sees a per-row subquery. Customers with no orders
+# count as 0 (LEFT join). Money is summed in INTEGER CENTS and the
+# above-average test is the cross-multiplied integer comparison
+# tc·C > S (no double sum-order or rounding-boundary exposure in the
+# MEMBERSHIP decision — a first draft that averaged doubles flipped a
+# .xx5 dround boundary between engines); the reported average is one
+# exact-integer division, bit-identical across engines.
+# One agg shuffle + one nation-keyed window.
+# ---------------------------------------------------------------------------
+_Q162_ORACLE = """
+    WITH ct AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             coalesce(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 0)
+               AS tc
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey)
+    SELECT c_custkey, c_nationkey,
+           CAST(tc AS DOUBLE) / 100.0 AS total,
+           CAST((SELECT sum(c2.tc) FROM ct c2
+                 WHERE c2.c_nationkey = ct.c_nationkey) AS DOUBLE)
+             / ((SELECT count(*) FROM ct c2
+                 WHERE c2.c_nationkey = ct.c_nationkey) * 100.0) AS nation_avg
+    FROM ct
+    WHERE tc * (SELECT count(*) FROM ct c2
+                WHERE c2.c_nationkey = ct.c_nationkey)
+          > (SELECT sum(c2.tc) FROM ct c2
+             WHERE c2.c_nationkey = ct.c_nationkey)
+"""
+
+
+@register("q162_correlated_above_nation_avg", oracle=_Q162_ORACLE)
+def q162_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("_cents"),
+    )
+    ct = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("_cents"), F.lit(0)).cast("long").alias("tc"))
+    )
+    w = W.partitionBy("c_nationkey")
+    out = (
+        ct.withColumn("_s", F.sum("tc").over(w))
+        .withColumn("_c", F.count(F.lit(1)).over(w))
+        .filter(F.col("tc") * F.col("_c") > F.col("_s"))
+    )
+    return out.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("tc").cast("double") / 100.0).alias("total"),
+        (F.col("_s").cast("double") / (F.col("_c") * 100.0)).alias("nation_avg"),
+    )

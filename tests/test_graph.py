@@ -115,3 +115,46 @@ def test_hits_star_graph(spark):
     for leaf in (1, 2, 3):
         assert abs(got[leaf][0]) < 1e-12
         assert abs(got[leaf][1] - 1.0 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# pointer_jump_roots: depth/root on a hand-made forest including a
+# chain deep enough that resolution REQUIRES multiple doubling rounds.
+# ---------------------------------------------------------------------------
+from anime_data_pipeline_spark.operators.graph import pointer_jump_roots  # noqa: E402
+
+
+def test_pointer_jump_deep_chain_and_forest(spark):
+    # Chain 0←1←2←...←12 (depth 12 needs ceil(log2(12)) = 4 rounds)
+    # plus a separate 2-node tree 100←101.
+    rows = [(0, None), (100, None), (101, 100)] + [
+        (i, i - 1) for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in pointer_jump_roots(df, "node", "parent", n_rounds=4).collect()
+    }
+    for i in range(13):
+        assert got[i] == (0, i), i
+    assert got[100] == (100, 0)
+    assert got[101] == (100, 1)
+
+
+def test_pointer_jump_round_count_is_logarithmic(spark):
+    """3 rounds resolve depth ≤ 8 but a depth-9 chain must NOT resolve
+    to the root with only 3 rounds — pinning that the operator really
+    doubles (2^k) rather than stepping (k)."""
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got3 = {
+        r["node"]: (r["root"], r["depth"])
+        for r in pointer_jump_roots(df, "node", "parent", n_rounds=3).collect()
+    }
+    assert got3[8] == (0, 8)          # depth 8 = 2^3 resolved
+    assert got3[9] == (1, 8)          # depth 9: pointer stuck one hop short
+    got4 = {
+        r["node"]: (r["root"], r["depth"])
+        for r in pointer_jump_roots(df, "node", "parent", n_rounds=4).collect()
+    }
+    assert got4[9] == (0, 9)
