@@ -544,3 +544,54 @@ def q155_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         dround(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — daily max concurrency (sweep line): incidents = 2-minute
+# windows opened by error events (q39's family); per day, the peak
+# number of simultaneously-open windows among incidents started that
+# day — the classic interval-overlap aggregation (capacity planning /
+# rate-limit sizing). Sweep line: ±1 deltas at window edges, running
+# sum ordered by (ts, delta) — delta −1 sorts first so windows are
+# half-open [start, end) in BOTH engines — then a per-day max. The
+# running-sum window partitions by day (parallelism = days; both
+# engines use the default RANGE frame, so tie groups aggregate
+# identically and the day-max is order-insensitive within ties).
+# ---------------------------------------------------------------------------
+_Q164_ORACLE = """
+    WITH inc AS (
+      SELECT CAST(ts AS DATE) AS day, ts AS s,
+             ts + INTERVAL 2 MINUTE AS e
+      FROM events WHERE event_type = 'error'),
+    deltas AS (
+      SELECT day, s AS t, 1 AS delta FROM inc
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta FROM inc),
+    swept AS (
+      SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS open
+      FROM deltas)
+    SELECT day, CAST((SELECT count(*) FROM inc i WHERE i.day = s.day) AS BIGINT)
+                  AS n_incidents,
+           CAST(max(open) AS BIGINT) AS max_concurrency
+    FROM swept s GROUP BY day
+"""
+
+
+@register("q164_daily_max_concurrency", oracle=_Q164_ORACLE)
+def q164_daily_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("ts").alias("s"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + 120_000_000).alias("e"),
+    )
+    deltas = inc.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        inc.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = W.partitionBy("day").orderBy("t", "delta")
+    swept = deltas.withColumn("open", F.sum("delta").over(w))
+    peaks = swept.groupBy("day").agg(F.max("open").cast("long").alias("max_concurrency"))
+    counts = inc.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_incidents"))
+    return counts.join(peaks, "day").select("day", "n_incidents", "max_concurrency")

@@ -1407,3 +1407,51 @@ def q160_top_bigram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bg").alias("bigram"),
         F.col("n_total").cast("long").alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — quality-score calibration bins (reliability diagram): bucket
+# the composite quality score into fixed-width deciles and report per
+# bin the doc count, mean score, and the observed in-domain rate
+# (lang = 'en' as the target proxy) — the calibration audit a learned
+# quality classifier gets before its threshold is trusted. Fixed-width
+# bins (least(floor(score·10), 9)), NOT ntile — ntile tie-splitting is
+# engine-dependent; fixed edges are bit-deterministic. One agg over
+# ≤10 groups after map-only scoring.
+# ---------------------------------------------------------------------------
+def _q165_oracle() -> str:
+    score = quality_sql_projection("text")["quality_score"]
+    return f"""
+    WITH docs AS ({_DOCS_CTE}),
+    scored AS (SELECT doc_id, lang, ({score}) AS q FROM docs),
+    binned AS (SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS bin,
+                      q, (lang = 'en') AS pos
+               FROM scored)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           {dround_sql("avg(q)", 6)} AS mean_score,
+           {dround_sql("CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS pos_rate
+    FROM binned GROUP BY bin
+    """
+
+
+@register("q165_calibration_bins", oracle=_q165_oracle())
+def q165_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_columns(_mutated(spark, sf_dir), "text").select(
+        "doc_id", "lang", F.col("quality_score").alias("q")
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("q") * 10).cast("long"), F.lit(9).cast("long")).alias(
+            "bin"
+        ),
+        "q",
+        (F.col("lang") == "en").alias("pos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        dround(F.avg("q"), 6).alias("mean_score"),
+        dround(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+    )
