@@ -69,6 +69,10 @@ EXTRA_QUERIES = [
     # round-5 second batch: PQ/ADC scan and margin bitext mining
     "q130_pq_adc_topk",
     "q136_margin_bitext_mining",
+    # round-5 closing batch: iterative graph (PageRank) and the
+    # containment blocking join — the two heaviest new shapes
+    "q154_pagerank",
+    "q161_containment_dedup",
 ]
 
 
