@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
-from anime_data_pipeline_spark.functions.compat import dround_sql
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.operators.joins import asof_join, range_join_bucketed
 from anime_data_pipeline_spark.registry import register
 
@@ -595,3 +595,151 @@ def q164_daily_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     peaks = swept.groupBy("day").agg(F.max("open").cast("long").alias("max_concurrency"))
     counts = inc.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_incidents"))
     return counts.join(peaks, "day").select("day", "n_incidents", "max_concurrency")
+
+
+# ---------------------------------------------------------------------------
+# q166 — time-decay multi-touch attribution: every purchase splits one
+# unit of credit across the user's view/click touches in the 7 days
+# before it, weighted exp(−Δt·ln2/24h) (24-hour half-life) — the
+# standard marketing-attribution upgrade over q147's last-touch.
+# Per-pair weights are dround-ed to 12 digits in BOTH engines before
+# the normalization sums (the q150 trick: libm exp() may differ by an
+# ULP between engines; rounding the per-pair value first makes every
+# downstream sum/divide bit-identical). One user-keyed bounded-range
+# join (7-day cap bounds fan-out; AQE absorbs hot users) + one
+# purchase-keyed agg.
+# ---------------------------------------------------------------------------
+_Q166_HALF_LIFE_H = 24.0
+_Q166_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _q166_oracle() -> str:
+    lam = f"(ln(2.0) / {_Q166_HALF_LIFE_H!r})"
+    dt_h = "((epoch_us(p.ts) - epoch_us(t.ts)) / 3600000000.0)"
+    w = dround_sql(f"exp(-{lam} * {dt_h})", 12)
+    return f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT event_id, user_id, ts, event_type FROM events
+          WHERE event_type IN ('view', 'click')),
+    pairs AS (
+      SELECT p.event_id AS purchase_id, t.event_type AS touch_type,
+             {w} AS w
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.ts < p.ts
+        AND epoch_us(p.ts) - epoch_us(t.ts) <= {_Q166_WINDOW_US}),
+    tot AS (SELECT purchase_id, sum(w) AS sw, count(*) AS n_touches
+            FROM pairs GROUP BY purchase_id)
+    SELECT pairs.purchase_id, pairs.touch_type,
+           CAST(count(*) AS BIGINT) AS n_type_touches,
+           {dround_sql("sum(pairs.w) / any_value(tot.sw)", 6)} AS credit
+    FROM pairs JOIN tot USING (purchase_id)
+    GROUP BY pairs.purchase_id, pairs.touch_type
+    """
+
+
+@register("q166_time_decay_attribution", oracle=_q166_oracle())
+def q166_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("us").alias("_pus"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("_tu"),
+        F.col("event_type").alias("touch_type"),
+        F.col("us").alias("_tus"),
+    )
+    lam = math.log(2.0) / _Q166_HALF_LIFE_H
+    pairs = p.join(
+        t,
+        (p["_pu"] == t["_tu"])
+        & (t["_tus"] < p["_pus"])
+        & (p["_pus"] - t["_tus"] <= _Q166_WINDOW_US),
+    ).select(
+        "purchase_id",
+        "touch_type",
+        dround(
+            F.exp(-F.lit(lam) * ((F.col("_pus") - F.col("_tus")) / F.lit(3.6e9))), 12
+        ).alias("w"),
+    )
+    tot = pairs.groupBy("purchase_id").agg(F.sum("w").alias("sw"))
+    return (
+        pairs.join(tot, "purchase_id")
+        .groupBy("purchase_id", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_type_touches"),
+            dround(F.sum("w") / F.first("sw"), 6).alias("credit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — RFM segmentation: per purchasing user, Recency (days since
+# last purchase vs the corpus max event time), Frequency (purchase
+# count), Monetary (integer-cents spend), each scored 1–5 on FIXED
+# business bands — not quantiles: quantile cuts need a global sort
+# (or a bucketed rank) and their ties are parallelism-sensitive,
+# while fixed bands are bit-deterministic at any scale. One user agg
+# + a 1-row max-ts broadcast; recency arithmetic in integer µs.
+# ---------------------------------------------------------------------------
+_Q167_R = "CASE WHEN rd <= 3 THEN 5 WHEN rd <= 7 THEN 4 WHEN rd <= 14 THEN 3 WHEN rd <= 21 THEN 2 ELSE 1 END"
+_Q167_F = "CASE WHEN np >= 20 THEN 5 WHEN np >= 15 THEN 4 WHEN np >= 10 THEN 3 WHEN np >= 5 THEN 2 ELSE 1 END"
+_Q167_M = "CASE WHEN cents >= 100000 THEN 5 WHEN cents >= 70000 THEN 4 WHEN cents >= 40000 THEN 3 WHEN cents >= 15000 THEN 2 ELSE 1 END"
+
+_Q167_ORACLE = f"""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    u AS (SELECT user_id,
+                 max(epoch_us(ts)) AS last_us,
+                 count(*) AS np,
+                 sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    m AS (SELECT user_id, np, cents,
+                 ((SELECT mx FROM ref) - last_us) // 86400000000 AS rd
+          FROM u)
+    SELECT user_id, CAST(rd AS BIGINT) AS recency_days,
+           CAST(np AS BIGINT) AS n_purchases,
+           CAST(cents AS BIGINT) AS spend_cents,
+           CAST({_Q167_R} AS BIGINT) AS r_score,
+           CAST({_Q167_F} AS BIGINT) AS f_score,
+           CAST({_Q167_M} AS BIGINT) AS m_score,
+           CAST(({_Q167_R}) * 100 + ({_Q167_F}) * 10 + ({_Q167_M}) AS BIGINT)
+             AS rfm
+    FROM m
+"""
+
+
+@register("q167_rfm_segmentation", oracle=_Q167_ORACLE)
+def q167_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    ref = ev.agg(F.max("us").alias("mx"))
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("cents"),
+        )
+    )
+    m = u.crossJoin(F.broadcast(ref)).withColumn(
+        "rd", F.expr("(mx - last_us) div 86400000000")
+    )
+    m = m.selectExpr(
+        "user_id",
+        "CAST(rd AS LONG) AS recency_days",
+        "CAST(np AS LONG) AS n_purchases",
+        "CAST(cents AS LONG) AS spend_cents",
+        f"CAST({_Q167_R} AS LONG) AS r_score",
+        f"CAST({_Q167_F} AS LONG) AS f_score",
+        f"CAST({_Q167_M} AS LONG) AS m_score",
+        f"CAST(({_Q167_R}) * 100 + ({_Q167_F}) * 10 + ({_Q167_M}) AS LONG) AS rfm",
+    )
+    return m
