@@ -218,3 +218,57 @@ def test_zipf_slope_exact_on_synthetic_power_law(spark):
     sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert abs(slope + 0.7) < 0.01
+
+
+def test_daily_concurrency_hand_case(spark, tmp_path):
+    """Three overlapping + one disjoint 2-min window on one day →
+    peak 3; a second day with one window → peak 1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "error", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=30), 7, "error", 0.0, "{}"),
+        (3, base + dt.timedelta(seconds=60), 7, "error", 0.0, "{}"),
+        (4, base + dt.timedelta(minutes=10), 7, "error", 0.0, "{}"),
+        (5, base + dt.timedelta(days=1), 7, "error", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    from anime_data_pipeline_spark.queries.temporal_q import (
+        q164_daily_max_concurrency,
+    )
+
+    out = {
+        str(r["day"]): (r["n_incidents"], r["max_concurrency"])
+        for r in q164_daily_max_concurrency(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-01-01"] == (4, 3)
+    assert out["2024-01-02"] == (1, 1)
+
+
+def test_time_decay_credits_sum_to_one(spark, sf_dir):
+    """q166: per purchase, the touch-type credits sum to 1 (± rounding
+    over ≤2 types)."""
+    from anime_data_pipeline_spark.queries.temporal_q import (
+        q166_time_decay_attribution,
+    )
+
+    out = q166_time_decay_attribution(spark, sf_dir).toPandas()
+    sums = out.groupby("purchase_id")["credit"].sum()
+    assert ((sums - 1.0).abs() < 1e-5).all()
+    assert (out["credit"] > 0).all()
+
+
+def test_rfm_scores_in_band(spark, sf_dir):
+    from anime_data_pipeline_spark.queries.temporal_q import q167_rfm_segmentation
+
+    out = q167_rfm_segmentation(spark, sf_dir).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 5).all(), c
+    assert (out["rfm"] == out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]).all()
+    assert (out["n_purchases"] >= 1).all()
