@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q168_ht_sample_audit",
+    "q169_dau_wau_stickiness",
     "q166_time_decay_attribution",
     "q167_rfm_segmentation",
     "q164_daily_max_concurrency",

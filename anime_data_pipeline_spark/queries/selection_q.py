@@ -342,3 +342,47 @@ def q156_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "group_a", "group_b", dround(F.col("js_div"), 6).alias("js_div")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — Horvitz–Thompson sample-estimator audit: per source, the
+# exact doc count next to the inverse-probability estimate from a
+# deterministic 1-in-10 hash sample (membership = seeded affine hash
+# of doc_id mod 10 — reproducible at any parallelism, in any engine;
+# never rand()). The audit every sampled dashboard needs before its
+# numbers are trusted. Sampling + estimate are one conditional agg —
+# a SINGLE scan, no second pass for the exact side.
+# ---------------------------------------------------------------------------
+_Q168_A, _Q168_B, _Q168_P = 1_000_003, 337, 2_147_483_647
+
+_Q168_ORACLE = f"""
+    WITH marked AS (
+      SELECT source,
+             ((({_Q168_A} * (doc_id % {_Q168_P}) + {_Q168_B}) % {_Q168_P}) % 10 = 0)
+               AS in_sample
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(10 * sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_hat,
+           {dround_sql("(10.0 * sum(CASE WHEN in_sample THEN 1 ELSE 0 END) - count(*)) / count(*)", 6)} AS rel_err
+    FROM marked GROUP BY source
+"""
+
+
+@register("q168_ht_sample_audit", oracle=_Q168_ORACLE)
+def q168_ht_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = (
+        (F.lit(_Q168_A) * (F.col("doc_id") % _Q168_P) + F.lit(_Q168_B)) % _Q168_P
+    ) % 10 == 0
+    marked = docs.select("source", in_sample.alias("in_sample"))
+    n_s = F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        n_s.cast("long").alias("n_sampled"),
+        (10 * n_s).cast("long").alias("n_hat"),
+        dround(
+            (10.0 * n_s - F.count(F.lit(1))) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("rel_err"),
+    )

@@ -743,3 +743,60 @@ def q167_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(({_Q167_R}) * 100 + ({_Q167_F}) * 10 + ({_Q167_M}) AS LONG) AS rfm",
     )
     return m
+
+
+# ---------------------------------------------------------------------------
+# q169 — DAU / trailing-7-day WAU / stickiness: per day, distinct
+# active users that day and across the trailing 7 days — the
+# engagement gauge every event pipeline ships. Distinct (day, user)
+# pairs first (one agg), then the 30-row day spine joins its own
+# trailing week (day-spine self-join is |days|² at worst — calendar
+# table, not event-volume) and re-counts distinct users. Day buckets
+# are epoch math (q113's convention — no calendar semantics drift).
+# ---------------------------------------------------------------------------
+_Q169_ORACLE = f"""
+    WITH du AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+    SELECT make_timestamp(d.day * {_DAY_US}) AS day_start,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           {dround_sql("CAST(dau.dau AS DOUBLE) / wau.wau", 6)} AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+"""
+
+
+@register("q169_dau_wau_stickiness", oracle=_Q169_ORACLE)
+def q169_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    d2 = days.select(F.col("day").alias("_d"))
+    wau = (
+        d2.join(
+            du,
+            (F.col("day") >= F.col("_d") - 6) & (F.col("day") <= F.col("_d")),
+        )
+        .groupBy("_d")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .withColumnRenamed("_d", "day")
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.timestamp_micros((F.col("day") * _DAY_US).cast("long")).alias(
+                "day_start"
+            ),
+            "dau",
+            "wau",
+            dround(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
