@@ -747,3 +747,58 @@ def q92_pack_barriered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(
         docs, "source", "doc_id", "n_tokens", _BUDGET, barrier_tokens=_Q92_BARRIER
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — SCD Type-2 dimension build over the q74 snapshot pair: one
+# row per (doc_id, attribute version) with valid_from/valid_to/
+# is_current — where q74 emits the CHANGE FEED, this emits the
+# versioned dimension a warehouse keeps. Same single full-outer key
+# join (exchange-free under bucketed ingest) + a map-only 1-or-2-row
+# explode per key; the oracle replays the classification with UNION
+# branches.
+# ---------------------------------------------------------------------------
+_Q170_ORACLE = f"""
+    WITH old AS (SELECT doc_id, text, lang, source FROM documents),
+    new AS ({_NEW_SNAP_SQL}),
+    j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                 old.doc_id IS NOT NULL AS in_old,
+                 new.doc_id IS NOT NULL AS in_new,
+                 (old.text IS NOT DISTINCT FROM new.text)
+                   AND (old.lang IS NOT DISTINCT FROM new.lang)
+                   AND (old.source IS NOT DISTINCT FROM new.source) AS same,
+                 old.text AS o_text, old.lang AS o_lang, old.source AS o_source,
+                 new.text AS n_text, new.lang AS n_lang, new.source AS n_source
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT doc_id, o_text AS text, o_lang AS lang, o_source AS source,
+           CAST(1 AS BIGINT) AS valid_from, CAST(9999 AS BIGINT) AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE in_old AND in_new AND same
+    UNION ALL
+    SELECT doc_id, o_text, o_lang, o_source, 1, 2, FALSE
+    FROM j WHERE in_old AND in_new AND NOT same
+    UNION ALL
+    SELECT doc_id, n_text, n_lang, n_source, 2, 9999, TRUE
+    FROM j WHERE in_old AND in_new AND NOT same
+    UNION ALL
+    SELECT doc_id, o_text, o_lang, o_source, 1, 2, FALSE
+    FROM j WHERE in_old AND NOT in_new
+    UNION ALL
+    SELECT doc_id, n_text, n_lang, n_source, 2, 9999, TRUE
+    FROM j WHERE in_new AND NOT in_old
+"""
+
+
+@register("q170_scd2_dimension", oracle=_Q170_ORACLE)
+def q170_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.diff import scd2_merge
+
+    old = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return scd2_merge(
+        old,
+        _new_snapshot(spark, sf_dir),
+        ["doc_id"],
+        ["text", "lang", "source"],
+    )
