@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q171_top_event_paths",
     "q170_scd2_dimension",
     "q168_ht_sample_audit",
     "q169_dau_wau_stickiness",

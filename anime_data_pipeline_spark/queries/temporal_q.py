@@ -800,3 +800,47 @@ def q169_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — top event paths: the 10 most frequent 3-step per-user
+# event-type sequences — q155's Markov matrix generalized to path
+# mining (journey diagnostics). One per-user double-lead window
+# (parallelism = users), one path agg, top-10 via orderBy+limit =
+# TakeOrderedAndProject (per-partition heaps — no global sort, no
+# unpartitioned window).
+# ---------------------------------------------------------------------------
+_Q171_K = 10
+
+_Q171_ORACLE = f"""
+    WITH seq AS (
+      SELECT event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+              FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+              GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM paths ORDER BY n DESC, path LIMIT {_Q171_K}
+"""
+
+
+@register("q171_top_event_paths", oracle=_Q171_ORACLE)
+def q171_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "t0", "t1", "t2").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(_Q171_K)
