@@ -958,3 +958,94 @@ def q162_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("tc").cast("double") / 100.0).alias("total"),
         (F.col("_s").cast("double") / (F.col("_c") * 100.0)).alias("nation_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — custom GROUPING SETS (the third grouping surface next to
+# q15's ROLLUP and q45's CUBE): revenue by (status, priority), by
+# (status), and the grand total — but NOT by (priority), which CUBE
+# would force and separate queries would triple-scan. Expressed
+# through the spark.sql() surface (the DataFrame API exposes only
+# rollup/cube); grouping_id() disambiguates the null-key levels in
+# both engines. One scan, one partial-agged exchange.
+# ---------------------------------------------------------------------------
+_Q172_BODY = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+"""
+
+
+@register(
+    "q172_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n_orders,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q172_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q172_BODY)
+
+
+# ---------------------------------------------------------------------------
+# q173 — referential-integrity audit: orphan counts across the star
+# schema's foreign keys (orders→customer, lineitem→orders,
+# customer→nation) in one result — the ingest health check run before
+# any join-based query is trusted (a broken FK silently drops rows
+# from every inner join downstream). Three LEFT ANTI joins (q06's
+# operator generalized); dimension sides broadcast.
+# ---------------------------------------------------------------------------
+_Q173_ORACLE = """
+    SELECT 'orders->customer' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+@register("q173_referential_integrity", oracle=_Q173_ORACLE)
+def q173_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(fact, dim, fk, pk, label):
+        n = (
+            fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+        return n
+
+    return (
+        orphans(orders, customer, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(
+            orphans(lineitem, orders.select("o_orderkey"), "l_orderkey", "o_orderkey",
+                    "lineitem->orders")
+        )
+        .unionByName(
+            orphans(customer, nation, "c_nationkey", "n_nationkey",
+                    "customer->nation")
+        )
+    )
