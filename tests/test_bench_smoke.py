@@ -17,7 +17,7 @@ from anime_data_pipeline_spark.registry import all_queries
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", bench.BENCH_QUERIES)
+@pytest.mark.parametrize("name", bench.BENCH_QUERIES + bench.EXTRA_QUERIES)
 def test_headline_query_runs(spark, name):
     qs = all_queries()
     assert name in qs, f"bench names unregistered query {name}"
