@@ -778,15 +778,19 @@ def q169_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    d2 = days.select(F.col("day").alias("_d"))
+    # Trailing-week membership as a ×7 MAP-SIDE explode (u active on
+    # day d counts toward every spine day in [d, d+6]) + a broadcast
+    # equi-join against the day spine — NOT a theta join of spine ×
+    # pairs, whose nested-loop cost multiplies by the CALENDAR size
+    # (×3650 at ten years) instead of ×7.
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "user_id",
+    )
     wau = (
-        d2.join(
-            du,
-            (F.col("day") >= F.col("_d") - 6) & (F.col("day") <= F.col("_d")),
-        )
-        .groupBy("_d")
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
         .agg(F.count_distinct("user_id").cast("long").alias("wau"))
-        .withColumnRenamed("_d", "day")
     )
     return (
         days.join(dau, "day")
