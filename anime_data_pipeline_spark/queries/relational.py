@@ -946,11 +946,14 @@ def q162_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("c_custkey", "c_nationkey")
         .agg(F.coalesce(F.sum("_cents"), F.lit(0)).cast("long").alias("tc"))
     )
-    w = W.partitionBy("c_nationkey")
-    out = (
-        ct.withColumn("_s", F.sum("tc").over(w))
-        .withColumn("_c", F.count(F.lit(1)).over(w))
-        .filter(F.col("tc") * F.col("_c") > F.col("_s"))
+    # Nation totals as a |nations|-row agg broadcast back — NOT a
+    # window partitioned by nation, whose parallelism collapses to
+    # |nations| tasks each scanning customers/nation at scale.
+    nat = ct.groupBy("c_nationkey").agg(
+        F.sum("tc").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    out = ct.join(F.broadcast(nat), "c_nationkey").filter(
+        F.col("tc") * F.col("_c") > F.col("_s")
     )
     return out.select(
         "c_custkey",
