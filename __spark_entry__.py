@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate to the back (their historical rows stand).
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
+    "q174_local_supplier_volume",
     "q172_grouping_sets",
     "q173_referential_integrity",
     "q171_top_event_paths",

@@ -1052,3 +1052,58 @@ def q173_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "customer->nation")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — local-supplier volume (TPC-H Q5 shape): revenue from
+# lineitems where the supplier and the ordering customer share a
+# nation, rolled up by region and nation — the 6-table join-reorder
+# stress (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier
+# + the same-nation equi constraint). All four dimension sides
+# broadcast; the only shuffles are the orders⋈lineitem fact join and
+# the final 2-level agg. The per-row revenue product is dround-ed to
+# 4 digits identically on both sides before the dround-2 aggregate
+# (q01's convention, with the per-row term pinned first).
+# ---------------------------------------------------------------------------
+_Q174_ORACLE = f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {dround_sql("sum(" + dround_sql("l.l_extendedprice * (1 - l.l_discount)", 4) + ")", 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n    ON n.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+    GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("q174_local_supplier_volume", oracle=_Q174_ORACLE)
+def q174_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("_rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    return j.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dround(F.sum("_rev"), 2).alias("revenue"),
+    )
