@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
     "q174_local_supplier_volume",
+    "q175_brand_market_share",
     "q172_grouping_sets",
     "q173_referential_integrity",
     "q171_top_event_paths",

@@ -1107,3 +1107,56 @@ def q174_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         dround(F.sum("_rev"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — national market share (TPC-H Q8 shape): for each order-month,
+# the share of brand-'B1' revenue in total part revenue — the
+# conditional-share aggregation (sum(CASE)/sum) over the
+# part ⋈ lineitem ⋈ orders chain. Part broadcasts; the share division
+# runs AFTER both sums are dround-ed, so the quotient's inputs are
+# identical in both engines (no raw-double division of
+# order-sensitive sums).
+# ---------------------------------------------------------------------------
+_Q175_ORACLE = f"""
+    WITH j AS (
+      SELECT CAST(substr(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS VARCHAR) AS month,
+             p.p_brand,
+             {dround_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey),
+    s AS (SELECT month,
+                 {dround_sql("sum(CASE WHEN p_brand = 'Brand#1' THEN rev ELSE 0.0 END)", 2)} AS brand_rev,
+                 {dround_sql("sum(rev)", 2)} AS total_rev
+          FROM j GROUP BY month)
+    SELECT month, brand_rev, total_rev,
+           {dround_sql("brand_rev / total_rev", 6)} AS brand_share
+    FROM s
+"""
+
+
+@register("q175_brand_market_share", oracle=_Q175_ORACLE)
+def q175_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    s = j.groupBy("month").agg(
+        dround(
+            F.sum(F.when(F.col("p_brand") == "Brand#1", F.col("rev")).otherwise(0.0)),
+            2,
+        ).alias("brand_rev"),
+        dround(F.sum("rev"), 2).alias("total_rev"),
+    )
+    return s.select(
+        "month", "brand_rev", "total_rev",
+        dround(F.col("brand_rev") / F.col("total_rev"), 6).alias("brand_share"),
+    )
