@@ -101,3 +101,25 @@ def test_yaml_overlay_rejects_unknown_key(tmp_path):
     bad.write_text("not_a_real_knob: 1\n")
     with pytest.raises(SystemExit):
         parse_args(["--config", str(bad)])
+
+
+def test_priority_names_all_registered():
+    """Every _PRIORITY entry must name a registered query — a typo
+    would silently drop it from the driver's front-of-queue ordering
+    (and its stale driver row would never refresh)."""
+    import __spark_entry__ as ent
+    from anime_data_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in ent._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names unregistered queries: {missing}"
+    assert len(set(ent._PRIORITY)) == len(ent._PRIORITY), "duplicate priority entries"
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    """All registered queries except q49 (sketches — not
+    SQL-expressible) must carry a DuckDB oracle."""
+    from anime_data_pipeline_spark.registry import all_oracles, all_queries
+
+    no_oracle = set(all_queries()) - set(all_oracles())
+    assert no_oracle == {"q49_corpus_profile_approx"}, no_oracle
