@@ -42,6 +42,7 @@ _PRIORITY = [
     # (a) NEW round 5 — no driver row exists yet
     "q174_local_supplier_volume",
     "q175_brand_market_share",
+    "q176_conversion_latency_quantiles",
     "q172_grouping_sets",
     "q173_referential_integrity",
     "q171_top_event_paths",

@@ -848,3 +848,85 @@ def q171_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "t0", "t1", "t2").alias("path")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     return paths.orderBy(F.desc("n"), F.asc("path")).limit(_Q171_K)
+
+
+# ---------------------------------------------------------------------------
+# q176 — conversion-latency quantiles: per user, the first view and
+# the first purchase at-or-after it (q112's stage logic); the
+# view→purchase latency distribution summarized as p50/p90 PER signup
+# cohort week — the funnel-speed report. Quantiles use q124's
+# rank-exact discrete form (value at rank ceil(q·n), (value, user)
+# tie order — no percentile interpolation, engine-exact). Two
+# user-keyed conditional-min aggs + one per-week rank window over the
+# converting users.
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+_Q176_ORACLE = f"""
+    WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    tp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp FROM events e
+           JOIN tv ON tv.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= tv.tv
+           GROUP BY e.user_id),
+    lat AS (SELECT tv.user_id, tv.tv // {_WEEK_US} AS week,
+                   tp.tp - tv.tv AS lat_us
+            FROM tv JOIN tp ON tp.user_id = tv.user_id),
+    ranked AS (SELECT week, lat_us, user_id,
+                      row_number() OVER (PARTITION BY week
+                                         ORDER BY lat_us, user_id) AS rn,
+                      count(*) OVER (PARTITION BY week) AS n
+               FROM lat)
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(max(n) AS BIGINT) AS n_converting,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p50_latency_us,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p90_latency_us
+    FROM ranked GROUP BY week
+"""
+
+
+@register("q176_conversion_latency_quantiles", oracle=_Q176_ORACLE)
+def q176_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tv"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tv, "user_id")
+        .filter(F.col("us") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tp"))
+    )
+    lat = tv.join(tp, "user_id").select(
+        "user_id",
+        F.expr(f"tv div {_WEEK_US}").alias("week"),
+        (F.col("tp") - F.col("tv")).alias("lat_us"),
+    )
+    w = W.partitionBy("week").orderBy("lat_us", "user_id")
+    wn = W.partitionBy("week")
+    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return ranked.groupBy("week").agg(
+        F.max("n").cast("long").alias("n_converting"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("lat_us"))
+        ).cast("long").alias("p50_latency_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"), F.col("lat_us"))
+        ).cast("long").alias("p90_latency_us"),
+    ).select(
+        F.col("week").cast("long").alias("week"),
+        "n_converting",
+        "p50_latency_us",
+        "p90_latency_us",
+    )
