@@ -34,62 +34,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples a bounded prefix of queries()
 # per round, so ordering decides which queries get a fresh driver row.
-# Front-load (a) queries with no driver row in any prior round, (b)
-# queries whose implementation changed this round, (c) queries whose
-# last driver row predates the current testdata; stable/green queries
-# rotate to the back (their historical rows stand).
-_PRIORITY = [
-    # (a) NEW round 5 — no driver row exists yet
-    "q174_local_supplier_volume",
-    "q175_brand_market_share",
-    "q176_conversion_latency_quantiles",
+# The rule (r5 verdict item 2 — enforced by tests/test_cli.py): the
+# first 50 positions MUST contain, in order, (a) queries whose
+# implementation changed this round, (b) queries with no driver row in
+# any prior round, (c) queries reworked in the previous round whose
+# only green rows predate the rework, then (d) the stalest remaining
+# rows. Never newer-before-never-rowed.
+
+# (a) changed in round 6: q172 revenue re-typed to per-row-cents
+# DOUBLE (the r5 red row), q173 dropped the fact-sized orders
+# broadcast, q152/q153 go through the boundary-anchored tracking-param
+# regex (operators/web.py), q151/q71/q115 go through the hardened
+# JPEG marker walk + corrupt->None guards (operators/jpeg_codec.py,
+# progressive-JPEG decode added to q151's fixture corpus).
+_CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
-    "q171_top_event_paths",
-    "q170_scd2_dimension",
-    "q168_ht_sample_audit",
-    "q169_dau_wau_stickiness",
-    "q166_time_decay_attribution",
-    "q167_rfm_segmentation",
-    "q164_daily_max_concurrency",
-    "q165_calibration_bins",
-    "q162_correlated_above_nation_avg",
-    "q163_hierarchy_flatten",
-    "q158_readability",
-    "q159_zipf_slope",
-    "q160_top_bigram_positions",
-    "q161_containment_dedup",
-    "q155_markov_transitions",
-    "q156_source_js_divergence",
-    "q157_hits",
-    "q151_gif_jpeg_decode_bucket",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",
-    "q154_pagerank",
-    "q130_pq_adc_topk",
-    "q131_hard_negatives",
-    "q132_bpe_merge_pairs",
-    "q133_cluster_balanced_sample",
-    "q134_vocab_coverage",
-    "q135_doc_stitching",
-    "q136_margin_bitext_mining",
-    "q137_blocklist_filter",
-    "q138_teacher_majority_vote",
-    "q139_ann_recall_audit",
-    "q140_source_lang_chi2",
-    "q141_stream_blocklist",
-    "q142_ivf_drift_audit",
-    "q143_json_schema_profile",
-    "q144_ab_test_ztest",
-    "q145_event_cooccurrence_lift",
-    "q146_level_shift",
-    "q147_last_touch_attribution",
-    "q148_label_propagation",
-    "q149_rake_keywords",
-    "q150_doremi_reweight",
+    "q151_gif_jpeg_decode_bucket",
+    "q71_multimodal_decode",
     "q115_png_decode_bucket",
-    "q116_density_prune",
-    "q117_sql_shipping_priority",
+]
+
+# (b) added in round 4, never sampled by the driver (r5 verdict item 2)
+_NEVER_ROWED = [
     "q118_span_decontaminate",
     "q119_json_props_extract",
     "q120_minhash_quality_audit",
@@ -102,23 +71,34 @@ _PRIORITY = [
     "q127_cdc_chunks",
     "q128_length_buckets",
     "q129_robust_outliers",
-    # (b) reworked round 5: bucketed_global_rank shuffle index (q29),
-    # TakeOrdered top-k ranks (q114/q107/q109/q110), dual-content-hash
-    # exact dedup (q102/q108/q104/q35/q88), q104 shared tokenization
+]
+
+# (c) reworked in round 5 (bucketed_global_rank q29, TakeOrdered
+# top-k q107/q109/q110/q114, dual-content-hash dedup
+# q35/q88/q102/q104/q108, bloom q100) — green rows exist only from
+# BEFORE the rework; the record must catch up.
+_REWORKED_R5 = [
     "q29_seeded_shuffle",
-    "q114_gumbel_resample",
-    "q107_bm25_topk",
-    "q109_pmi_collocations",
-    "q110_bm25_rerank",
-    "q102_incremental_dedup",
-    "q108_stream_incremental_dedup",
-    "q104_curation_v2",
     "q35_curation_pipeline",
     "q88_pretraining_corpus",
     "q100_bloom_contamination",
-    # (c) stalest: newest driver row predates the r3 testdata
-    # regeneration (judge re-verified green locally in r4; the record
-    # should catch up)
+    "q102_incremental_dedup",
+    "q104_curation_v2",
+    "q107_bm25_topk",
+    "q108_stream_incremental_dedup",
+    "q109_pmi_collocations",
+    "q110_bm25_rerank",
+    "q114_gumbel_resample",
+]
+
+_PRIORITY = [
+    *_CHANGED_THIS_ROUND,
+    *_NEVER_ROWED,
+    *_REWORKED_R5,
+    # (d) stalest: newest driver row is from round 2 (pre-r3 testdata
+    # regeneration) — fills the remaining first-50 slots
+    "q27_upsert_merge",
+    "q28_crop_ltrb",
     "q30_map_zip_filter",
     "q31_exact_dedup",
     "q33_simhash_fingerprint",
@@ -132,19 +112,17 @@ _PRIORITY = [
     "q56_tfidf_topk",
     "q57_stratified_sample",
     "q59_pii_redact",
-    "q66_stream_static_enrich",
     "q70_webdataset_roundtrip",
-    "q71_multimodal_decode",
     "q73_tag_inference",
     "q74_snapshot_diff",
     "q75_mix_rebalance",
     "q76_salted_join_hot_key",
+    # ---- 50-row driver cutoff lands here ----
     "q78_contamination_check",
     "q80_video_frame_sample",
     "q81_line_dedup",
     "q87_audio_chunk_plan",
-    "q27_upsert_merge",
-    "q28_crop_ltrb",
+    "q66_stream_static_enrich",
     # remaining stale r1/r2-row queries, then stable/green rotate back
     "q15_rollup",
     "q16_pivot_status",

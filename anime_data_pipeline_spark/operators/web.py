@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
+# Anchored at a parameter separator so substrings of longer parameter
+# names survive (``?abcgclid=5`` and ``?myfbclid=1`` are NOT tracking
+# params and must not be touched); the separator is re-emitted by the
+# replacement and tidied by the follow-up passes.
+_TRACKING = r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -41,8 +45,8 @@ def canonicalize_url(url: Column) -> Column:
     auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
     )
-    # 4) tracking params out, separators tidied
-    rest = F.regexp_replace(rest, _TRACKING, "")
+    # 4) tracking params out (separator kept by $1), separators tidied
+    rest = F.regexp_replace(rest, _TRACKING, "$1")
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
@@ -64,7 +68,7 @@ def canonicalize_url_sql(expr: str) -> str:
         f"WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '') "
         f"ELSE {auth} END"
     )
-    rest = f"regexp_replace({rest}, '{_TRACKING}', '', 'g')"
+    rest = f"regexp_replace({rest}, '{_TRACKING}', '\\1', 'g')"
     rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
     rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
     rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"

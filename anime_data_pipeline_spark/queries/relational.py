@@ -970,13 +970,19 @@ def q162_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFr
 # would force and separate queries would triple-scan. Expressed
 # through the spark.sql() surface (the DataFrame API exposes only
 # rollup/cube); grouping_id() disambiguates the null-key levels in
-# both engines. One scan, one partial-agged exchange.
+# both engines. One scan, one partial-agged exchange. Revenue is
+# summed as per-row integer cents (order-independent across engines)
+# and cast to DOUBLE before the final divide — a raw double sum can
+# flip a .xx5-ULP cent boundary between Spark and DuckDB, and a
+# decimal literal would type the Spark result DECIMAL(,6) vs the
+# oracle's DOUBLE (the r5 driver hash-mismatch).
 # ---------------------------------------------------------------------------
 _Q172_BODY = """
     SELECT o_orderstatus, o_orderpriority,
            CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
            count(*) AS n_orders,
-           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
@@ -990,7 +996,8 @@ _Q172_BODY = """
            CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
              AS gid,
            count(*) AS n_orders,
-           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
@@ -1033,9 +1040,14 @@ def q173_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
 
-    def orphans(fact, dim, fk, pk, label):
+    def orphans(fact, dim, fk, pk, label, bcast=True):
+        # Broadcast only genuine dimension key sets (customer, nation).
+        # The lineitem->orders pair is fact-vs-fact: broadcasting the
+        # full orders key set would blow driver/executor memory at
+        # scale, so that pair stays a shuffled left_anti join.
+        dim = F.broadcast(dim) if bcast else dim
         n = (
-            fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left_anti")
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )
@@ -1045,7 +1057,7 @@ def q173_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans(orders, customer, "o_custkey", "c_custkey", "orders->customer")
         .unionByName(
             orphans(lineitem, orders.select("o_orderkey"), "l_orderkey", "o_orderkey",
-                    "lineitem->orders")
+                    "lineitem->orders", bcast=False)
         )
         .unionByName(
             orphans(customer, nation, "c_nationkey", "n_nationkey",

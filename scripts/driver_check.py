@@ -4,10 +4,17 @@ Runs ``entry(spark)`` as a smoke check, then every ``queries()`` entry
 at the given sf dir side-by-side with its ``oracle_sql()`` in DuckDB,
 comparing row count, column names, and (order-insensitively) values.
 
-Usage: python scripts/driver_check.py [sf_dir] [name_substring ...]
+Usage: python scripts/driver_check.py [sf_dir] [--exact] [name_substring ...]
 
 With name substrings, only matching queries run (fast iteration on a
 query under development); the driver itself always runs everything.
+
+``--exact`` mirrors the driver's value-hash instead of the default
+1e-9 float tolerance: output dtypes must agree (a Spark DECIMAL
+surfacing as ``object``/Decimal against a DuckDB DOUBLE/float64 is a
+FAIL even when every value is numerically identical — exactly the
+r5 q172 driver mismatch this tolerance hole let through), and values
+are compared with zero tolerance on their canonical string form.
 """
 
 from __future__ import annotations
@@ -23,6 +30,9 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
+EXACT = "--exact" in ONLY
+if EXACT:
+    ONLY.remove("--exact")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -30,6 +40,39 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df.columns = [c.lower() for c in df.columns]
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _canon_strs(col: pd.Series) -> pd.Series:
+    """Canonical per-value strings for exact-mode comparison: repr of
+    the value (so ``Decimal('1.720000')`` != ``1.72`` — a dtype
+    divergence the driver's hash also sees), with NaN/None unified."""
+    return col.map(lambda v: "<null>" if pd.isna(v) else repr(v))
+
+
+def compare_exact(a: pd.DataFrame, e: pd.DataFrame) -> None:
+    for c in a.columns:
+        ka = "float" if pd.api.types.is_float_dtype(a[c]) else (
+            "int" if pd.api.types.is_integer_dtype(a[c]) else str(a[c].dtype)
+        )
+        ke = "float" if pd.api.types.is_float_dtype(e[c]) else (
+            "int" if pd.api.types.is_integer_dtype(e[c]) else str(e[c].dtype)
+        )
+        assert ka == ke, f"col {c}: dtype kind {ka} (spark) vs {ke} (oracle)"
+        if ka == "float":
+            fa, fe = a[c].astype("float64"), e[c].astype("float64")
+            bad = ~((fa == fe) | (fa.isna() & fe.isna()))
+            assert not bad.any(), (
+                f"col {c}: {int(bad.sum())} values differ at zero tolerance "
+                f"(first: {fa[bad].iloc[0]!r} vs {fe[bad].iloc[0]!r})"
+            )
+        elif ka == "int":
+            fa, fe = a[c].astype("int64"), e[c].astype("int64")
+            bad = fa != fe
+            assert not bad.any(), f"col {c}: {int(bad.sum())} int values differ"
+        else:
+            sa, se = _canon_strs(a[c]), _canon_strs(e[c])
+            bad = (sa != se).sum()
+            assert bad == 0, f"col {c}: {bad} mismatched values (exact)"
 
 
 def main() -> int:
@@ -76,15 +119,18 @@ def main() -> int:
                 f"cols {list(a.columns)} vs {list(e.columns)}"
             )
             assert len(a) == len(e), f"rows {len(a)} vs {len(e)}"
-            for c in a.columns:
-                if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(e[c]):
-                    diff = (a[c].astype(float) - e[c].astype(float)).abs().max()
-                    assert not (diff > 1e-9), f"col {c} max diff {diff}"
-                else:
-                    sa = a[c].astype(str).where(a[c].notna(), "<null>")
-                    se = e[c].astype(str).where(e[c].notna(), "<null>")
-                    bad = (sa != se).sum()
-                    assert bad == 0, f"col {c}: {bad} mismatched values"
+            if EXACT:
+                compare_exact(a, e)
+            else:
+                for c in a.columns:
+                    if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(e[c]):
+                        diff = (a[c].astype(float) - e[c].astype(float)).abs().max()
+                        assert not (diff > 1e-9), f"col {c} max diff {diff}"
+                    else:
+                        sa = a[c].astype(str).where(a[c].notna(), "<null>")
+                        se = e[c].astype(str).where(e[c].notna(), "<null>")
+                        bad = (sa != se).sum()
+                        assert bad == 0, f"col {c}: {bad} mismatched values"
             t_all = time.monotonic() - t0
             print(
                 f"  {name}: OK ({len(a)} rows) "

@@ -116,6 +116,41 @@ def test_priority_names_all_registered():
     assert len(set(ent._PRIORITY)) == len(ent._PRIORITY), "duplicate priority entries"
 
 
+def test_priority_front_loads_unrowed_and_changed():
+    """The driver samples the first 50 queries() entries per round, so
+    (never-driver-rowed ∪ changed-this-round ∪ reworked-last-round)
+    must ALL sit inside _PRIORITY[:50] — the r5 verdict found 12
+    round-4 queries that missed the cutoff two rounds running because
+    newer queries were front-loaded ahead of them. never-rowed is
+    recomputed from the CORRECTNESS_r*.json union, not trusted from
+    the hand-maintained list."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as ent
+    from anime_data_pipeline_spark.registry import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rowed: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            rowed.update(json.load(fh).keys())
+    assert rowed, "no CORRECTNESS_r*.json found — cannot verify priority rule"
+    never_rowed = {n for n in all_queries() if n not in rowed}
+    need = never_rowed | set(ent._CHANGED_THIS_ROUND) | set(ent._REWORKED_R5)
+    first50 = set(list(ent.queries())[:50])
+    left_out = sorted(need - first50)
+    assert not left_out, (
+        f"priority rule violated — these must be in the first 50: {left_out}"
+    )
+    # the hand-maintained never-rowed list must match the recomputed one
+    assert never_rowed <= set(ent._NEVER_ROWED) | set(ent._CHANGED_THIS_ROUND), (
+        f"queries with no driver row missing from _NEVER_ROWED: "
+        f"{sorted(never_rowed - set(ent._NEVER_ROWED))}"
+    )
+
+
 def test_every_query_has_oracle_or_documented_exception():
     """All registered queries except q49 (sketches — not
     SQL-expressible) must carry a DuckDB oracle."""

@@ -35,6 +35,14 @@ URL_CASES = [
     ("http://example.com/a//", "http://example.com/a"),
     ("http://example.com/?utm_source=1#x", "http://example.com"),
     ("http://sub.www-like.example.com/q", "http://sub.www-like.example.com/q"),
+    # tracking-param names must match at a separator boundary only:
+    # substrings of longer parameter names are NOT tracking params
+    ("http://example.com/p?abcgclid=5", "http://example.com/p?abcgclid=5"),
+    ("http://example.com/p?myfbclid=1&id=2", "http://example.com/p?myfbclid=1&id=2"),
+    ("http://example.com/p?xutm_source=1", "http://example.com/p?xutm_source=1"),
+    # consecutive tracking params collapse cleanly
+    ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"),
+    ("http://example.com/p?utm_a=1&gclid=2&id=3", "http://example.com/p?id=3"),
 ]
 
 
