@@ -7,11 +7,14 @@ dbimutils.py preprocessing). This container has no PIL/cv2/libjpeg,
 but baseline JFIF needs only the public T.81 spec machinery: marker
 parse, canonical Huffman decode, dequantize, 8x8 inverse DCT (one
 numpy matrix product pair per block), chroma upsample, YCbCr→RGB.
-Supported: baseline + extended-sequential Huffman (SOF0/SOF1), 1- or
-3-component, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...),
-restart markers. Progressive (SOF2) and arithmetic-coded JPEGs return
-header meta (dims are in the frame header) but fall through to the
-PIL seam for pixels, like 16-bit PNG.
+Supported: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+progressive Huffman (SOF2, spectral selection + successive
+approximation per T.81 Annex G), 1- or 3-component, any sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers, 0xFF fill
+bytes before markers (B.1.1.2). Arithmetic-coded and lossless JPEGs
+return header meta only (dims are in the frame header); pixels fall
+through to the PIL seam. Malformed-but-magic-valid bytes always
+return None (dropped-with-count), never raise into the Spark task.
 
 Scale note: decode runs inside Arrow-batched ``mapInPandas`` workers
 (operators/multimodal.py). The Huffman bit loop is sequential per scan
@@ -125,23 +128,48 @@ _C = np.array(
 _SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
+def _read_marker(data: bytes, pos: int) -> tuple[int, int] | None:
+    """Marker walk step: require a 0xFF at ``pos``, skip any number of
+    additional 0xFF fill bytes (T.81 B.1.1.2 allows arbitrary fill
+    before a marker), return (marker_code, pos_after_marker). None on
+    structure violation or truncation."""
+    n = len(data)
+    if pos >= n or data[pos] != 0xFF:
+        return None
+    pos += 1
+    while pos < n and data[pos] == 0xFF:
+        pos += 1
+    if pos >= n:
+        return None
+    return data[pos], pos + 1
+
+
 def jpeg_meta(data: bytes) -> tuple[int, int, str] | None:
     """Header-only (width, height, mode) from the first SOFn marker —
     no entropy decode, O(header): the metadata fast path for
     ``decode_image_meta``. Works for progressive too (dims live in
     the frame header). None when not structurally a JPEG."""
+    try:
+        return _jpeg_meta(data)
+    except (ValueError, struct.error, IndexError):
+        return None  # malformed-but-magic-valid: corrupt, not a crash
+
+
+def _jpeg_meta(data: bytes) -> tuple[int, int, str] | None:
     if len(data) < 4 or data[:3] != JPEG_MAGIC:
         return None
     pos = 2
     n = len(data)
     while pos + 4 <= n:
-        if data[pos] != 0xFF:
+        step = _read_marker(data, pos)
+        if step is None:
             return None
-        marker = data[pos + 1]
-        pos += 2
+        marker, pos = step
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            return None
+        if pos + 2 > n:
             return None
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         if seglen < 2 or pos + seglen > n:
@@ -250,28 +278,303 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _next_marker_pos(data: bytes, pos: int) -> int | None:
+    """First position ≥ pos of a real marker (0xFF followed by
+    anything but the 0x00 stuffing escape); None when the stream ends
+    without one. Used to resume the marker walk after a progressive
+    scan's entropy-coded data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return None
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) Huffman decoding
+    — T.81 Annex G spectral selection + successive approximation (the
+    control flow mirrors the spec's G.1.2.2/G.1.2.3 decision trees,
+    the same shape libjpeg's jdphuff uses). Each SOS updates the
+    per-component coefficient arrays in place; :meth:`finish`
+    dequantizes and reuses the sequential path's IDCT/output stage, so
+    a progressive file decodes bit-exact to its sequential twin."""
+
+    def __init__(self, frame) -> None:
+        h, w, comps = frame
+        if h <= 0 or w <= 0 or not comps or len(comps) > 4:
+            raise ValueError("bad progressive frame header")
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if self.hmax < 1 or self.vmax < 1:
+            raise ValueError("bad sampling factors")
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coefs = []
+        self.nblocks = []  # per comp: block grid covering its sample area
+        for _cid, hi, vi, _tq in comps:
+            self.coefs.append(
+                np.zeros((self.mcuy * vi, self.mcux * hi, 64), dtype=np.int32)
+            )
+            cw = -(-(w * hi) // self.hmax)
+            ch = -(-(h * vi) // self.vmax)
+            self.nblocks.append((-(-ch // 8), -(-cw // 8)))
+        self.any_scan = False
+
+    def decode_scan(
+        self, data, pos, scan_comps, ss, se, ah, al, htabs, restart_interval
+    ) -> int | None:
+        """Decode one SOS's entropy data; returns the position of the
+        next marker (its 0xFF byte) or None on corruption."""
+        cid_to_i = {c[0]: i for i, c in enumerate(self.comps)}
+        idx = []
+        for cs, td, ta in scan_comps:
+            if cs not in cid_to_i:
+                return None
+            idx.append((cid_to_i[cs], td, ta))
+        reader = _ScanReader(data, pos)
+        if ss == 0:
+            if se != 0 or al > 13:
+                return None
+            ok = self._dc_scan(reader, idx, ah, al, htabs, restart_interval)
+        else:
+            if len(idx) != 1 or se > 63 or ss > se or al > 13:
+                return None
+            ok = self._ac_scan(
+                reader, idx[0], ss, se, ah, al, htabs, restart_interval
+            )
+        if not ok:
+            return None
+        self.any_scan = True
+        return _next_marker_pos(data, reader.pos)
+
+    def _dc_scan(self, reader, idx, ah, al, htabs, restart_interval) -> bool:
+        tables = []
+        for _ci, td, _ta in idx:
+            if ah == 0:
+                t = htabs.get((0, td))
+                if t is None:
+                    return False
+                tables.append(t)
+            else:
+                tables.append(None)  # refinement reads raw bits only
+        if len(idx) > 1:
+            # interleaved MCU order (subset interleave unsupported —
+            # no mainstream encoder emits it)
+            if len(idx) != len(self.comps):
+                return False
+
+            def units():
+                for m in range(self.mcux * self.mcuy):
+                    my, mx = divmod(m, self.mcux)
+                    blocks = []
+                    for s, (ci, _td, _ta) in enumerate(idx):
+                        _cid, hi, vi, _tq = self.comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blocks.append((s, ci, my * vi + by, mx * hi + bx))
+                    yield blocks
+
+        else:
+            ci0 = idx[0][0]
+            byc, bxc = self.nblocks[ci0]
+
+            def units():
+                for b in range(byc * bxc):
+                    by, bx = divmod(b, bxc)
+                    yield [(0, ci0, by, bx)]
+
+        preds = [0] * len(idx)
+        for m, blocks in enumerate(units()):
+            if restart_interval and m and m % restart_interval == 0:
+                mk = reader.at_marker()
+                if mk is None or not 0xD0 <= mk <= 0xD7:
+                    return False
+                reader.skip_marker()
+                preds = [0] * len(idx)
+            for s, ci, by, bx in blocks:
+                block = self.coefs[ci][by, bx]
+                if ah == 0:  # first DC scan: diff-coded magnitude << al
+                    t = reader.decode_symbol(tables[s])
+                    if t is None or t > 15:
+                        return False
+                    diff = 0
+                    if t:
+                        v = reader.receive(t)
+                        if v is None:
+                            return False
+                        diff = _extend(v, t)
+                    preds[s] += diff
+                    block[0] = preds[s] << al
+                else:  # refinement: one correction bit per block
+                    bit = reader.read_bit()
+                    if bit is None:
+                        return False
+                    if bit:
+                        block[0] = int(block[0]) | (1 << al)
+        return True
+
+    def _ac_scan(self, reader, one, ss, se, ah, al, htabs, restart_interval) -> bool:
+        ci, _td, ta = one
+        act = htabs.get((1, ta))
+        if act is None:
+            return False
+        byc, bxc = self.nblocks[ci]
+        coefs = self.coefs[ci]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for b in range(byc * bxc):
+            if restart_interval and b and b % restart_interval == 0:
+                mk = reader.at_marker()
+                if mk is None or not 0xD0 <= mk <= 0xD7:
+                    return False
+                reader.skip_marker()
+                eobrun = 0
+            by, bx = divmod(b, bxc)
+            block = coefs[by, bx]
+            if ah == 0:  # first scan for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(act)
+                    if rs is None:
+                        return False
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # this block is a member
+                        if r:
+                            v = reader.receive(r)
+                            if v is None:
+                                return False
+                            eobrun += v
+                        break
+                    k += r
+                    if k > se:
+                        return False
+                    v = reader.receive(s)
+                    if v is None:
+                        return False
+                    block[_ZIGZAG[k]] = _extend(v, s) << al
+                    k += 1
+            else:  # refinement scan (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(act)
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    v = reader.receive(r)
+                                    if v is None:
+                                        return False
+                                    eobrun += v
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                return False
+                            bit = reader.read_bit()
+                            if bit is None:
+                                return False
+                            newval = p1 if bit else m1
+                        # advance past r zero-history coefficients,
+                        # emitting correction bits for nonzero history
+                        while k <= se:
+                            zi = _ZIGZAG[k]
+                            cur = int(block[zi])
+                            if cur != 0:
+                                bit = reader.read_bit()
+                                if bit is None:
+                                    return False
+                                if bit and (cur & p1) == 0:
+                                    block[zi] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                return False
+                            block[_ZIGZAG[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB run covers this block: correction bits only
+                    while k <= se:
+                        zi = _ZIGZAG[k]
+                        cur = int(block[zi])
+                        if cur != 0:
+                            bit = reader.read_bit()
+                            if bit is None:
+                                return False
+                            if bit and (cur & p1) == 0:
+                                block[zi] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+        return True
+
+    def finish(self, qtabs) -> np.ndarray | None:
+        dequant = []
+        meta = []
+        for (cid, hi, vi, tq), coef in zip(self.comps, self.coefs):
+            qt = qtabs.get(tq)
+            if qt is None:
+                return None
+            dequant.append(coef.astype(np.float64) * qt)
+            meta.append((hi, vi))
+        out = _idct_planes(dequant, meta, self.h, self.w, self.hmax, self.vmax)
+        return _planes_to_pixels(out)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray | None:
-    """Baseline/extended-sequential JPEG bytes → uint8 (h, w) for
-    grayscale or (h, w, 3) RGB. None for corrupt, progressive, or
-    arithmetic-coded input — the caller maps those to the
-    dropped-with-count row or the PIL seam."""
+    """Baseline/extended-sequential (SOF0/SOF1) or progressive (SOF2)
+    JPEG bytes → uint8 (h, w) for grayscale or (h, w, 3) RGB. None
+    for corrupt or arithmetic/lossless-coded input — the caller maps
+    those to the dropped-with-count row or the PIL seam. A blanket
+    guard converts every malformed-but-magic-valid structure
+    (truncated segment bodies, bad counts, over-long SOS headers) into
+    None rather than a crashed Spark task."""
+    try:
+        return _decode_jpeg(data)
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray | None:
     if len(data) < 4 or data[:3] != JPEG_MAGIC:
         return None
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
+    progressive = False
     restart_interval = 0
+    prog: _ProgressiveState | None = None
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
-        if data[pos] != 0xFF:
+    while pos + 2 <= n:
+        step = _read_marker(data, pos)
+        if step is None:
             return None
-        marker = data[pos + 1]
-        pos += 2
+        marker, pos = step
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:
-            return None  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if prog is not None and prog.any_scan:
+                return prog.finish(qtabs)
+            return None  # EOI before any decoded scan
+        if pos + 2 > n:
+            return None
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         if seglen < 2 or pos + seglen > n:
             return None
@@ -281,14 +584,14 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
             while i < len(body):
                 prec, tid = body[i] >> 4, body[i] & 0x0F
                 i += 1
+                width = 64 if prec == 0 else 128
+                if i + width > len(body):
+                    return None
                 if prec == 0:
                     vals = np.frombuffer(body, np.uint8, 64, i).astype(np.float64)
-                    i += 64
                 else:
-                    vals = (
-                        np.frombuffer(body, ">u2", 64, i).astype(np.float64)
-                    )
-                    i += 128
+                    vals = np.frombuffer(body, ">u2", 64, i).astype(np.float64)
+                i += width
                 nat = np.empty(64)
                 nat[_ZIGZAG] = vals
                 qtabs[tid] = nat
@@ -303,33 +606,89 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
                     return None
                 htabs[(tc, th)] = _build_huffman(bits, huffval)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
-            if len(body) < 6:
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            if frame is not None or len(body) < 6:
                 return None
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                return None
             comps = []
             for c in range(ncomp):
                 off = 6 + 3 * c
-                comps.append((body[off], body[off + 1] >> 4, body[off + 1] & 0x0F, body[off + 2]))
+                comps.append(
+                    (body[off], body[off + 1] >> 4, body[off + 1] & 0x0F, body[off + 2])
+                )
             frame = (int(h), int(w), comps)
-        elif marker in _SOF_MARKERS:  # progressive / arithmetic / lossless
+            progressive = marker == 0xC2
+        elif marker in _SOF_MARKERS:  # arithmetic / lossless / hierarchical
             return None
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None or len(body) < 1:
                 return None
             ns = body[0]
-            scan_tables = {}
+            if len(body) < 1 + 2 * ns + 3:
+                return None
+            scan_comps = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                data, pos + seglen, frame, scan_tables, qtabs, htabs, restart_interval
+                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+                return _decode_scan(
+                    data, pos + seglen, frame, scan_tables, qtabs, htabs,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            pos = prog.decode_scan(
+                data, pos + seglen, scan_comps, ss, se, ah, al, htabs,
+                restart_interval,
             )
+            if pos is None:
+                return None
+            continue  # marker walk resumes right at the next marker
         pos += seglen
     return None
+
+
+def _idct_planes(dequant, meta, h, w, hmax, vmax):
+    """Per-component dequantized (by, bx, 64) coefficient arrays →
+    full-resolution float planes cropped to (h, w). Shared by the
+    sequential and progressive paths."""
+    out_planes = []
+    for blocks, (hi, vi) in zip(dequant, meta):
+        byc, bxc, _ = blocks.shape
+        spat = np.einsum(
+            "ki,yxkl,lj->yxij", _C, blocks.reshape(byc, bxc, 8, 8), _C
+        )
+        plane = spat.transpose(0, 2, 1, 3).reshape(byc * 8, bxc * 8) + 128.0
+        # upsample to full-resolution grid (box/nearest, per JFIF practice)
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    return out_planes
+
+
+def _planes_to_pixels(out_planes):
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        return None  # CMYK pixels not supported (meta still works)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
@@ -342,7 +701,7 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
         return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []  # per component: coefficient array (blocks_y*8, blocks_x*8)
+    planes = []  # per component: dequantized coefficients (by, bx, 64)
     meta = []
     for cid, hi, vi, tq in comps:
         if cid not in scan_tables or tq not in qtabs:
@@ -372,29 +731,10 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
                     if coef is None:
                         return None
                     planes[ci][my * vi + by, mx * hi + bx] = coef * qt
-    out_planes = []
-    for ci, (hi, vi, _qt, _d, _a) in enumerate(meta):
-        blocks = planes[ci]  # (by, bx, 64)
-        byc, bxc, _ = blocks.shape
-        spat = np.einsum(
-            "ki,yxkl,lj->yxij", _C, blocks.reshape(byc, bxc, 8, 8), _C
-        )
-        plane = spat.transpose(0, 2, 1, 3).reshape(byc * 8, bxc * 8) + 128.0
-        # upsample to full-resolution grid (box/nearest, per JFIF practice)
-        ry, rx = vmax // vi, hmax // hi
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out_planes.append(plane[:h, :w])
-    if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-    if len(out_planes) != 3:
-        return None  # CMYK pixels not supported (meta still works)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    out_planes = _idct_planes(
+        planes, [(hi, vi) for hi, vi, _q, _d, _a in meta], h, w, hmax, vmax
+    )
+    return _planes_to_pixels(out_planes)
 
 
 def _decode_block(reader, dct, act, preds, ci):
@@ -641,5 +981,287 @@ def encode_jpeg(
                     preds[ci] = _encode_block(bw, coef, preds[ci], dce, ace)
     bw.flush_scan()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (q151 fixture corpus + roundtrip tests)
+# ---------------------------------------------------------------------------
+
+
+def _extended_ac_spec(spec) -> tuple[list[int], list[int]]:
+    """Annex K AC table + EOB-run symbols (r<<4 for r=1..4) appended
+    at code length 16 — Annex K carries only EOB0/ZRL among the s=0
+    codes, but progressive scans code multi-block EOB runs. The K
+    tables have exactly ONE free length-16 slot (the reserved
+    all-ones code), so first demote one length-2 symbol to length 3
+    (frees 2^-3 of Kraft mass), then append; the table stays
+    canonically valid with the all-ones code unused (asserted by
+    tests). Decoders read the table from the DHT segment, so only
+    internal consistency matters."""
+    bits, huffval = spec
+    bits = list(bits)
+    bits[1] -= 1  # one fewer length-2 code...
+    bits[2] += 1  # ...becomes a length-3 code: frees 2^-3 Kraft mass
+    extra = [0x10, 0x20, 0x30, 0x40]
+    bits[15] += len(extra)
+    return bits, list(huffval) + extra
+
+
+_EOBRUN_CAP = 31  # (1 << 5) - 1: largest run codable with r <= 4
+
+
+class _ProgScanWriter:
+    """Per-scan entropy writer handling EOB-run accumulation and the
+    refinement correction-bit buffer (mirror of the decoder's state)."""
+
+    def __init__(self, ac_enc) -> None:
+        self.bw = _BitWriterMSB()
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac_enc[r << 4]
+            self.bw.write(code, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.emit_pending()
+
+    def emit_pending(self) -> None:
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.pending_bits = []
+
+    def end_scan(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.flush_scan()
+        return bytes(self.bw.out)
+
+
+def _tz_shift(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al rounding TOWARD ZERO
+    (T.81 G.1.2.2 — distinct from the DC arithmetic shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _encode_ac_first(sw: _ProgScanWriter, zz_band, al: int) -> None:
+    band = [_tz_shift(int(v), al) for v in zz_band]
+    if not any(band):
+        sw.eobrun += 1
+        if sw.eobrun >= _EOBRUN_CAP:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    run = 0
+    last_nz = max(i for i, v in enumerate(band) if v)
+    for i in range(last_nz + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = sw.ac_enc[0xF0]
+            sw.bw.write(code, length)
+            run -= 16
+        s, bitsv = _magnitude(v)
+        code, length = sw.ac_enc[(run << 4) | s]
+        sw.bw.write(code, length)
+        sw.bw.write(bitsv, s)
+        run = 0
+    if last_nz < len(band) - 1:
+        sw.eobrun = 1  # trailing zeros: open an EOB run at this block
+
+
+def _encode_ac_refine(sw: _ProgScanWriter, zz_band, al: int) -> None:
+    absvals = [abs(int(v)) >> al for v in zz_band]
+    eob = -1
+    for i, t in enumerate(absvals):
+        if t == 1:
+            eob = i
+    run = 0
+    bits: list[int] = []
+    for i, t in enumerate(absvals):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            sw.flush_eobrun()
+            code, length = sw.ac_enc[0xF0]
+            sw.bw.write(code, length)
+            run -= 16
+            for b in bits:
+                sw.bw.write(b, 1)
+            bits = []
+        if t > 1:  # history-nonzero: correction bit rides along
+            bits.append(t & 1)
+            continue
+        sw.flush_eobrun()
+        code, length = sw.ac_enc[(run << 4) | 1]
+        sw.bw.write(code, length)
+        sw.bw.write(1 if int(zz_band[i]) >= 0 else 0, 1)
+        for b in bits:
+            sw.bw.write(b, 1)
+        bits = []
+        run = 0
+    if run > 0 or bits:
+        sw.eobrun += 1
+        sw.pending_bits.extend(bits)
+        if sw.eobrun >= _EOBRUN_CAP:
+            sw.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    *,
+    subsample: bool = False,
+    successive: bool = True,
+) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → spec-valid progressive
+    (SOF2) JFIF JPEG. Scan script: interleaved DC first scan, one AC
+    first scan per component over the full 1..63 band; with
+    ``successive`` the first scans drop the lowest bit (Al=1) and a DC
+    + per-component AC refinement pass restores it, exercising all
+    four progressive scan types. Coefficients are identical to
+    :func:`encode_jpeg`'s, so decode output is bit-exact to the
+    baseline twin."""
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    ql = _scale_qtable(_K1_LUMA, quality)
+    qc = _scale_qtable(_K2_CHROMA, quality)
+    ac_l_spec = _extended_ac_spec(_K_AC_LUMA)
+    ac_c_spec = _extended_ac_spec(_K_AC_CHROMA)
+    dc_l = _encode_codes(*_K_DC_LUMA)
+    dc_c = _encode_codes(*_K_DC_CHROMA)
+    ac_l = _encode_codes(*ac_l_spec)
+    ac_c = _encode_codes(*ac_c_spec)
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [_pad_to(a, 8, 8)]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            y = _pad_to(y, 16, 16)
+            cb = _pad_to(cb, 16, 16)
+            cr = _pad_to(cr, 16, 16)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            y, cb, cr = (_pad_to(p, 8, 8) for p in (y, cb, cr))
+        planes = [y, cb, cr]
+    coefs = [
+        _fdct_quant(p, ql if c[3] == 0 else qc) for p, c in zip(planes, comps)
+    ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-comp non-interleaved block grid (covers the sample area
+    # only — same formula as the decoder's _ProgressiveState.nblocks)
+    nblocks = []
+    for _cid, hi, vi, _tq in comps:
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def qt_seg(tid: int, nat: np.ndarray) -> bytes:
+        zz = nat[_ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(int(v) for v in zz)
+
+    out += qt_seg(0, ql)
+    if not gray:
+        out += qt_seg(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht_seg(tc: int, th: int, spec) -> bytes:
+        bits, huffval = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht_seg(0, 0, _K_DC_LUMA) + dht_seg(1, 0, ac_l_spec)
+    if not gray:
+        out += dht_seg(0, 1, _K_DC_CHROMA) + dht_seg(1, 1, ac_c_spec)
+
+    def sos_header(scan_comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    al1 = 1 if successive else 0
+
+    # --- DC first scan: interleaved, diff of (dc >> al1) ---
+    out += sos_header([(c[0], 0 if c[3] == 0 else 1, 0) for c in comps], 0, 0, 0, al1)
+    bw = _BitWriterMSB()
+    preds = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            dce = dc_l if tq == 0 else dc_c
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(coefs[ci][my * vi + by, mx * hi + bx][0]) >> al1
+                    t, bitsv = _magnitude(dc - preds[ci])
+                    code, length = dce[t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(bitsv, t)
+                    preds[ci] = dc
+    bw.flush_scan()
+    out += bw.out
+
+    # --- AC first scans: one per component, band 1..63 ---
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        out += sos_header([(cid, 0, 0 if tq == 0 else 1)], 1, 63, 0, al1)
+        sw = _ProgScanWriter(ac_l if tq == 0 else ac_c)
+        byc, bxc = nblocks[ci]
+        for b in range(byc * bxc):
+            by, bx = divmod(b, bxc)
+            zz = coefs[ci][by, bx][_ZIGZAG]
+            _encode_ac_first(sw, zz[1:64], al1)
+        out += sw.end_scan()
+
+    if successive:
+        # --- DC refinement: one bit per block, interleaved ---
+        out += sos_header([(c[0], 0, 0) for c in comps], 0, 0, 1, 0)
+        bw = _BitWriterMSB()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(coefs[ci][my * vi + by, mx * hi + bx][0])
+                        bw.write(dc & 1, 1)
+        bw.flush_scan()
+        out += bw.out
+        # --- AC refinement scans ---
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            out += sos_header([(cid, 0, 0 if tq == 0 else 1)], 1, 63, 1, 0)
+            sw = _ProgScanWriter(ac_l if tq == 0 else ac_c)
+            byc, bxc = nblocks[ci]
+            for b in range(byc * bxc):
+                by, bx = divmod(b, bxc)
+                zz = coefs[ci][by, bx][_ZIGZAG]
+                _encode_ac_refine(sw, zz[1:64], 0)
+            out += sw.end_scan()
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -278,6 +278,61 @@ def decode_image_meta(
     return df.mapInPandas(decode, schema=out_schema)
 
 
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_pixel_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas FULL pixel decode (PNG/GIF/JPEG incl. progressive
+    via the stdlib codecs) → per-image pixel stats struct, null when
+    the bytes don't decode. Unlike ``decode_image_meta`` (header-only
+    fast path) this inflates every pixel, so a Huffman/IDCT/palette
+    bug that leaves the header intact still surfaces — q151 gates on
+    it. Same Arrow-batched row-parallel shape as the meta decode;
+    stats are O(pixels) numpy reductions per image."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("pixel_stats", PIXEL_STATS_SCHEMA)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = _DECODER_CACHE.get("pixel_stats")
+        if dec is None:
+            dec = image_pixel_decoder_loader()()
+            _DECODER_CACHE["pixel_stats"] = dec
+        for pdf in batches:
+            stats = []
+            for content in pdf[content_col]:
+                arr = dec(bytes(content)) if content is not None else None
+                if arr is None:
+                    stats.append(None)
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                stats.append(
+                    {
+                        "height": int(arr.shape[0]),
+                        "width": int(arr.shape[1]),
+                        "channels": int(arr.shape[2]),
+                        "px_min": int(arr.min()),
+                        "px_max": int(arr.max()),
+                        "px_mean": float(arr.mean()),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["pixel_stats"] = stats
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 FEATURE_DIM = 16
 
 

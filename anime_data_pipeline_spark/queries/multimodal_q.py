@@ -570,15 +570,20 @@ def q115_png_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q151 — REAL GIF + JPEG decode e2e (SURVEY S7 closed for GIF/JPEG,
-# round 5): a synthetic corpus of genuine spec-valid GIF89a files
-# (stdlib LZW encoder) and baseline JFIF JPEGs (stdlib Huffman
-# encoder), dims/format/mode derived from doc_id, every 30th row
-# corrupt-after-magic — decoded by decode_image_meta's DEFAULT
-# decoder (magic-byte dispatch, no injection), then aspect-ratio
-# bucket assignment on the DECODED dimensions (reference
-# bucket_manager.py:180-189 flow). The oracle recomputes
-# dims/mode/buckets straight from doc_id, so any LSD/SOF parse,
-# endianness, or dispatch bug in either codec breaks the hash match.
+# round 5; progressive JPEG + full-pixel gate added round 6): a
+# synthetic corpus of genuine spec-valid GIF89a files (stdlib LZW
+# encoder) and JFIF JPEGs — baseline AND progressive SOF2 with
+# successive approximation (stdlib Huffman encoders) — dims/format/
+# mode derived from doc_id, every 30th row corrupt-after-magic.
+# Decoded twice: header meta via decode_image_meta's DEFAULT decoder
+# (magic-byte dispatch, no injection) feeding aspect-ratio bucket
+# assignment on the DECODED dimensions (reference
+# bucket_manager.py:180-189 flow), and FULL pixels via
+# decode_image_pixel_stats — pixel_ok asserts every decoded image is
+# uniform at the doc_id-derived fill/palette color, so a Huffman,
+# IDCT, EOB-run, refinement-bit, or palette bug that leaves headers
+# intact still breaks the hash match. The oracle recomputes
+# dims/mode/buckets straight from doc_id and pins pixel_ok TRUE.
 # ---------------------------------------------------------------------------
 _Q151_IMGS = """
   SELECT doc_id AS image_key,
@@ -602,7 +607,8 @@ def _q151_oracle() -> str:
            CASE CAST(image_key % 4 AS INTEGER)
              WHEN 0 THEN 'P' WHEN 2 THEN 'P'
              WHEN 1 THEN 'L' ELSE 'RGB' END AS mode,
-           bucket_w, bucket_h
+           bucket_w, bucket_h,
+           TRUE AS pixel_ok
     FROM assigned
     """
 
@@ -610,14 +616,18 @@ def _q151_oracle() -> str:
 def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 5 = 0) → (doc_id, content: binary) of real
     GIF (even doc_id: constant-index frame, 4-entry palette) and real
-    JPEG (odd doc_id: constant-fill gray or RGB) bytes; dims from
-    doc_id int math. Every 30th row is corrupt-after-magic — the P6
-    null path through the REAL codecs (GIF structural check / JPEG
-    marker walk both reject it)."""
+    JPEG (odd doc_id: constant-fill gray or RGB; doc_id % 8 in (1, 3)
+    → PROGRESSIVE SOF2 with successive approximation, the rest
+    baseline SOF0) bytes; dims from doc_id int math. Every 30th row
+    is corrupt-after-magic — the P6 null path through the REAL codecs
+    (GIF structural check / JPEG marker walk both reject it)."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.gif_codec import encode_gif
-    from anime_data_pipeline_spark.operators.jpeg_codec import encode_jpeg
+    from anime_data_pipeline_spark.operators.jpeg_codec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -655,9 +665,15 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     fill = 40 + i % 160
                     shape = (h, w) if i % 4 == 1 else (h, w, 3)
-                    blobs.append(
-                        encode_jpeg(np.full(shape, fill, dtype=np.uint8), 85)
-                    )
+                    img = np.full(shape, fill, dtype=np.uint8)
+                    if i % 8 in (1, 3):  # progressive slice, 4:2:0 RGB
+                        blobs.append(
+                            encode_jpeg_progressive(
+                                img, 85, subsample=(i % 4 == 3), successive=True
+                            )
+                        )
+                    else:
+                        blobs.append(encode_jpeg(img, 85))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     return docs.mapInPandas(gen, schema=schema)
@@ -669,13 +685,51 @@ def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         BucketConfig,
         assign_bucket_columns,
     )
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
 
-    decoded = decode_image_meta(_gif_jpeg_corpus(spark, sf_dir))
+    corpus = _gif_jpeg_corpus(spark, sf_dir)
+    decoded = decode_image_pixel_stats(decode_image_meta(corpus))
+    # pixel_ok: FULL decode must produce exactly the doc_id-derived
+    # uniform image. GIF rows (even ids): palette[id % 4] → known
+    # per-image (min, max, mean): black (0,0,0) / white (255,255,255)
+    # / red|blue (0,255, mean 85). JPEG rows (odd ids): constant fill
+    # round-trips to a uniform value within ±2 of fill (DC-only
+    # quantization error ≤ q00/16 at quality 85).
+    i = F.col("doc_id")
+    fill = (F.lit(40) + (i % 160)).cast("int")
+    st = F.col("pixel_stats")
+    gif_expect = {
+        0: (0, 0, 0.0),
+        1: (255, 255, 255.0),
+        2: (0, 255, 85.0),
+        3: (0, 255, 85.0),
+    }
+    gif_ok = F.lit(False)
+    for p, (mn, mx, mean) in gif_expect.items():
+        gif_ok = F.when(
+            (i % 4) == p,
+            (st["px_min"] == mn) & (st["px_max"] == mx) & (st["px_mean"] == mean),
+        ).otherwise(gif_ok)
+    jpeg_ok = (
+        (st["px_min"] == st["px_max"])
+        & (F.abs(st["px_min"] - fill) <= 2)
+        & (st["channels"] == F.when(i % 4 == 1, 1).otherwise(3))
+    )
+    decoded = decoded.withColumn(
+        "pixel_ok",
+        st.isNotNull()
+        & (st["width"] == F.col("image_meta.width"))
+        & (st["height"] == F.col("image_meta.height"))
+        & F.when(i % 2 == 0, gif_ok).otherwise(jpeg_ok),
+    )
     ok = decoded.filter(F.col("image_meta").isNotNull()).select(
         F.col("doc_id").alias("image_key"),
         F.col("image_meta.width").alias("width"),
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.mode").alias("mode"),
+        "pixel_ok",
     )
     assigned = assign_bucket_columns(ok, cfg=BucketConfig())
     return assigned.select(
@@ -685,4 +739,5 @@ def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode",
         "bucket_w",
         "bucket_h",
+        "pixel_ok",
     )

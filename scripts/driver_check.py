@@ -49,8 +49,33 @@ def _canon_strs(col: pd.Series) -> pd.Series:
     return col.map(lambda v: "<null>" if pd.isna(v) else repr(v))
 
 
+def _dt_kind(col: pd.Series) -> bool:
+    """Datetime-like: datetime64 of any resolution, or an object
+    column of datetime.date/datetime values (Spark DATE → pandas
+    object). The driver's hash stringifies these to the same form, so
+    exact mode canonicalizes the unit but keeps zero value
+    tolerance."""
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return True
+    if col.dtype == object:
+        import datetime
+
+        nn = col.dropna()
+        return len(nn) > 0 and isinstance(nn.iloc[0], (datetime.date, datetime.datetime))
+    return False
+
+
 def compare_exact(a: pd.DataFrame, e: pd.DataFrame) -> None:
     for c in a.columns:
+        if _dt_kind(a[c]) or _dt_kind(e[c]):
+            da = pd.to_datetime(a[c]).astype("datetime64[us]")
+            de = pd.to_datetime(e[c]).astype("datetime64[us]")
+            bad = ~((da == de) | (da.isna() & de.isna()))
+            assert not bad.any(), (
+                f"col {c}: {int(bad.sum())} datetime values differ "
+                f"(first: {da[bad].iloc[0]!r} vs {de[bad].iloc[0]!r})"
+            )
+            continue
         ka = "float" if pd.api.types.is_float_dtype(a[c]) else (
             "int" if pd.api.types.is_integer_dtype(a[c]) else str(a[c].dtype)
         )

@@ -71,3 +71,20 @@ def test_exact_catches_string_mismatch():
     e = pd.DataFrame({"s": ["a", "B"]})
     with pytest.raises(AssertionError, match="mismatched values"):
         dc.compare_exact(a, e)
+
+
+def test_exact_canonicalizes_datetime_representations():
+    """Spark toPandas yields datetime64[ns] (and DATE → object of
+    datetime.date); DuckDB fetch_df yields datetime64[us]. The driver
+    hash stringifies both the same, so unit/representation must NOT
+    fail exact mode — but a real value drift must."""
+    import datetime
+
+    a = pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2024-06-01"]).astype("datetime64[ns]")})
+    e = pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2024-06-01"]).astype("datetime64[us]")})
+    dc.compare_exact(a, e)
+    d = pd.DataFrame({"t": [datetime.date(2024, 1, 1), datetime.date(2024, 6, 1)]})
+    dc.compare_exact(d, e)
+    bad = pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2024-06-02"]).astype("datetime64[us]")})
+    with pytest.raises(AssertionError, match="datetime values differ"):
+        dc.compare_exact(a, bad)

@@ -210,14 +210,124 @@ def test_jpeg_noise_bounded_by_quality():
 def test_jpeg_meta_progressive_and_corrupt():
     img = np.full((16, 16), 77, dtype=np.uint8)
     good = encode_jpeg(img, 80)
-    # patch SOF0 (FFC0) → SOF2 (FFC2): progressive — meta parses the
-    # frame header, pixel decode declines
+    # patch SOF0 (FFC0) → SOF2 (FFC2): the baseline scan header
+    # (Ss=0, Se=63) is illegal under progressive rules, so pixel
+    # decode declines while meta still parses the frame header
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert jpeg_meta(prog) == (16, 16, "L")
     assert decode_jpeg(prog) is None
     assert jpeg_meta(b"\xff\xd8\xffnope") is None
     assert decode_jpeg(good[:40]) is None
     assert decode_jpeg(b"junk") is None
+
+
+def test_jpeg_malformed_segments_return_none_not_raise():
+    """The r5 advisor's crash repros: malformed-but-magic-valid bytes
+    must become None (dropped-with-count row), never an exception into
+    the Spark task — truncated DQT body (np.frombuffer ValueError),
+    1-byte DRI body (struct.error), SOS ns larger than its body
+    (IndexError)."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    good = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), 80)
+    truncated_dqt = b"\xff\xd8" + seg(0xDB, b"\x00" + b"\x01" * 10) + good[2:]
+    short_dri = b"\xff\xd8" + seg(0xDD, b"\x05") + good[2:]
+    sos_pos = good.index(b"\xff\xda")
+    fat_sos = b"\xff\xd8" + good[2:sos_pos] + seg(0xDA, bytes([10, 1, 0]))
+    for bad in (truncated_dqt, short_dri, fat_sos, good[: len(good) // 2]):
+        assert decode_jpeg(bad) is None  # must not raise
+        jpeg_meta(bad)  # must not raise either
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; padded streams must parse identically, not drop as
+    corrupt."""
+    img = _rng(3).integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    good = encode_jpeg(img, 85)
+    base = decode_jpeg(good)
+    # pad after SOI and before the SOS marker byte
+    padded = good[:2] + b"\xff\xff" + good[2:]
+    sos = padded.index(b"\xff\xda")
+    padded = padded[:sos] + b"\xff\xff\xff" + padded[sos:]
+    assert jpeg_meta(padded) == jpeg_meta(good)
+    out = decode_jpeg(padded)
+    assert out is not None and np.array_equal(out, base)
+
+
+def test_jpeg_progressive_extended_ac_tables_valid():
+    """The progressive writer's AC tables (Annex K + EOB-run symbols)
+    must stay canonically valid: every code fits its length and the
+    reserved all-ones length-16 code is unused."""
+    from anime_data_pipeline_spark.operators.jpeg_codec import (
+        _encode_codes,
+        _extended_ac_spec,
+        _K_AC_CHROMA,
+        _K_AC_LUMA,
+    )
+
+    for spec in (_extended_ac_spec(_K_AC_LUMA), _extended_ac_spec(_K_AC_CHROMA)):
+        enc = _encode_codes(*spec)
+        for sym in (0x00, 0xF0, 0x10, 0x20, 0x30, 0x40):
+            assert sym in enc  # EOB runs up to 31 blocks are codable
+        for sym, (code, length) in enc.items():
+            assert code < (1 << length)
+            assert not (length == 16 and code == 0xFFFF)
+
+
+def test_jpeg_progressive_bit_exact_vs_baseline():
+    """Progressive (SOF2) decode must be BIT-EXACT to the sequential
+    decode of the same coefficients, across gray/RGB, 4:4:4/4:2:0,
+    and spectral-selection-only vs full successive approximation
+    (all four scan types: DC first/refine, AC first/refine)."""
+    from anime_data_pipeline_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+        jpeg_meta as meta,
+    )
+
+    r = _rng(11)
+    cases = [
+        ((24, 17, 3), False),
+        ((33, 40, 3), True),  # non-multiple-of-16 4:2:0 grid
+        ((16, 16), False),
+        ((8, 8), False),
+        ((21, 19, 3), True),
+    ]
+    for shape, sub in cases:
+        noise = r.integers(0, 256, shape, dtype=np.uint8)
+        smooth = (np.indices(shape[:2]).sum(0) % 7 * 3 + 100).astype(np.uint8)
+        if len(shape) == 3:
+            smooth = np.stack([smooth] * 3, -1)
+        for img in (noise, smooth):  # smooth → long EOB runs
+            kw = {"subsample": sub} if img.ndim == 3 else {}
+            base = decode_jpeg(encode_jpeg(img, 85, **kw))
+            for successive in (False, True):
+                pb = encode_jpeg_progressive(img, 85, successive=successive, **kw)
+                assert meta(pb) == (
+                    shape[1], shape[0], "RGB" if img.ndim == 3 else "L"
+                )
+                prog = decode_jpeg(pb)
+                assert prog is not None, (shape, sub, successive)
+                assert np.array_equal(base, prog), (shape, sub, successive)
+
+
+def test_jpeg_progressive_truncated_and_corrupt():
+    from anime_data_pipeline_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = _rng(5).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    pb = encode_jpeg_progressive(img, 85)
+    assert decode_jpeg(pb[: len(pb) // 2]) is None
+    assert decode_jpeg(pb[:-2]) is None  # EOI stripped → no output
+    # flip a byte inside the first scan's entropy data
+    sos = pb.index(b"\xff\xda")
+    mutated = bytearray(pb)
+    mutated[sos + 40] ^= 0x55
+    decode_jpeg(bytes(mutated))  # any result is fine; must not raise
 
 
 def test_jpeg_roundtrip_property():
