@@ -30,6 +30,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Streaming-plan audit trail: every completed streaming query appends
+# its final StreamingQueryProgress here (scripts/plan_report.py clears
+# it, runs a gate query, and reads the stateful-operator names +
+# watermark out — the streaming analogue of `.explain("formatted")`,
+# which a memory-sink batch read cannot show). Bounded: one dict per
+# stream run, cleared by readers.
+AUDIT: list[dict] = []
+
+
+def _record_progress(q) -> None:
+    """Append the query's last progress (a plain dict: operatorName /
+    numRowsTotal per stateful op, eventTime.watermark, batchId) to
+    AUDIT. Never raises — the audit is observability, not control."""
+    try:
+        p = q.lastProgress
+        if p:
+            AUDIT.append(dict(p, _numBatches=len(q.recentProgress)))
+    except Exception:
+        pass
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events.parquet as a stream (file source needs an explicit
@@ -154,6 +174,7 @@ def run_available_now(
         if not q.awaitTermination(timeout_s):
             raise TimeoutError(f"streaming query {name} still running after {timeout_s}s")
     finally:
+        _record_progress(q)
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(name)
@@ -270,6 +291,7 @@ def foreach_batch_upsert_latest(
         if not q.awaitTermination(timeout_s):
             raise TimeoutError(f"foreachBatch stream still running after {timeout_s}s")
     finally:
+        _record_progress(q)
         if q.isActive:
             q.stop()
 

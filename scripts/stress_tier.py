@@ -1,0 +1,156 @@
+"""100×-over-sf0.01 stress tier (r5 verdict item 6): the sandbox tops
+out at sf0.1, so synthesize an sf1-equivalent corpus (10× the sf0.1
+rows = 100× the sf0.01 rows the driver gates on) in /tmp and measure
+the heaviest operators against it — the closest local proxy for the
+"would this survive a 100× scale-up" question the 100 TB design must
+answer.
+
+Generation (DuckDB, deterministic, idempotent):
+- documents ×10: replica r gets doc_id + r*2,520,000 (a multiple of
+  lcm(1..10), so every doc_id % k selection keeps its exact class
+  distribution) and a Caesar-shifted alphabet (translate by r): word
+  lengths, whitespace, punctuation and Zipf shape survive, but
+  shingles/tokens are DISJOINT across replicas — duplicates stay
+  ~proportional to corpus size instead of every replica colliding
+  with its original, which is what a genuinely larger crawl looks
+  like and what keeps the near-dup workload honest.
+- embeddings ×10: vec_id offset the same way; per-dimension hash
+  noise in [-0.05, 0.05] (values span ~[-0.6, 0.6]) so replicas are
+  NOT near-parallel to their originals — semantic-dedup cells grow in
+  population, not in artificial duplicate mass.
+- lineitem ×10: l_orderkey + r*25,200,000 (same lcm trick) — ~6M rows
+  for relational stress.
+- every other table symlinks to sf0.1 (dimensions don't scale here).
+
+Measurement: cold-cache best-of-2 per query at sf0.01 and at the
+stress tier, reporting the 100× wall-time ratio and the growth
+exponent log(ratio)/log(100) — exponent ≤ ~1.2 ≈ O(n log n); anything
+above gets a written mitigation in SCALE.md.
+
+Usage: python scripts/stress_tier.py [q88 q104 q86 q161 q34 ...]
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+SMALL = "/root/testdata/sf0.01"
+STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/stress_sf1")
+REPLICAS = 10
+OFF = 2_520_000  # lcm(1..10)=2520 — preserves every small-modulus class
+LINE_OFF = 25_200_000
+DEFAULT_QUERIES = ["q88", "q104", "q86", "q161", "q34"]
+SYMLINK_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "events",
+]
+
+
+def _rot(r: int) -> tuple[str, str]:
+    low = string.ascii_lowercase
+    up = string.ascii_uppercase
+    return (
+        low + up,
+        low[r:] + low[:r] + up[r:] + up[:r],
+    )
+
+
+def generate() -> None:
+    import duckdb
+
+    marker = os.path.join(STRESS_DIR, ".complete")
+    if os.path.exists(marker):
+        print(f"stress tier already generated at {STRESS_DIR}")
+        return
+    os.makedirs(STRESS_DIR, exist_ok=True)
+    con = duckdb.connect()
+    t0 = time.perf_counter()
+
+    for table, build in (
+        (
+            "documents",
+            lambda r: f"""
+            SELECT doc_id + {r * OFF} AS doc_id,
+                   translate(text, '{_rot(r)[0]}', '{_rot(r)[1]}') AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{SRC}/documents.parquet')
+            """,
+        ),
+        (
+            "embeddings",
+            lambda r: f"""
+            SELECT vec_id + {r * OFF} AS vec_id,
+                   CAST(list_transform(embedding, (x, i) ->
+                     x + (CAST(hash(vec_id * 1009 + i * 17 + {r}) % 101 AS DOUBLE)
+                          - 50.0) / 1000.0) AS FLOAT[]) AS embedding,
+                   label
+            FROM read_parquet('{SRC}/embeddings.parquet')
+            """,
+        ),
+        (
+            "lineitem",
+            lambda r: f"""
+            SELECT * REPLACE (l_orderkey + {r * LINE_OFF} AS l_orderkey)
+            FROM read_parquet('{SRC}/lineitem.parquet')
+            """,
+        ),
+    ):
+        out_dir = os.path.join(STRESS_DIR, f"{table}.parquet")
+        os.makedirs(out_dir, exist_ok=True)
+        for r in range(REPLICAS):
+            dst = os.path.join(out_dir, f"part-{r:02d}.parquet")
+            con.execute(f"COPY ({build(r)}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"  {table}: {REPLICAS} replicas -> {out_dir}")
+
+    for table in SYMLINK_TABLES:
+        dst = os.path.join(STRESS_DIR, f"{table}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{table}.parquet"), dst)
+
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    print(f"generated stress tier in {time.perf_counter() - t0:.1f}s")
+
+
+def measure(prefixes: list[str]) -> None:
+    from anime_data_pipeline_spark.registry import all_queries
+    from anime_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="stress_tier",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = all_queries()
+    wanted = [n for n in qs if any(n.startswith(p + "_") for p in prefixes)]
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    import math
+
+    print(f"{'query':35s} {'sf0.01':>8s} {'100x':>8s} {'ratio':>7s} {'exp':>5s}")
+    for name in wanted:
+        times = {}
+        for tag, sf_dir in (("small", SMALL), ("big", STRESS_DIR)):
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[tag] = best
+        ratio = times["big"] / times["small"]
+        exp = math.log(ratio) / math.log(100)
+        print(
+            f"{name:35s} {times['small']:8.2f} {times['big']:8.2f} "
+            f"{ratio:6.1f}x {exp:5.2f}"
+        )
+
+
+if __name__ == "__main__":
+    generate()
+    measure(sys.argv[1:] or DEFAULT_QUERIES)
