@@ -18,8 +18,9 @@ pure-stdlib codecs (operators/png_codec.py zlib+filters,
 operators/gif_codec.py LZW+interlace, operators/jpeg_codec.py
 Huffman+IDCT; no PIL/cv2 needed) cover what normal exporters write:
 header meta AND full pixels for the inference preprocessing chain.
-Only the exotic tails — 16-bit/interlaced PNG, progressive/arithmetic
-JPEG pixels (their header meta still parses), WEBP/TIFF/BMP — fall
+PNG covers the full spec matrix (1/2/4/8/16-bit, Adam7); JPEG covers
+baseline + progressive Huffman. Only the exotic tails — arithmetic/
+lossless JPEG (header meta still parses), WEBP/TIFF/BMP — fall
 through to the PIL seam (absent in this container); the deterministic
 FIMG fake container remains for oracle-checkable synthetic corpora.
 The default decoder accepts FIMG, PNG, GIF, and JPEG; the Spark
@@ -66,30 +67,20 @@ def encode_fimg(width: int, height: int, mode: str = "RGB", payload: bytes = b""
 
 
 def _decode_real(content: bytes) -> tuple[int, int, str] | None:
-    """Real codec dispatch by magic bytes. PNG (8-bit non-interlaced),
-    GIF (87a/89a), and JPEG (any SOFn for header meta) decode NATIVELY
-    via the stdlib codecs: header meta here, full pixels via
-    ``image_pixel_decoder_loader``. Exotic PNGs (16-bit/interlaced) and
+    """Real codec dispatch by magic bytes. PNG (every spec-valid
+    depth/color/interlace combination), GIF (87a/89a), and JPEG (any
+    SOFn for header meta) decode NATIVELY via the stdlib codecs: header
+    meta here, full pixels via ``image_pixel_decoder_loader``. Only
     non-{PNG,GIF,JPEG} formats still need PIL (reference
     dbimutils.py:6-26) — unavailable in this container, so they raise;
     corrupt bytes behind a valid magic return None (dropped-with-count
     row, reference bucket_manager.py:187-189)."""
     from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
-    from anime_data_pipeline_spark.operators.png_codec import (
-        PNG_MAGIC,
-        png_ihdr,
-        png_meta,
-        png_supported,
-    )
+    from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
 
     if content[:8] == PNG_MAGIC:
-        ihdr = png_ihdr(content)
-        if ihdr is None:
-            return None  # corrupt header
-        if png_supported(ihdr):
-            return png_meta(content)
-        raise NotImplementedError("16-bit/interlaced PNG needs PIL")
+        return png_meta(content)
     if content[:6] in GIF_MAGICS:
         return gif_meta(content)
     if content[:3] == JPEG_MAGIC:

@@ -469,14 +469,20 @@ def q106_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q115 — REAL PNG decode e2e (SURVEY S7 closed for PNG, round 5): a
-# synthetic corpus of genuine spec-valid PNG files (stdlib encoder,
-# doc_id-derived dims/mode, every 28th row corrupt) decoded by
-# decode_image_meta's DEFAULT decoder — the zlib PNG codec, no
-# injection — then aspect-ratio bucket assignment on the DECODED
-# dimensions (reference bucket_manager.py:180-189 flow). The oracle
-# recomputes dims/mode/buckets straight from doc_id, so any header
-# parse, byte-order, or filter bug in the codec breaks the hash match.
+# q115 — REAL PNG decode e2e over the FULL spec matrix (SURVEY S7; the
+# 16-bit / Adam7 / sub-8-bit tails closed round 6): a synthetic corpus
+# of genuine spec-valid PNG files (stdlib encoder) cycling doc_id % 6
+# through 8-bit RGB, 16-bit gray, Adam7-interlaced RGBA, 16-bit RGB,
+# 4-bit-palette interlaced, and 2-bit grayscale; every 28th row
+# corrupt-after-magic. Decoded twice by the DEFAULT (zlib, no
+# injection) codec: header meta → aspect-ratio bucket assignment on
+# the DECODED dimensions (reference bucket_manager.py:180-189 flow),
+# and FULL pixels via decode_image_pixel_stats — every image is a
+# doc_id-derived uniform fill, and pixel_ok asserts the inflated
+# min/max/mean/channels hit the closed form, so an unfilter,
+# deinterlace, bit-unpack, byte-order, or palette bug that leaves the
+# header intact still breaks the hash match. The oracle recomputes
+# dims/mode/buckets straight from doc_id and pins pixel_ok TRUE.
 # ---------------------------------------------------------------------------
 _Q115_IMGS = """
   SELECT doc_id AS image_key,
@@ -497,19 +503,35 @@ def _q115_oracle() -> str:
     SELECT image_key AS doc_id,
            CAST(16 + (image_key * 73) % 225 AS INTEGER) AS width,
            CAST(16 + (image_key * 131) % 209 AS INTEGER) AS height,
-           CASE CAST(image_key % 3 AS INTEGER)
-             WHEN 0 THEN 'RGB' WHEN 1 THEN 'L' ELSE 'RGBA' END AS mode,
-           bucket_w, bucket_h
+           CASE CAST(image_key % 6 AS INTEGER)
+             WHEN 0 THEN 'RGB' WHEN 1 THEN 'L' WHEN 2 THEN 'RGBA'
+             WHEN 3 THEN 'RGB' WHEN 4 THEN 'P' ELSE 'L' END AS mode,
+           bucket_w, bucket_h,
+           TRUE AS pixel_ok
     FROM assigned
     """
 
 
+# 16-entry palette for the 4-bit variant — closed form per index so
+# both engines can recompute the expanded-RGB stats from doc_id.
+def _q115_palette():
+    import numpy as np
+
+    j = np.arange(16)
+    return np.stack([j * 17, 255 - j * 17, (j * 37) % 256], axis=1).astype(np.uint8)
+
+
 def _png_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 7 = 0) → (doc_id, content: binary) of real
-    PNG bytes: dims/mode from doc_id int math, zero pixels (the meta
-    path never inflates them; the bytes are still a complete
-    spec-valid PNG with CRCs). Every 28th row is corrupt-after-magic —
-    the P6 null path through the REAL codec."""
+    PNG bytes spanning the full decode matrix, each a uniform
+    doc_id-derived fill (f = 40 + id % 160; 16-bit fills at f*257):
+
+    - id%6=0: RGB 8-bit            - id%6=3: RGB 16-bit
+    - id%6=1: gray 16-bit          - id%6=4: 4-bit palette, Adam7
+    - id%6=2: RGBA 8-bit, Adam7    - id%6=5: 2-bit grayscale
+
+    Every 28th row is corrupt-after-magic — the P6 null path through
+    the REAL codec."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, encode_png
@@ -525,6 +547,7 @@ def _png_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("content", T.BinaryType()),
         ]
     )
+    plte = _q115_palette()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -536,8 +559,30 @@ def _png_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 w = 16 + (i * 73) % 225
                 h = 16 + (i * 131) % 209
-                ch = {0: 3, 1: 1, 2: 4}[i % 3]
-                blobs.append(encode_png(np.zeros((h, w, ch), dtype=np.uint8)))
+                f = 40 + i % 160
+                v = i % 6
+                if v == 0:
+                    blob = encode_png(np.full((h, w, 3), f, dtype=np.uint8))
+                elif v == 1:
+                    blob = encode_png(np.full((h, w), f * 257, dtype=np.uint16))
+                elif v == 2:
+                    blob = encode_png(
+                        np.full((h, w, 4), f, dtype=np.uint8), interlace=1
+                    )
+                elif v == 3:
+                    blob = encode_png(np.full((h, w, 3), f * 257, dtype=np.uint16))
+                elif v == 4:
+                    blob = encode_png(
+                        np.full((h, w), i % 16, dtype=np.uint8),
+                        palette=plte,
+                        bit_depth=4,
+                        interlace=1,
+                    )
+                else:
+                    blob = encode_png(
+                        np.full((h, w), i % 4, dtype=np.uint8), bit_depth=2
+                    )
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     return docs.mapInPandas(gen, schema=schema)
@@ -549,13 +594,55 @@ def q115_png_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         BucketConfig,
         assign_bucket_columns,
     )
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
 
-    decoded = decode_image_meta(_png_corpus(spark, sf_dir))
+    decoded = decode_image_pixel_stats(decode_image_meta(_png_corpus(spark, sf_dir)))
+    # pixel_ok: the FULL inflate must reproduce the doc_id-derived
+    # uniform fill through whichever unfilter/deinterlace/bit-unpack
+    # path the variant exercises. Palette rows expand to RGB triples
+    # (j*17, 255-j*17, (j*37)%256); 2-bit gray rescales levels by 85;
+    # 16-bit keeps true uint16 samples (f*257).
+    i = F.col("doc_id")
+    f = (F.lit(40) + (i % 160)).cast("int")
+    v = (i % 6).cast("int")
+    st = F.col("pixel_stats")
+    j = (i % 16).cast("int")
+    pr, pg, pb = j * 17, 255 - j * 17, (j * 37) % 256
+    pal_min = F.least(pr, pg, pb)
+    pal_max = F.greatest(pr, pg, pb)
+    pal_mean = (pr + pg + pb).cast("double") / F.lit(3.0)
+    uniform = st["px_min"] == st["px_max"]
+    expected = (
+        F.when(v == 0, uniform & (st["px_min"] == f) & (st["channels"] == 3))
+        .when(v == 1, uniform & (st["px_min"] == f * 257) & (st["channels"] == 1))
+        .when(v == 2, uniform & (st["px_min"] == f) & (st["channels"] == 4))
+        .when(v == 3, uniform & (st["px_min"] == f * 257) & (st["channels"] == 3))
+        .when(
+            v == 4,
+            (st["px_min"] == pal_min)
+            & (st["px_max"] == pal_max)
+            & (st["px_mean"] == pal_mean)
+            & (st["channels"] == 3),
+        )
+        .otherwise(
+            uniform & (st["px_min"] == (i % 4) * 85) & (st["channels"] == 1)
+        )
+    )
+    decoded = decoded.withColumn(
+        "pixel_ok",
+        st.isNotNull()
+        & (st["width"] == F.col("image_meta.width"))
+        & (st["height"] == F.col("image_meta.height"))
+        & expected,
+    )
     ok = decoded.filter(F.col("image_meta").isNotNull()).select(
         F.col("doc_id").alias("image_key"),
         F.col("image_meta.width").alias("width"),
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.mode").alias("mode"),
+        "pixel_ok",
     )
     assigned = assign_bucket_columns(ok, cfg=BucketConfig())
     return assigned.select(
@@ -565,6 +652,7 @@ def q115_png_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode",
         "bucket_w",
         "bucket_h",
+        "pixel_ok",
     )
 
 

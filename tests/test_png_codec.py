@@ -129,10 +129,86 @@ def test_corrupt_and_unsupported():
     assert decode_png(good[:40]) is None
     # truncated IDAT body → zlib error → None
     assert png_meta(good) == (4, 4, "RGB")
-    # 16-bit depth: patch IHDR bit depth byte
+    # spec-invalid bit depth (7) → corrupt → None
     bad_depth = bytearray(good)
-    bad_depth[24] = 16
+    bad_depth[24] = 7
     assert png_meta(bytes(bad_depth)) is None
+    # spec-invalid combo: 16-bit palette → corrupt → None
+    bad_combo = bytearray(good)
+    bad_combo[24], bad_combo[25] = 16, 3
+    assert png_meta(bytes(bad_combo)) is None
+    # depth patched to 16 on 8-bit data: meta parses (valid combo) but
+    # the scanline byte count no longer matches → decode rejects
+    lied = bytearray(good)
+    lied[24] = 16
+    assert png_meta(bytes(lied)) == (4, 4, "RGB")
+    assert decode_png(bytes(lied)) is None
+
+
+def test_16bit_roundtrip_and_preprocess():
+    """16-bit gray + RGB roundtrip with TRUE uint16 sample values; the
+    inference chain quantizes via integer /257 exactly as it does for
+    any other uint16 input (reference dbimutils.py converts via PIL)."""
+    from anime_data_pipeline_spark.operators.inference import normalize_pixels
+
+    r = _rng(41)
+    for ch in (1, 3):
+        arr = r.integers(0, 65536, (11, 7, ch), dtype=np.uint16)
+        out = decode_png(encode_png(arr))
+        assert out.dtype == np.uint16 and out.shape == (11, 7, ch)
+        assert np.array_equal(out, arr)
+    full = np.full((2, 2, 3), 65535, dtype=np.uint16)
+    assert np.array_equal(
+        normalize_pixels(decode_png(encode_png(full))),
+        np.full((2, 2, 3), 255, dtype=np.uint8),
+    )
+
+
+def test_sub8_gray_depths():
+    """1/2/4-bit grayscale: raw levels rescale to the full 0..255 range
+    (255, 85, 17 steps — exact because 2^d−1 divides 255)."""
+    r = _rng(43)
+    for depth in (1, 2, 4):
+        levels = r.integers(0, 1 << depth, (9, 13), dtype=np.uint8)
+        out = decode_png(encode_png(levels, bit_depth=depth))
+        scale = 255 // ((1 << depth) - 1)
+        assert out.shape == (9, 13, 1)
+        assert np.array_equal(out[..., 0], levels * scale)
+
+
+def test_sub8_palette_depths():
+    """Palette PNGs at 1/2/4/8-bit index depth keep RAW indices; PLTE
+    expansion happens in palette_to_rgb."""
+    r = _rng(47)
+    for depth in (1, 2, 4, 8):
+        ncol = 1 << depth
+        plte = r.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = r.integers(0, ncol, (6, 11), dtype=np.uint8)
+        data = encode_png(idx, palette=plte, bit_depth=depth)
+        assert png_meta(data) == (11, 6, "P")
+        out = decode_png(data)
+        assert np.array_equal(out[..., 0], idx)
+        assert np.array_equal(palette_to_rgb(out, decode_png_palette(data)), plte[idx])
+
+
+def test_adam7_interlaced_roundtrip():
+    """Adam7 deinterlace across channel counts, depths, and the
+    degenerate sizes where late passes are empty (w or h < pass
+    offset) — the classic off-by-one zone of interlace code."""
+    r = _rng(53)
+    for h, w, ch in [(16, 16, 3), (13, 9, 1), (5, 3, 4), (1, 1, 1), (2, 10, 2), (8, 1, 3)]:
+        arr = r.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        out = decode_png(encode_png(arr, interlace=1))
+        assert out is not None, (h, w, ch)
+        assert np.array_equal(out, arr), (h, w, ch)
+    # 16-bit interlaced
+    arr16 = r.integers(0, 65536, (10, 6, 3), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(arr16, interlace=1)), arr16)
+    # 4-bit palette interlaced
+    plte = r.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = r.integers(0, 16, (7, 12), dtype=np.uint8)
+    out = decode_png(encode_png(idx, palette=plte, bit_depth=4, interlace=1))
+    assert np.array_equal(out[..., 0], idx)
 
 
 def test_decode_image_meta_e2e_png_to_bucket(spark):
