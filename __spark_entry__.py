@@ -46,10 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # broadcast, q152/q153 go through the boundary-anchored tracking-param
 # regex (operators/web.py), q151/q71/q115 go through the hardened
 # JPEG marker walk + corrupt->None guards (operators/jpeg_codec.py,
-# progressive-JPEG decode added to q151's fixture corpus).
+# progressive-JPEG decode added to q151's fixture corpus), q115's
+# corpus extended to the full PNG matrix (16-bit/Adam7/sub-8) with a
+# pixel_ok gate, and q177 is NEW (stdlib BMP codec e2e).
 _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
+    "q177_bmp_decode_bucket",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",
     "q151_gif_jpeg_decode_bucket",

@@ -13,14 +13,15 @@ At 100 TB the binary column dominates I/O, so every stage here:
 - is map-only (partition-parallel, no shuffle), with per-batch
   vectorized decode.
 
-Codec status: **PNG, GIF, and baseline JPEG decode for real** — three
+Codec status: **PNG, GIF, JPEG, and BMP decode for real** — four
 pure-stdlib codecs (operators/png_codec.py zlib+filters,
 operators/gif_codec.py LZW+interlace, operators/jpeg_codec.py
-Huffman+IDCT; no PIL/cv2 needed) cover what normal exporters write:
-header meta AND full pixels for the inference preprocessing chain.
-PNG covers the full spec matrix (1/2/4/8/16-bit, Adam7); JPEG covers
-baseline + progressive Huffman. Only the exotic tails — arithmetic/
-lossless JPEG (header meta still parses), WEBP/TIFF/BMP — fall
+Huffman+IDCT, operators/bmp_codec.py; no PIL/cv2 needed) cover what
+normal exporters write: header meta AND full pixels for the inference
+preprocessing chain. PNG covers the full spec matrix (1/2/4/8/16-bit,
+Adam7); JPEG covers baseline + progressive Huffman; BMP covers
+uncompressed 1/4/8/24/32-bit. Only the exotic tails — arithmetic/
+lossless JPEG (header meta still parses), RLE BMP, WEBP/TIFF — fall
 through to the PIL seam (absent in this container); the deterministic
 FIMG fake container remains for oracle-checkable synthetic corpora.
 The default decoder accepts FIMG, PNG, GIF, and JPEG; the Spark
@@ -68,13 +69,15 @@ def encode_fimg(width: int, height: int, mode: str = "RGB", payload: bytes = b""
 
 def _decode_real(content: bytes) -> tuple[int, int, str] | None:
     """Real codec dispatch by magic bytes. PNG (every spec-valid
-    depth/color/interlace combination), GIF (87a/89a), and JPEG (any
-    SOFn for header meta) decode NATIVELY via the stdlib codecs: header
-    meta here, full pixels via ``image_pixel_decoder_loader``. Only
-    non-{PNG,GIF,JPEG} formats still need PIL (reference
-    dbimutils.py:6-26) — unavailable in this container, so they raise;
-    corrupt bytes behind a valid magic return None (dropped-with-count
-    row, reference bucket_manager.py:187-189)."""
+    depth/color/interlace combination), GIF (87a/89a), JPEG (any SOFn
+    for header meta), and BMP (uncompressed, any palette depth) decode
+    NATIVELY via the stdlib codecs: header meta here, full pixels via
+    ``image_pixel_decoder_loader``. Only non-{PNG,GIF,JPEG,BMP}
+    formats still need PIL (reference dbimutils.py:6-26) — unavailable
+    in this container, so they raise; corrupt bytes behind a valid
+    magic return None (dropped-with-count row, reference
+    bucket_manager.py:187-189)."""
+    from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, bmp_meta
     from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
@@ -85,14 +88,17 @@ def _decode_real(content: bytes) -> tuple[int, int, str] | None:
         return gif_meta(content)
     if content[:3] == JPEG_MAGIC:
         return jpeg_meta(content)
+    if content[:2] == BMP_MAGIC:
+        return bmp_meta(content)
     raise NotImplementedError(
-        "non-{PNG,GIF,JPEG} codecs not available in this environment"
+        "non-{PNG,GIF,JPEG,BMP} codecs not available in this environment"
     )
 
 
 def _decode_default(content: bytes) -> tuple[int, int, str] | None:
     """Default per-blob decode: FIMG stub container OR a real PNG /
-    GIF / JPEG; None for anything else (corrupt/foreign bytes)."""
+    GIF / JPEG / BMP; None for anything else (corrupt/foreign bytes)."""
+    from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, bmp_meta
     from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
@@ -105,6 +111,8 @@ def _decode_default(content: bytes) -> tuple[int, int, str] | None:
         return gif_meta(content)
     if content[:3] == JPEG_MAGIC:
         return jpeg_meta(content)
+    if content[:2] == BMP_MAGIC:
+        return bmp_meta(content)
     return None
 
 
@@ -145,6 +153,10 @@ def image_pixel_decoder_loader() -> "Callable[[], Callable]":
     where a PIL decode would."""
 
     def load() -> "Callable[[bytes], np.ndarray | None]":
+        from anime_data_pipeline_spark.operators.bmp_codec import (
+            BMP_MAGIC,
+            decode_bmp,
+        )
         from anime_data_pipeline_spark.operators.gif_codec import (
             GIF_MAGICS,
             decode_gif,
@@ -167,6 +179,8 @@ def image_pixel_decoder_loader() -> "Callable[[], Callable]":
                 if arr is not None and arr.ndim == 2:
                     arr = arr[:, :, None]
                 return arr
+            if content[:2] == BMP_MAGIC:
+                return decode_bmp(content)
             return None
 
         return decode

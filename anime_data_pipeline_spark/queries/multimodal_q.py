@@ -829,3 +829,154 @@ def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_h",
         "pixel_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — REAL BMP decode e2e (SURVEY S7 extended to Windows bitmaps,
+# round 6): a synthetic corpus of genuine spec-valid BMP files (stdlib
+# encoder, operators/bmp_codec.py) cycling doc_id % 4 through 24-bit
+# BGR, 32-bit BGRA, 8-bit palette, and 4-bit palette; every 27th row
+# corrupt-after-magic. Decoded twice by the DEFAULT (no injection)
+# codec: header meta → aspect-ratio bucket assignment (reference
+# bucket_manager.py:180-189 flow), and FULL pixels via
+# decode_image_pixel_stats — uniform doc_id-derived fills give
+# closed-form min/max/mean, so a stride-padding, BGR-order, bottom-up,
+# or palette-expansion bug that leaves the header intact still breaks
+# the hash match. Oracle recomputes everything from doc_id and pins
+# pixel_ok TRUE.
+# ---------------------------------------------------------------------------
+_Q177_IMGS = """
+  SELECT doc_id AS image_key,
+         CAST(16 + (doc_id * 53) % 113 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 101) % 103 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 9 = 0 AND doc_id % 27 <> 0
+"""
+
+
+def _q177_oracle() -> str:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        bucket_oracle_sql,
+    )
+
+    return f"""
+    WITH assigned AS ({bucket_oracle_sql(_Q177_IMGS, BucketConfig())})
+    SELECT image_key AS doc_id,
+           CAST(16 + (image_key * 53) % 113 AS INTEGER) AS width,
+           CAST(16 + (image_key * 101) % 103 AS INTEGER) AS height,
+           CASE CAST(image_key % 4 AS INTEGER)
+             WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'P' END AS mode,
+           bucket_w, bucket_h,
+           TRUE AS pixel_ok
+    FROM assigned
+    """
+
+
+def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 9 = 0) → (doc_id, content: binary) of real
+    BMP bytes, each a uniform doc_id-derived fill (f = 40 + id % 160;
+    palette rows a constant index j = id % 16 into the q115 closed-form
+    palette). id%4: 0 → 24-bit, 1 → 32-bit, 2 → 8-bit palette,
+    3 → 4-bit palette. Every 27th row corrupt-after-magic."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, encode_bmp
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    plte = _q115_palette()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 27 == 0:
+                    blobs.append(BMP_MAGIC + b"\x00" * 20)
+                    continue
+                w = 16 + (i * 53) % 113
+                h = 16 + (i * 101) % 103
+                f = 40 + i % 160
+                v = i % 4
+                if v == 0:
+                    blob = encode_bmp(np.full((h, w, 3), f, dtype=np.uint8))
+                elif v == 1:
+                    blob = encode_bmp(np.full((h, w, 4), f, dtype=np.uint8))
+                elif v == 2:
+                    blob = encode_bmp(
+                        np.full((h, w), i % 16, dtype=np.uint8), palette=plte
+                    )
+                else:
+                    blob = encode_bmp(
+                        np.full((h, w), i % 16, dtype=np.uint8),
+                        palette=plte,
+                        bit_depth=4,
+                    )
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q177_bmp_decode_bucket", oracle=_q177_oracle())
+def q177_bmp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        assign_bucket_columns,
+    )
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
+
+    decoded = decode_image_pixel_stats(decode_image_meta(_bmp_corpus(spark, sf_dir)))
+    i = F.col("doc_id")
+    f = (F.lit(40) + (i % 160)).cast("int")
+    v = (i % 4).cast("int")
+    st = F.col("pixel_stats")
+    j = (i % 16).cast("int")
+    pr, pg, pb = j * 17, 255 - j * 17, (j * 37) % 256
+    pal_ok = (
+        (st["px_min"] == F.least(pr, pg, pb))
+        & (st["px_max"] == F.greatest(pr, pg, pb))
+        & (st["px_mean"] == (pr + pg + pb).cast("double") / F.lit(3.0))
+        & (st["channels"] == 3)
+    )
+    uniform = (st["px_min"] == st["px_max"]) & (st["px_min"] == f)
+    expected = (
+        F.when(v == 0, uniform & (st["channels"] == 3))
+        .when(v == 1, uniform & (st["channels"] == 4))
+        .otherwise(pal_ok)
+    )
+    decoded = decoded.withColumn(
+        "pixel_ok",
+        st.isNotNull()
+        & (st["width"] == F.col("image_meta.width"))
+        & (st["height"] == F.col("image_meta.height"))
+        & expected,
+    )
+    ok = decoded.filter(F.col("image_meta").isNotNull()).select(
+        F.col("doc_id").alias("image_key"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mode").alias("mode"),
+        "pixel_ok",
+    )
+    assigned = assign_bucket_columns(ok, cfg=BucketConfig())
+    return assigned.select(
+        F.col("image_key").alias("doc_id"),
+        "width",
+        "height",
+        "mode",
+        "bucket_w",
+        "bucket_h",
+        "pixel_ok",
+    )
