@@ -299,13 +299,24 @@ def foreach_batch_upsert_latest(
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay documents.parquet as a stream (same file-source pattern
     as read_events_stream) — the ingest shape of a continuously-fed
-    corpus: new parquet drops appear, the curation query keeps up."""
+    corpus: new parquet drops appear, the curation query keeps up.
+
+    Adds a deterministic ``ingest_ts`` event-time column (epoch +
+    doc_id seconds — the replay twin of a real ingest timestamp) so
+    downstream stateful operators can bound their state with a
+    watermark exactly as they would in production; the same document
+    replayed twice carries the same ingest_ts, so
+    dropDuplicatesWithinWatermark semantics are deterministic."""
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_704_067_200) + F.col("doc_id")),
+        )
     )
 
 
@@ -319,9 +330,13 @@ def stream_quality_dedup_rollup(
     Dedup keys on (source, content_hash), not hash alone: a text
     appearing under two sources would otherwise keep whichever
     arrived first — racy across partitions, and untestable. State is
-    one 16-byte key per distinct kept doc; production bounds it with
-    a watermark + dropDuplicatesWithinWatermark, the availableNow
-    replay keeps it exact."""
+    one 16-byte key per distinct kept doc, WATERMARK-BOUNDED: the
+    ingest_ts watermark + dropDuplicatesWithinWatermark evicts keys
+    older than the horizon, so state is O(ingest volume per horizon),
+    not O(all time) — duplicate bursts land within the horizon, and
+    anything older is the batch dedup pass's job (q31/q102). The
+    30-day horizon exceeds the replay's whole ingest_ts span, so the
+    availableNow gate run stays exact."""
     from anime_data_pipeline_spark.functions.hashing import polyhash
     from anime_data_pipeline_spark.operators.textstats import (
         quality_columns,
@@ -331,8 +346,10 @@ def stream_quality_dedup_rollup(
     kept = quality_columns(stream, "text").filter(
         F.col("quality_score") >= quality_threshold
     )
-    deduped = kept.withColumn("content_hash", polyhash(F.col("text"))).dropDuplicates(
-        ["source", "content_hash"]
+    deduped = (
+        kept.withColumn("content_hash", polyhash(F.col("text")))
+        .withWatermark("ingest_ts", "30 days")
+        .dropDuplicatesWithinWatermark(["source", "content_hash"])
     )
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -345,14 +362,20 @@ def stream_incremental_dedup(
 ) -> DataFrame:
     """Streaming twin of operators/dedup.incremental_dedup_status's
     exact stage: the incoming stream is deduped within itself
-    (stateful dropDuplicates on the content key) and against a STATIC
-    history table via a per-micro-batch left-anti join (stateless —
-    the history side is a batch relation joined into every
-    micro-batch; at scale a broadcast of the 8-byte key set or a
-    shuffle join against the persisted key table). Only rows whose
+    (dropDuplicatesWithinWatermark on the content key — state bounded
+    to the ingest_ts watermark horizon, not all time) and against a
+    STATIC history table via a per-micro-batch left-anti join
+    (stateless — the history side is a batch relation joined into
+    every micro-batch; at scale a broadcast of the 8-byte key set or
+    a shuffle join against the persisted key table). Only rows whose
     content key is genuinely new survive — the continuously-fed
-    corpus's ingest gate. Production bounds the within-stream state
-    with a watermark; the availableNow replay keeps it exact."""
-    return stream.dropDuplicates(keys).join(
-        history.select(*keys), keys, "left_anti"
+    corpus's ingest gate. The split of labor is what makes the state
+    bounded: in-horizon duplicates are the stream operator's job,
+    older ones the (periodically refreshed) history table's. The
+    30-day horizon exceeds the replay's ingest_ts span, so the
+    availableNow gate run stays exact."""
+    return (
+        stream.withWatermark("ingest_ts", "30 days")
+        .dropDuplicatesWithinWatermark(keys)
+        .join(history.select(*keys), keys, "left_anti")
     )

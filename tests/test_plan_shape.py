@@ -405,25 +405,32 @@ def test_streaming_queries_run_stateful_ops_with_watermark(spark, sf_dir):
         "q61_stream_tumbling": ("stateStoreSave", True),
         "q64_stream_dedup": ("dedupeWithinWatermark", True),
         "q68_stream_stateful_stats": ("applyInPandasWithState", False),
+        # corpus-ingest dedup: state must be horizon-bounded, not
+        # all-time — a silent fall-back to plain dropDuplicates is
+        # unbounded state at a real deployment (r6)
+        "q90_stream_quality_dedup": ("dedupeWithinWatermark", True),
+        "q108_stream_incremental_dedup": ("dedupeWithinWatermark", True),
     }
+    audits = {}
     for name, (op, needs_wm) in expected.items():
         stream_pipe.AUDIT.clear()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         assert stream_pipe.AUDIT, f"{name}: no streaming progress captured"
+        audits[name] = list(stream_pipe.AUDIT)
         ops = {
             so.get("operatorName")
-            for p in stream_pipe.AUDIT
+            for p in audits[name]
             for so in p.get("stateOperators", [])
         }
         assert op in ops, f"{name}: expected stateful op {op}, saw {ops}"
         if needs_wm:
             wms = [
                 (p.get("eventTime") or {}).get("watermark")
-                for p in stream_pipe.AUDIT
+                for p in audits[name]
             ]
             assert any(wms), f"{name}: no watermark in progress: {wms}"
 
     from scripts.plan_report import summarize_streaming
 
-    cell = summarize_streaming(stream_pipe.AUDIT)
+    cell = summarize_streaming(audits["q68_stream_stateful_stats"])
     assert "applyInPandasWithState" in cell and "micro-batch" in cell
