@@ -199,6 +199,29 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(row["d"])
 
 
+def suggested_planes(
+    n_rows: int, target_occupancy: int = 16, lo: int = 4, hi: int = 24
+) -> int:
+    """The production sizing rule for every SRP-bucketed operator
+    (knn_graph, srp_lsh_topk, embedding near-dup): planes ≈
+    log2(n / target_occupancy), clamped to [lo, hi]. Mean bucket
+    occupancy — and with it the per-cell quadratic term — stays
+    CONSTANT as the corpus grows, so the operators scale linearly in
+    rows instead of inheriting occupancy² growth. Candidate count per
+    query stays ≈ occupancy × (planes+1) thanks to the Hamming-1
+    probes, so a small target still feeds top-k comfortably (k=5
+    needs ~dozens, not hundreds). Measured on the round-6 stress tier
+    (20k vectors): the gate's pinned planes=8 (occ ≈ 78) costs
+    26.5 s, planes=12 (occ ≈ 5) costs 5.6 s — 4.7× from the one knob
+    this rule turns (SCALE.md). The gate queries pin a constant only
+    because the DuckDB oracle must replay the identical bucketing."""
+    import math
+
+    if n_rows <= target_occupancy:
+        return lo
+    return max(lo, min(hi, round(math.log2(n_rows / target_occupancy))))
+
+
 def srp_bucket_sql(v: str, planes: int = 8, first_plane: int = 0) -> str:
     terms = []
     for j in range(planes):

@@ -47,7 +47,7 @@ OFF = 2_520_000  # lcm(1..10)=2520 — preserves every small-modulus class
 LINE_OFF = 25_200_000
 DEFAULT_QUERIES = ["q88", "q104", "q86", "q161", "q34"]
 SYMLINK_TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders", "events",
+    "region", "nation", "customer", "supplier", "part",
 ]
 
 
@@ -97,6 +97,28 @@ def generate() -> None:
             lambda r: f"""
             SELECT * REPLACE (l_orderkey + {r * LINE_OFF} AS l_orderkey)
             FROM read_parquet('{SRC}/lineitem.parquet')
+            """,
+        ),
+        # orders scales WITH lineitem (same key offset) so FK joins
+        # stay closed — the same customers just place 10x the orders,
+        # which is what a larger TPC-H SF does too.
+        (
+            "orders",
+            lambda r: f"""
+            SELECT * REPLACE (o_orderkey + {r * LINE_OFF} AS o_orderkey)
+            FROM read_parquet('{SRC}/orders.parquet')
+            """,
+        ),
+        # events: same users, 10x the traffic in the same wall-clock
+        # span (a busier site, not a longer history) — jitter seconds
+        # keep replicas from being tie-identical in windows.
+        (
+            "events",
+            lambda r: f"""
+            SELECT * REPLACE (
+                event_id + {r * LINE_OFF} AS event_id,
+                ts + INTERVAL ({r * 7}) SECOND AS ts)
+            FROM read_parquet('{SRC}/events.parquet')
             """,
         ),
     ):

@@ -367,3 +367,17 @@ def test_margin_mining_pairs_beat_their_neighborhood(spark, sf_dir):
     for r in out:
         assert r["margin"] >= 1.0
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_suggested_planes_sizing_rule():
+    """Production planes sizing: constant target occupancy as the
+    corpus grows (the knob the round-6 stress tier measured)."""
+    from anime_data_pipeline_spark.operators.similarity import suggested_planes
+
+    assert suggested_planes(0) == 4
+    assert suggested_planes(200) == 4          # tiny corpus clamps low
+    assert suggested_planes(20_000) == 10      # ~16/bucket
+    assert suggested_planes(20_000_000) == 20
+    assert suggested_planes(10**12) == 24      # clamps high
+    # doubling the corpus adds ~1 plane: occupancy stays flat
+    assert suggested_planes(40_000) == suggested_planes(20_000) + 1
