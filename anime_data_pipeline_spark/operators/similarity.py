@@ -859,22 +859,36 @@ def knn_graph(
     planes: int = 8,
     dim: int | None = None,
     mutual: bool = True,
+    probe_depth: int = 1,
 ) -> DataFrame:
     """Approximate mutual-kNN graph: every vector is a query against
-    the SRP-bucketed corpus (own bucket + all Hamming-1 probes), top-k
-    by cosine per source, plus a ``mutual`` flag (reverse edge exists).
+    the SRP-bucketed corpus (own bucket + all Hamming-≤``probe_depth``
+    probes), top-k by cosine per source, plus a ``mutual`` flag
+    (reverse edge exists).
 
     The graph primitive behind density-based pruning and graph
     clustering of embedding spaces. Unlike the query-set ANN operators
     (srp_lsh_topk broadcasts the small query side), BOTH sides here are
     the corpus, so the probe join is a shuffle equi-join on the int
     bucket key: the corpus is bucketed once and co-partitioned; the
-    probe side is a map-side ≤(planes+1)× explode. Per-source top-k is
+    probe side is a map-side explode — ×(planes+1) at depth 1,
+    ×(1+planes+C(planes,2)) at depth 2. Per-source top-k is
     a window over each source's candidate set (bucket-occupancy-sized,
     never N); the mutual flag is one self-join of the k·N-row edge
     list on the reversed key — at 100 TB every exchange carries ids,
     buckets, and the d-dim vectors exactly once.
+
+    ``planes`` and ``probe_depth`` are the occupancy/recall pair
+    (see ``suggested_planes``): more planes = smaller cells = less
+    per-cell quadratic work but lower recall; depth-2 probing buys
+    the recall back by visiting more (cheap, small) cells. Measured
+    at the round-6 stress tier (20k vectors, k=5): planes=8/depth=1
+    recall 0.843 at 26.5 s; planes=12/depth=1 recall 0.705 at 5.6 s;
+    planes=12/depth=2 recall **0.932 at 17.2 s** — strictly better
+    than the depth-1 default on BOTH axes (SCALE.md has the table).
     """
+    if probe_depth not in (1, 2):
+        raise ValueError("probe_depth must be 1 or 2")
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     c = (
@@ -884,12 +898,17 @@ def knn_graph(
         .withColumn("bucket", srp_bucket("cv", planes, dim=dim))
         .withColumn("cn", F.sqrt(sq_norm(F.col("cv"))))
     )
-    probe_set = F.array_distinct(
-        F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
-        )
-    )
+    probes = [
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
+    ]
+    if probe_depth == 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
+    probe_set = F.array_distinct(F.array(*probes))
     q = c.select(
         F.col("vec_id").alias("src"),
         F.col("cv").alias("qv"),

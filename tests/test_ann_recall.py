@@ -230,6 +230,27 @@ def test_knn_graph_mutual_flag_and_recall(spark, sf_dir):
                for v in by_src.values())
 
 
+def test_knn_graph_probe_depth2_superset(spark, sf_dir):
+    """Depth-2 probing must yield candidate supersets: every depth-1
+    edge's (src, dst) pair stays reachable, so per-src top-k cosine at
+    depth 2 is >= at depth 1 (more candidates can only improve the
+    best-k). Depth outside {1, 2} is rejected."""
+    import pytest as _pytest
+
+    from anime_data_pipeline_spark.operators.similarity import knn_graph
+
+    corpus = load_table(spark, sf_dir, "embeddings").limit(120)
+    d1 = knn_graph(corpus, "vec_id", "embedding", k=3, planes=6, probe_depth=1)
+    d2 = knn_graph(corpus, "vec_id", "embedding", k=3, planes=6, probe_depth=2)
+    worst1 = {r["src"]: r["cosine"] for r in d1.collect() if r["rank"] == 3}
+    worst2 = {r["src"]: r["cosine"] for r in d2.collect() if r["rank"] == 3}
+    assert set(worst1) <= set(worst2)  # depth 2 reaches at least depth 1's srcs
+    for src, c1 in worst1.items():
+        assert worst2[src] >= c1 - 1e-12, src
+    with _pytest.raises(ValueError):
+        knn_graph(corpus, "vec_id", "embedding", probe_depth=3)
+
+
 def test_quantize_int8_bounds_and_zero_vector(spark):
     from anime_data_pipeline_spark.operators.similarity import quantize_int8
 
