@@ -53,6 +53,7 @@ _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
     "q177_bmp_decode_bucket",
+    "q178_wav_decode_chunk",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",
     "q151_gif_jpeg_decode_bucket",

@@ -436,17 +436,28 @@ def _decode_faud(content: bytes | None) -> tuple[int, int, int] | None:
 
 
 def decode_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """mapInPandas audio decode: binary → typed audio_meta struct (the
-    real codec — soundfile/ffmpeg — slots in like _decode_real)."""
+    """mapInPandas audio decode: binary → typed audio_meta struct.
+    Dispatch by magic: real RIFF/WAVE PCM decodes natively
+    (operators/wav_codec.py, header-only fast path — the data chunk is
+    never read for planning), the FAUD stub container covers synthetic
+    corpora, anything else (incl. compressed formats a soundfile/
+    ffmpeg seam would own) → null."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("audio_meta", AUDIO_META_SCHEMA)]
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anime_data_pipeline_spark.operators.wav_codec import RIFF_MAGIC, wav_meta
+
         for pdf in batches:
             metas = []
             for content in pdf[content_col]:
-                d = _decode_faud(bytes(content) if content is not None else None)
+                b = bytes(content) if content is not None else None
+                d = _decode_faud(b)
+                if d is None and b is not None and b[:4] == RIFF_MAGIC:
+                    w = wav_meta(b)
+                    if w is not None:
+                        d = (w[0], w[1], w[2])
                 metas.append(
                     None
                     if d is None
@@ -459,6 +470,54 @@ def decode_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                 )
             pdf = pdf.copy()
             pdf["audio_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("s_min", T.LongType()),
+        T.StructField("s_max", T.LongType()),
+        T.StructField("s_mean", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_sample_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas FULL PCM decode (WAV via the stdlib codec) →
+    per-clip sample stats, null when the bytes don't decode. The audio
+    twin of decode_image_pixel_stats: inflating every sample means an
+    endianness, bit-depth, or interleave bug that leaves the header
+    intact still surfaces — q178 gates on it."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("sample_stats", AUDIO_STATS_SCHEMA)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anime_data_pipeline_spark.operators.wav_codec import decode_wav
+
+        for pdf in batches:
+            stats = []
+            for content in pdf[content_col]:
+                out = decode_wav(bytes(content)) if content is not None else None
+                if out is None:
+                    stats.append(None)
+                    continue
+                samples, _rate = out
+                stats.append(
+                    {
+                        "n_samples": int(samples.shape[0]),
+                        "channels": int(samples.shape[1]),
+                        "s_min": int(samples.min()) if samples.size else 0,
+                        "s_max": int(samples.max()) if samples.size else 0,
+                        "s_mean": float(samples.mean()) if samples.size else 0.0,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["sample_stats"] = stats
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)

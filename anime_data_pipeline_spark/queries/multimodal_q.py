@@ -980,3 +980,142 @@ def q177_bmp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_h",
         "pixel_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — REAL WAV decode e2e (round 6: the audio twin of q177's BMP
+# closure): a synthetic corpus of genuine RIFF/WAVE PCM files (stdlib
+# encoder, operators/wav_codec.py) cycling j = doc_id/16 through
+# 8/16/32-bit depths, 1-2 channels, and four sample rates, each a
+# uniform doc_id-derived fill; every 4th selected row corrupt (RIFF
+# magic, broken body). Decoded twice by the DEFAULT dispatch: header
+# meta (no data-chunk read) → whisper-style 0.5 s chunk plan
+# (audio_chunk_plan — the q87 flow on REAL bytes), and FULL PCM via
+# decode_audio_sample_stats — sample_ok pins min/max/mean/channels to
+# the closed form, so an endianness, bit-depth, or interleave bug
+# that leaves the header intact still breaks the hash match. The
+# oracle recomputes everything from doc_id and pins sample_ok TRUE.
+# chunk_s = 0.5 keeps rate*chunk_s exact in FP for every rate (0.5 is
+# a power of two; all rates even), so both engines agree on chunk_len.
+# ---------------------------------------------------------------------------
+_Q178_RATES = [8000, 16000, 22050, 44100]
+
+
+def _q178_oracle() -> str:
+    rates = ", ".join(str(r) for r in _Q178_RATES)
+    return f"""
+    WITH meta AS (
+      SELECT doc_id, doc_id // 16 AS j
+      FROM documents WHERE doc_id % 16 = 0 AND doc_id % 64 <> 0
+    ),
+    sized AS (
+      SELECT doc_id,
+             CAST([{rates}][CAST(j % 4 AS INTEGER) + 1] AS INTEGER) AS sample_rate,
+             CAST(j % 2 + 1 AS INTEGER) AS channels,
+             [{rates}][CAST(j % 4 AS INTEGER) + 1] // 2 * (1 + j % 4)
+               + (j * 13) % 997 AS n_samples
+      FROM meta
+    ),
+    chunked AS (
+      SELECT s.*, s.sample_rate // 2 AS chunk_len,
+             unnest(range(0, greatest(
+               CAST(ceil(CAST(n_samples AS DOUBLE)
+                         / (s.sample_rate // 2)) AS BIGINT), 1))) AS chunk_no
+      FROM sized s
+    )
+    SELECT doc_id, sample_rate, n_samples, channels,
+           CAST(chunk_no AS INTEGER) AS chunk_no,
+           chunk_no * chunk_len AS start_sample,
+           least(n_samples, (chunk_no + 1) * chunk_len) AS end_sample,
+           TRUE AS sample_ok
+    FROM chunked
+    """
+
+
+def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 16 = 0) → (doc_id, content: binary) of real
+    RIFF/WAVE PCM bytes, j = doc_id/16: rate = RATES[j%4], channels =
+    j%2+1, bit depth = [8,16,32][j%3], uniform fill = closed form per
+    depth. Every 4th selected row (doc_id % 64 = 0) is
+    corrupt-after-magic."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.wav_codec import encode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 16 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 64 == 0:
+                    blobs.append(b"RIFF\x10\x00\x00\x00WAVEjunk")
+                    continue
+                j = i // 16
+                rate = _Q178_RATES[j % 4]
+                ch = j % 2 + 1
+                n = rate // 2 * (1 + j % 4) + (j * 13) % 997
+                bits = (8, 16, 32)[j % 3]
+                if bits == 8:
+                    fill, dt = 100 + j % 100, np.uint8
+                elif bits == 16:
+                    fill, dt = (j % 2000 - 1000) * 16, np.int16
+                else:
+                    fill, dt = (j % 2000 - 1000) * 65536, np.int32
+                blobs.append(encode_wav(np.full((n, ch), fill, dtype=dt), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q178_wav_decode_chunk", oracle=_q178_oracle())
+def q178_wav_decode_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import (
+        audio_chunk_plan,
+        decode_audio_meta,
+        decode_audio_sample_stats,
+    )
+
+    decoded = decode_audio_sample_stats(decode_audio_meta(_wav_corpus(spark, sf_dir)))
+    i = F.col("doc_id")
+    j = (i / 16).cast("long")
+    bits_sel = (j % 3).cast("int")
+    fill = (
+        F.when(bits_sel == 0, 100 + (j % 100))
+        .when(bits_sel == 1, ((j % 2000) - 1000) * 16)
+        .otherwise(((j % 2000) - 1000) * 65536)
+        .cast("long")
+    )
+    st = F.col("sample_stats")
+    decoded = decoded.withColumn(
+        "sample_ok",
+        st.isNotNull()
+        & (st["n_samples"] == F.col("audio_meta.n_samples"))
+        & (st["channels"] == F.col("audio_meta.channels"))
+        & (st["s_min"] == fill)
+        & (st["s_max"] == fill)
+        & (st["s_mean"] == fill.cast("double")),
+    )
+    ok = decoded.filter(F.col("audio_meta").isNotNull())
+    chunked = audio_chunk_plan(ok, chunk_s=0.5)
+    return chunked.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        "start_sample",
+        "end_sample",
+        "sample_ok",
+    )

@@ -1,0 +1,95 @@
+"""Stdlib WAV codec tests (operators/wav_codec.py): roundtrip across
+bit depths/channels, chunk-walk robustness (extra LIST chunks, odd-size
+padding), corrupt/unsupported handling, and the multimodal dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from anime_data_pipeline_spark.operators.wav_codec import (
+    decode_wav,
+    encode_wav,
+    wav_meta,
+)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def test_roundtrip_depths_and_channels():
+    r = _rng(3)
+    for dt, lo, hi in ((np.uint8, 0, 256), (np.int16, -32768, 32768), (np.int32, -2**31, 2**31)):
+        for ch in (1, 2, 4):
+            a = r.integers(lo, hi, (101, ch)).astype(dt)
+            data = encode_wav(a, 22050)
+            bits = a.dtype.itemsize * 8
+            assert wav_meta(data) == (22050, 101, ch, bits)
+            out, rate = decode_wav(data)
+            assert rate == 22050 and out.dtype == a.dtype
+            assert np.array_equal(out, a)
+
+
+def test_mono_1d_and_odd_data_padding():
+    # odd byte count (uint8, odd n) exercises the RIFF pad byte
+    a = _rng(5).integers(0, 256, 33, dtype=np.uint8)
+    out, rate = decode_wav(encode_wav(a, 8000))
+    assert np.array_equal(out[:, 0], a) and rate == 8000
+
+
+def test_extra_chunks_skipped():
+    """LIST/fact chunks before data must be walked over, per spec."""
+    a = _rng(9).integers(-1000, 1000, (10, 2)).astype(np.int16)
+    data = encode_wav(a, 16000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = data[:fmt_end] + lst + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert wav_meta(spliced) == (16000, 10, 2, 16)
+    out, _ = decode_wav(spliced)
+    assert np.array_equal(out, a)
+
+
+def test_corrupt_and_unsupported():
+    good = encode_wav(_rng(11).integers(-99, 99, (20, 1)).astype(np.int16), 8000)
+    assert decode_wav(b"XIFF" + good[4:]) is None          # wrong magic
+    assert decode_wav(good[:8] + b"AVEW" + good[12:]) is None  # not WAVE
+    assert decode_wav(good[:30]) is None                   # truncated
+    assert decode_wav(b"RIFF\x10\x00\x00\x00WAVEjunk") is None  # q178's corrupt blob
+    # IEEE-float format (3) → unsupported
+    ieee = bytearray(good)
+    ieee[20:22] = struct.pack("<H", 3)
+    assert decode_wav(bytes(ieee)) is None and wav_meta(bytes(ieee)) is None
+    # data size not a frame multiple → corrupt
+    bad = bytearray(good)
+    bad[40:44] = struct.pack("<I", 39)
+    assert decode_wav(bytes(bad)) is None
+
+
+def test_audio_meta_dispatch_and_sample_stats(spark):
+    """Real WAV flows through decode_audio_meta next to FAUD stubs, and
+    the full-PCM stats path reproduces a known fill."""
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_audio_sample_stats,
+        encode_faud,
+    )
+
+    wav = encode_wav(np.full((500, 2), -7, dtype=np.int16), 16000)
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(encode_faud(8000, 123, 1))),
+        (3, bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in decode_audio_sample_stats(decode_audio_meta(df)).collect()}
+    m1 = out[1]["audio_meta"]
+    assert (m1["sample_rate"], m1["n_samples"], m1["channels"]) == (16000, 500, 2)
+    s1 = out[1]["sample_stats"]
+    assert (s1["s_min"], s1["s_max"], s1["s_mean"]) == (-7, -7, -7.0)
+    assert out[2]["audio_meta"]["sample_rate"] == 8000  # FAUD still works
+    assert out[2]["sample_stats"] is None  # stub has no PCM body
+    assert out[3]["audio_meta"] is None and out[3]["sample_stats"] is None
