@@ -54,6 +54,7 @@ _CHANGED_THIS_ROUND = [
     "q173_referential_integrity",
     "q177_bmp_decode_bucket",
     "q178_wav_decode_chunk",
+    "q179_avi_frame_sample",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",
     "q151_gif_jpeg_decode_bucket",

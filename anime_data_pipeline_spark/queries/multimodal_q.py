@@ -1119,3 +1119,109 @@ def q178_wav_decode_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_sample",
         "sample_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — REAL video decode e2e (round 6: MJPEG-AVI through
+# operators/avi_codec.py + the stdlib JPEG codec): a synthetic corpus
+# of genuine RIFF/AVI Motion-JPEG files, j = doc_id/13 deriving dims,
+# fps, frame count, and a per-frame uniform fill; every 4th selected
+# row corrupt-after-magic. The container walk reads chunk headers
+# only, then every 4th frame's byte range is JPEG-decoded FULLY
+# (q80's sampling lattice on real bytes); frame_ok pins each sampled
+# frame's min==max within ±2 of the closed-form fill (DC quantization
+# at quality 85) and decoded dims == header dims. The oracle
+# recomputes the lattice + metadata from doc_id and pins frame_ok.
+# ---------------------------------------------------------------------------
+_Q179_FPS = [12, 24, 25, 30]
+
+
+def _q179_oracle() -> str:
+    fps = ", ".join(str(f) for f in _Q179_FPS)
+    return f"""
+    WITH vids AS (
+      SELECT doc_id, doc_id // 13 AS j
+      FROM documents WHERE doc_id % 13 = 0 AND doc_id % 52 <> 0
+    ),
+    meta AS (
+      SELECT doc_id, j,
+             CAST(16 + (j * 11) % 48 AS INTEGER) AS width,
+             CAST(16 + (j * 5) % 40 AS INTEGER) AS height,
+             CAST(1 + j % 12 AS INTEGER) AS n_frames,
+             CAST([{fps}][CAST(j % 4 AS INTEGER) + 1] AS INTEGER) AS fps
+      FROM vids
+    )
+    SELECT doc_id, width, height, n_frames, fps,
+           CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx,
+           TRUE AS frame_ok
+    FROM meta
+    """
+
+
+def _avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 13 = 0) → (doc_id, content: binary) of real
+    MJPEG AVIs: j = doc_id/13, frame fi filled with
+    40 + (j*7 + fi*5) % 180. Every 4th selected row (doc_id % 52 = 0)
+    is corrupt-after-magic."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.avi_codec import encode_avi_mjpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 52 == 0:
+                    blobs.append(b"RIFF\x0c\x00\x00\x00AVI LISTjunk")
+                    continue
+                j = i // 13
+                w = 16 + (j * 11) % 48
+                h = 16 + (j * 5) % 40
+                n = 1 + j % 12
+                frames = [
+                    np.full((h, w, 3), 40 + (j * 7 + fi * 5) % 180, dtype=np.uint8)
+                    for fi in range(n)
+                ]
+                blobs.append(encode_avi_mjpeg(frames, fps=_Q179_FPS[j % 4]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q179_avi_frame_sample", oracle=_q179_oracle())
+def q179_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import (
+        sample_avi_frame_stats,
+    )
+
+    sampled = sample_avi_frame_stats(_avi_corpus(spark, sf_dir), every_k=4)
+    j = (F.col("doc_id") / 13).cast("long")
+    fill = (40 + (j * 7 + F.col("frame_idx") * 5) % 180).cast("int")
+    frame_ok = (
+        (F.col("f_min") == F.col("f_max"))
+        & (F.abs(F.col("f_min") - fill) <= 2)
+        & (F.col("f_w") == F.col("width"))
+        & (F.col("f_h") == F.col("height"))
+    )
+    return sampled.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "frame_idx",
+        frame_ok.alias("frame_ok"),
+    )
