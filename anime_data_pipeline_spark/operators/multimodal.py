@@ -13,18 +13,20 @@ At 100 TB the binary column dominates I/O, so every stage here:
 - is map-only (partition-parallel, no shuffle), with per-batch
   vectorized decode.
 
-Codec status: **PNG, GIF, JPEG, and BMP decode for real** — four
-pure-stdlib codecs (operators/png_codec.py zlib+filters,
-operators/gif_codec.py LZW+interlace, operators/jpeg_codec.py
-Huffman+IDCT, operators/bmp_codec.py; no PIL/cv2 needed) cover what
-normal exporters write: header meta AND full pixels for the inference
-preprocessing chain. PNG covers the full spec matrix (1/2/4/8/16-bit,
-Adam7); JPEG covers baseline + progressive Huffman; BMP covers
-uncompressed 1/4/8/24/32-bit. Only the exotic tails — arithmetic/
-lossless JPEG (header meta still parses), RLE BMP, WEBP/TIFF — fall
-through to the PIL seam (absent in this container); the deterministic
-FIMG fake container remains for oracle-checkable synthetic corpora.
-The default decoder accepts FIMG, PNG, GIF, and JPEG; the Spark
+Codec status: **every modality decodes for real** — six pure-stdlib
+codecs, no PIL/cv2/soundfile/ffmpeg needed. Images: PNG (full spec
+matrix: 1/2/4/8/16-bit, Adam7 — png_codec.py), GIF (LZW + interlace —
+gif_codec.py), JPEG (baseline + progressive Huffman — jpeg_codec.py),
+BMP (uncompressed 1/4/8/24/32-bit — bmp_codec.py): header meta AND
+full pixels for the inference preprocessing chain. Audio: WAV
+RIFF/PCM 8/16/32-bit (wav_codec.py) with a header-only fast path for
+chunk planning and a full-PCM stats gate. Video: MJPEG-AVI
+(avi_codec.py) — header-only frame-offset walk, only sampled frames'
+byte ranges JPEG-decode. Only the exotic tails — arithmetic/lossless
+JPEG (header meta still parses), RLE BMP, WEBP/TIFF, compressed
+audio, non-MJPEG video — fall through to the PIL/ffmpeg seams
+(absent in this container); the deterministic FIMG/FAUD/FVID fake
+containers remain for oracle-checkable synthetic corpora. The Spark
 plumbing — schemas, batch iteration, null-for-corrupt, partitioning —
 is identical across all of them.
 
