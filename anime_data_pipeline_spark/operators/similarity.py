@@ -537,6 +537,95 @@ def assign_cells(
     return df.join(assign, id_col)
 
 
+def assign_cells_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    out_col: str = "cell",
+    n_groups: int | None = None,
+    probes: int = 2,
+) -> DataFrame:
+    """Two-level nearest-centroid assignment — the production shape
+    past the point where flat assignment's O(n·k) score work stops
+    scaling (the caveat SCALE.md records for cells-∝-n SemDeDup/IVF):
+    centroids are clustered driver-side into G ≈ √k groups (numpy
+    Lloyd, k·dim doubles already in driver memory), each row routes to
+    its ``probes`` nearest group centers (O(n·G) map-side), then
+    exact-assigns against ONLY those groups' member centroids via a
+    broadcast join (O(n·probes·k/G)). Total per-row work is
+    O(G + p·k/G) ≈ O(√k) instead of O(k).
+
+    Approximate by construction — the true nearest centroid can live
+    in a non-probed group; ``probes`` is the recall knob, and
+    ``probes >= G`` degenerates to the exact flat assignment (pinned
+    by test). Ties break min-cid like :func:`assign_cells`."""
+    import numpy as np
+
+    k = len(centroids)
+    if n_groups is None:
+        n_groups = max(1, int(round(k**0.5)))
+    probes = min(probes, n_groups)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cvs = np.array([v for _, v in centroids], dtype=np.float64)
+    cns = np.linalg.norm(cvs, axis=1)
+    cns[cns == 0] = 1.0
+    unit = cvs / cns[:, None]
+    # driver-side Lloyd over the (small) centroid set, cosine metric,
+    # deterministic min-cid seeds
+    seeds = unit[np.argsort(cids)[:n_groups]]
+    for _ in range(8):
+        sim = unit @ seeds.T
+        grp = sim.argmax(axis=1)
+        new = np.stack(
+            [
+                unit[grp == g].mean(axis=0) if (grp == g).any() else seeds[g]
+                for g in range(n_groups)
+            ]
+        )
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0] = 1.0
+        new /= norms[:, None]
+        if np.allclose(new, seeds):
+            break
+        seeds = new
+    group_centers = [(g, [float(x) for x in seeds[g]]) for g in range(n_groups)]
+    spark = df.sparkSession
+    members = spark.createDataFrame(
+        [
+            (int(grp[i]), int(cids[i]), [float(x) for x in cvs[i]], float(cns[i]))
+            for i in range(k)
+        ],
+        "gid long, _cid long, _ccv array<double>, _cn double",
+    )
+    routed = probe_cells(
+        df.select(F.col(id_col), F.col(vec_col)),
+        id_col,
+        vec_col,
+        group_centers,
+        nprobe=probes,
+        out_col="gid",
+    )
+    assign = (
+        routed.withColumn("_vn", F.sqrt(sq_norm(F.col(vec_col))))
+        .join(F.broadcast(members), "gid")
+        .withColumn(
+            "_s", dot(F.col(vec_col), F.col("_ccv")) / (F.col("_vn") * F.col("_cn"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_s").alias("s"),
+                    (-F.col("_cid")).cast("long").alias("negid"),
+                )
+            ).alias("_best")
+        )
+        .select(F.col(id_col), (-F.col("_best.negid")).cast("long").alias(out_col))
+    )
+    return df.join(assign, id_col)
+
+
 def probe_cells(
     df: DataFrame,
     id_col: str,

@@ -402,3 +402,83 @@ def test_suggested_planes_sizing_rule():
     assert suggested_planes(10**12) == 24      # clamps high
     # doubling the corpus adds ~1 plane: occupancy stays flat
     assert suggested_planes(40_000) == suggested_planes(20_000) + 1
+
+
+def test_assign_cells_two_level(spark, sf_dir):
+    """Two-level routing: probes >= n_groups must equal the exact flat
+    assignment bit-for-bit; probes=2 must agree on nearly all rows of
+    a real embedding table (the recall knob's documented tradeoff)."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_two_level,
+        seed_centroids,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cents = seed_centroids(emb, "vec_id", "v", 25)
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, "vec_id", "v", cents).collect()
+    }
+    full = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_two_level(
+            emb, "vec_id", "v", cents, n_groups=5, probes=5
+        ).collect()
+    }
+    assert full == exact  # probing every group == exact
+    # on the near-random synthetic table cluster structure is weak, so
+    # partial probing is a soft floor + monotone-in-probes property
+    agrees = []
+    for p in (2, 3):
+        two = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells_two_level(
+                emb, "vec_id", "v", cents, n_groups=5, probes=p
+            ).collect()
+        }
+        assert set(two) == set(exact)
+        agrees.append(sum(two[i] == exact[i] for i in exact) / len(exact))
+    assert agrees[0] >= 0.6 and agrees[1] >= agrees[0], agrees
+
+
+def test_assign_cells_two_level_clustered_data(spark):
+    """On data with real cluster structure (what embedding spaces look
+    like), probes=2 routing agrees with exact assignment on ~all rows:
+    each point's nearest centroid lives in its own coarse group."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_two_level,
+    )
+
+    r = np.random.default_rng(11)
+    anchors = r.normal(size=(9, 16))
+    anchors /= np.linalg.norm(anchors, axis=1)[:, None]
+    rows, cents = [], []
+    vid = 0
+    for a_i, a in enumerate(anchors):
+        for c in range(4):  # 4 centroids per anchor neighborhood
+            cv = a + r.normal(scale=0.05, size=16)
+            cents.append((a_i * 10 + c, [float(x) for x in cv]))
+        for _ in range(40):
+            v = a + r.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    exact = {
+        r2["vec_id"]: r2["cell"]
+        for r2 in assign_cells(df, "vec_id", "v", cents).collect()
+    }
+    two = {
+        r2["vec_id"]: r2["cell"]
+        for r2 in assign_cells_two_level(
+            df, "vec_id", "v", cents, n_groups=9, probes=2
+        ).collect()
+    }
+    agree = sum(two[i] == exact[i] for i in exact) / len(exact)
+    assert agree >= 0.97, agree
