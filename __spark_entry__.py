@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # JPEG marker walk + corrupt->None guards (operators/jpeg_codec.py,
 # progressive-JPEG decode added to q151's fixture corpus), q115's
 # corpus extended to the full PNG matrix (16-bit/Adam7/sub-8) with a
-# pixel_ok gate, and q177 is NEW (stdlib BMP codec e2e).
+# pixel_ok gate, and q177/q178/q179 are NEW (stdlib BMP, WAV PCM, and
+# MJPEG-AVI codecs e2e).
 _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
@@ -119,10 +120,10 @@ _PRIORITY = [
     "q59_pii_redact",
     "q70_webdataset_roundtrip",
     "q73_tag_inference",
+    # ---- 50-row driver cutoff lands here ----
     "q74_snapshot_diff",
     "q75_mix_rebalance",
     "q76_salted_join_hot_key",
-    # ---- 50-row driver cutoff lands here ----
     "q78_contamination_check",
     "q80_video_frame_sample",
     "q81_line_dedup",
