@@ -77,6 +77,14 @@ EXTRA_QUERIES = [
     # containment blocking join — the two heaviest new shapes
     "q154_pagerank",
     "q161_containment_dedup",
+    # round-6: the real-codec decode gates (full PNG matrix, GIF+JPEG
+    # incl. progressive, BMP, WAV PCM, MJPEG-AVI) — per-byte decode
+    # cost at sf0.1 on the record for regression tracking
+    "q115_png_decode_bucket",
+    "q151_gif_jpeg_decode_bucket",
+    "q177_bmp_decode_bucket",
+    "q178_wav_decode_chunk",
+    "q179_avi_frame_sample",
 ]
 
 
