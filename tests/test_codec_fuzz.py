@@ -1,0 +1,101 @@
+"""Crash-safety fuzz for all six stdlib codecs: ANY bytes behind a
+valid magic must decode to a value or None — never raise. One corrupt
+blob crashing a Spark task kills the whole stage at 100 TB scale; the
+contract (corrupt → dropped-with-count row) only holds if every
+decoder is total. Two attack shapes per codec: random tails behind
+the magic, and every-k-byte truncations of a VALID file (the
+real-world shape: interrupted uploads / clipped objects)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anime_data_pipeline_spark.operators.avi_codec import (
+    avi_frame_offsets,
+    avi_meta,
+    decode_avi_frames,
+    encode_avi_mjpeg,
+)
+from anime_data_pipeline_spark.operators.bmp_codec import bmp_meta, decode_bmp, encode_bmp
+from anime_data_pipeline_spark.operators.gif_codec import decode_gif, encode_gif, gif_meta
+from anime_data_pipeline_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_meta,
+)
+from anime_data_pipeline_spark.operators.png_codec import decode_png, encode_png, png_meta
+from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav, wav_meta
+
+
+def _valid_blobs():
+    r = np.random.default_rng(7)
+    img = r.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    pal = r.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = r.integers(0, 4, (9, 11), dtype=np.uint8)
+    return {
+        "png": (encode_png(img), [png_meta, decode_png]),
+        "gif": (encode_gif(idx, pal), [gif_meta, decode_gif]),
+        "jpeg": (encode_jpeg(img, 85), [jpeg_meta, decode_jpeg]),
+        "bmp": (encode_bmp(img), [bmp_meta, decode_bmp]),
+        "wav": (
+            encode_wav(r.integers(-999, 999, (64, 2)).astype(np.int16), 16000),
+            [wav_meta, decode_wav],
+        ),
+        "avi": (
+            encode_avi_mjpeg([img, img], fps=24),
+            [avi_meta, avi_frame_offsets, decode_avi_frames],
+        ),
+    }
+
+
+_BLOBS = _valid_blobs()
+
+_MAGICS = {
+    "png": b"\x89PNG\r\n\x1a\n",
+    "gif": b"GIF89a",
+    "jpeg": b"\xff\xd8\xff",
+    "bmp": b"BM",
+    "wav": b"RIFF\x80\x00\x00\x00WAVE",
+    "avi": b"RIFF\x80\x00\x00\x00AVI ",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_BLOBS))
+def test_truncations_never_raise(name):
+    """decode(valid[:k]) for every prefix length: None or a value."""
+    blob, fns = _BLOBS[name]
+    for k in range(0, len(blob) + 1, max(1, len(blob) // 200)):
+        cut = blob[:k]
+        for fn in fns:
+            fn(cut)  # must not raise
+
+
+@pytest.mark.parametrize("name", sorted(_BLOBS))
+def test_random_tails_never_raise(name):
+    blob, fns = _BLOBS[name]
+    magic = _MAGICS[name]
+
+    @settings(max_examples=120, deadline=None)
+    @given(tail=st.binary(max_size=300))
+    def fuzz(tail):
+        for fn in fns:
+            fn(magic + tail)
+
+    fuzz()
+
+
+@pytest.mark.parametrize("name", sorted(_BLOBS))
+def test_single_byte_corruptions_never_raise(name):
+    """Flip one byte at a stride through a valid file — header fields,
+    length fields, entropy-coded payloads all get hit."""
+    blob, fns = _BLOBS[name]
+    b = bytearray(blob)
+    for pos in range(0, len(b), max(1, len(b) // 150)):
+        orig = b[pos]
+        b[pos] = orig ^ 0xFF
+        for fn in fns:
+            fn(bytes(b))  # must not raise
+        b[pos] = orig
