@@ -48,12 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # JPEG marker walk + corrupt->None guards (operators/jpeg_codec.py,
 # progressive-JPEG decode added to q151's fixture corpus), q115's
 # corpus extended to the full PNG matrix (16-bit/Adam7/sub-8) with a
-# pixel_ok gate, and q177/q178/q179 are NEW (stdlib BMP, WAV PCM, and
+# pixel_ok gate, and q177/q178/q179 are NEW (stdlib BMP+TIFF raster, WAV PCM, and
 # MJPEG-AVI codecs e2e).
 _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
-    "q177_bmp_decode_bucket",
+    "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
     "q179_avi_frame_sample",
     "q152_url_canonical_dedup",

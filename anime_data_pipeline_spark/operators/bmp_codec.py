@@ -5,10 +5,12 @@ that previously fell through to the (absent) PIL seam.
 The reference decodes every format through PIL (bucket_manager.py:
 180-189); BMP needs no entropy coder at all — BITMAPINFOHEADER +
 bottom-up 4-byte-aligned scanlines. Supported: uncompressed (BI_RGB)
-1/4/8-bit palette, 24-bit BGR, and 32-bit BGRA, plus the modern
-BITMAPV4/V5 headers (same leading fields); RLE4/RLE8/bitfields
-compression and top-down negative heights return None like any other
-corrupt/unsupported input (dropped-with-count row).
+1/4/8-bit palette, 24-bit BGR, and 32-bit BGRA, plus BI_RLE8/BI_RLE4
+run-length bodies (encoded runs, absolute mode, end-of-line/bitmap
+and delta escapes) and the modern BITMAPV4/V5 headers (same leading
+fields); bitfields compression and top-down negative heights return
+None like any other corrupt/unsupported input (dropped-with-count
+row).
 
 Scale note: decode runs inside the same Arrow-batched ``mapInPandas``
 workers as PNG/GIF/JPEG (operators/multimodal.py) — row-parallel
@@ -28,7 +30,9 @@ _SUPPORTED_BPP = (1, 4, 8, 24, 32)
 
 
 def _header(data: bytes):
-    """(w, h, bpp, data_offset, palette: (n,3) RGB | None) or None."""
+    """(w, h, bpp, data_offset, palette: (n,3) RGB | None, compression)
+    or None. Compression 0 = BI_RGB, 1 = BI_RLE8 (8-bit only),
+    2 = BI_RLE4 (4-bit only)."""
     if len(data) < 54 or data[:2] != BMP_MAGIC:
         return None
     (offset,) = struct.unpack("<I", data[10:14])
@@ -40,7 +44,11 @@ def _header(data: bytes):
     (compression,) = struct.unpack("<I", data[30:34])
     if w <= 0 or h <= 0 or planes != 1:  # top-down (h<0) unsupported
         return None
-    if compression != 0 or bpp not in _SUPPORTED_BPP:
+    if bpp not in _SUPPORTED_BPP:
+        return None
+    if compression not in (0, 1, 2):
+        return None
+    if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
         return None
     palette = None
     if bpp <= 8:
@@ -53,7 +61,7 @@ def _header(data: bytes):
         # BGRX quads → RGB
         quads = np.frombuffer(raw, dtype=np.uint8).reshape(ncol, 4)
         palette = quads[:, [2, 1, 0]].copy()
-    return int(w), int(h), int(bpp), int(offset), palette
+    return int(w), int(h), int(bpp), int(offset), palette, int(compression)
 
 
 def bmp_meta(data: bytes) -> tuple[int, int, str] | None:
@@ -62,7 +70,7 @@ def bmp_meta(data: bytes) -> tuple[int, int, str] | None:
     hdr = _header(data)
     if hdr is None:
         return None
-    w, h, bpp, _off, _pal = hdr
+    w, h, bpp, _off, _pal, _comp = hdr
     return w, h, {24: "RGB", 32: "RGBA"}.get(bpp, "P")
 
 
@@ -74,7 +82,12 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     hdr = _header(data)
     if hdr is None:
         return None
-    w, h, bpp, offset, palette = hdr
+    w, h, bpp, offset, palette, compression = hdr
+    if compression:  # BI_RLE8 / BI_RLE4
+        idx = _decode_rle(data[offset:], w, h, bpp)
+        if idx is None or palette is None or idx.max(initial=0) >= len(palette):
+            return None
+        return palette[idx]
     stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4-byte boundaries
     need = offset + stride * h
     if len(data) < need:
@@ -99,12 +112,93 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     return palette[idx]
 
 
-def encode_bmp(arr: np.ndarray, *, palette: np.ndarray | None = None, bit_depth: int | None = None) -> bytes:
-    """Array → spec-valid BMP (BITMAPINFOHEADER, BI_RGB, bottom-up).
+def _decode_rle(src: bytes, w: int, h: int, bpp: int) -> np.ndarray | None:
+    """BI_RLE8/BI_RLE4 (MS BMP spec) → (h, w) palette indices, or None
+    on malformed streams. Escapes: 00 00 end-of-line, 00 01
+    end-of-bitmap, 00 02 delta (dx, dy — skipped cells stay index 0),
+    00 n≥3 absolute run (word-aligned). Lines are bottom-up like
+    uncompressed BMP."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x, y = 0, 0  # y counts bottom-up lines
+    pos, n = 0, len(src)
+    while pos + 1 < n:
+        cnt, val = src[pos], src[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= h:
+                return None
+            if bpp == 8:
+                run = np.full(cnt, val, dtype=np.uint8)
+            else:
+                pair = np.array([val >> 4, val & 0x0F], dtype=np.uint8)
+                run = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            end = min(x + cnt, w)  # clip spec-illegal overruns
+            idx[h - 1 - y, x:end] = run[: end - x]
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                return None
+            x = min(x + src[pos], w)
+            y += src[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal pixels, word-aligned
+            if y >= h:
+                return None
+            nbytes = val if bpp == 8 else (val + 1) // 2
+            if pos + nbytes > n:
+                return None
+            raw = np.frombuffer(src, dtype=np.uint8, count=nbytes, offset=pos)
+            if bpp == 8:
+                run = raw
+            else:
+                run = np.stack([raw >> 4, raw & 0x0F], axis=1).reshape(-1)[:val]
+            pos += nbytes + (nbytes & 1)  # pad to 2-byte boundary
+            end = min(x + val, w)
+            idx[h - 1 - y, x:end] = run[: end - x]
+            x = end
+    return None  # ran off the end without 00 01
+
+
+def encode_bmp(arr: np.ndarray, *, palette: np.ndarray | None = None, bit_depth: int | None = None, rle: bool = False) -> bytes:
+    """Array → spec-valid BMP (BITMAPINFOHEADER, bottom-up).
     Fixture writer for the e2e tests: uint8 (h, w, 3) → 24-bit,
     (h, w, 4) → 32-bit, 2-D indices + ``palette`` (n, 3) RGB →
-    1/4/8-bit palette at ``bit_depth`` (default 8)."""
+    1/4/8-bit palette at ``bit_depth`` (default 8); ``rle=True``
+    emits BI_RLE8/BI_RLE4 run-length bodies (palette 4/8-bit only)."""
     a = np.asarray(arr, dtype=np.uint8)
+    if rle:
+        if palette is None or (bit_depth or 8) not in (4, 8):
+            raise ValueError("rle requires a 4- or 8-bit palette image")
+        bpp = bit_depth or 8
+        h, w = a.shape
+        pal = np.asarray(palette, dtype=np.uint8)
+        quads = np.zeros((len(pal), 4), dtype=np.uint8)
+        quads[:, :3] = pal[:, ::-1]
+        pal_bytes = quads.tobytes()
+        body = bytearray()
+        for row in a[::-1]:  # bottom-up line order
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                v = int(row[x]) if bpp == 8 else (int(row[x]) << 4) | int(row[x])
+                body += bytes([run, v])
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        body = bytes(body)
+        offset = 14 + 40 + len(pal_bytes)
+        file_hdr = struct.pack("<2sIHHI", BMP_MAGIC, offset + len(body), 0, 0, offset)
+        info_hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 1 if bpp == 8 else 2,
+            len(body), 2835, 2835, len(pal_bytes) // 4, 0,
+        )
+        return file_hdr + info_hdr + pal_bytes + body
     if palette is not None:
         bpp = bit_depth or 8
         h, w = a.shape

@@ -13,22 +13,24 @@ At 100 TB the binary column dominates I/O, so every stage here:
 - is map-only (partition-parallel, no shuffle), with per-batch
   vectorized decode.
 
-Codec status: **every modality decodes for real** — six pure-stdlib
+Codec status: **every modality decodes for real** — seven pure-stdlib
 codecs, no PIL/cv2/soundfile/ffmpeg needed. Images: PNG (full spec
 matrix: 1/2/4/8/16-bit, Adam7 — png_codec.py), GIF (LZW + interlace —
 gif_codec.py), JPEG (baseline + progressive Huffman — jpeg_codec.py),
-BMP (uncompressed 1/4/8/24/32-bit — bmp_codec.py): header meta AND
-full pixels for the inference preprocessing chain. Audio: WAV
-RIFF/PCM 8/16/32-bit (wav_codec.py) with a header-only fast path for
-chunk planning and a full-PCM stats gate. Video: MJPEG-AVI
-(avi_codec.py) — header-only frame-offset walk, only sampled frames'
-byte ranges JPEG-decode. Only the exotic tails — arithmetic/lossless
-JPEG (header meta still parses), RLE BMP, WEBP/TIFF, compressed
-audio, non-MJPEG video — fall through to the PIL/ffmpeg seams
-(absent in this container); the deterministic FIMG/FAUD/FVID fake
-containers remain for oracle-checkable synthetic corpora. The Spark
-plumbing — schemas, batch iteration, null-for-corrupt, partitioning —
-is identical across all of them.
+BMP (uncompressed 1/4/8/24/32-bit + RLE4/RLE8 — bmp_codec.py),
+baseline TIFF (both byte orders, none/LZW/PackBits, predictor,
+gray/RGB/RGBA/palette — tiff_codec.py): header meta AND full pixels
+for the inference preprocessing chain. Audio: WAV RIFF/PCM 8/16/32-bit
+(wav_codec.py) with a header-only fast path for chunk planning and a
+full-PCM stats gate. Video: MJPEG-AVI (avi_codec.py) — header-only
+frame-offset walk, only sampled frames' byte ranges JPEG-decode. Only
+the exotic tails — arithmetic/lossless JPEG (header meta still
+parses), WEBP, 16-bit/tiled TIFF, compressed audio, non-MJPEG video —
+fall through to the PIL/ffmpeg seams (absent in this container); the
+deterministic FIMG/FAUD/FVID fake containers remain for
+oracle-checkable synthetic corpora. The Spark plumbing — schemas,
+batch iteration, null-for-corrupt, partitioning — is identical across
+all of them.
 
 FIMG container: b"FIMG" | width:int32le | height:int32le | mode:1 byte
 (R=RGB, A=RGBA, L=gray, P=palette) | payload bytes. The payload stands
@@ -72,17 +74,19 @@ def encode_fimg(width: int, height: int, mode: str = "RGB", payload: bytes = b""
 def _decode_real(content: bytes) -> tuple[int, int, str] | None:
     """Real codec dispatch by magic bytes. PNG (every spec-valid
     depth/color/interlace combination), GIF (87a/89a), JPEG (any SOFn
-    for header meta), and BMP (uncompressed, any palette depth) decode
-    NATIVELY via the stdlib codecs: header meta here, full pixels via
-    ``image_pixel_decoder_loader``. Only non-{PNG,GIF,JPEG,BMP}
-    formats still need PIL (reference dbimutils.py:6-26) — unavailable
-    in this container, so they raise; corrupt bytes behind a valid
-    magic return None (dropped-with-count row, reference
-    bucket_manager.py:187-189)."""
+    for header meta), BMP (uncompressed + RLE4/RLE8, any palette
+    depth), and baseline TIFF (both byte orders, none/LZW/PackBits)
+    decode NATIVELY via the stdlib codecs: header meta here, full
+    pixels via ``image_pixel_decoder_loader``. Only
+    non-{PNG,GIF,JPEG,BMP,TIFF} formats still need PIL (reference
+    dbimutils.py:6-26) — unavailable in this container, so they
+    raise; corrupt bytes behind a valid magic return None
+    (dropped-with-count row, reference bucket_manager.py:187-189)."""
     from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, bmp_meta
     from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
+    from anime_data_pipeline_spark.operators.tiff_codec import TIFF_MAGICS, tiff_meta
 
     if content[:8] == PNG_MAGIC:
         return png_meta(content)
@@ -92,18 +96,22 @@ def _decode_real(content: bytes) -> tuple[int, int, str] | None:
         return jpeg_meta(content)
     if content[:2] == BMP_MAGIC:
         return bmp_meta(content)
+    if content[:4] in TIFF_MAGICS:
+        return tiff_meta(content)
     raise NotImplementedError(
-        "non-{PNG,GIF,JPEG,BMP} codecs not available in this environment"
+        "non-{PNG,GIF,JPEG,BMP,TIFF} codecs not available in this environment"
     )
 
 
 def _decode_default(content: bytes) -> tuple[int, int, str] | None:
     """Default per-blob decode: FIMG stub container OR a real PNG /
-    GIF / JPEG / BMP; None for anything else (corrupt/foreign bytes)."""
+    GIF / JPEG / BMP / TIFF; None for anything else (corrupt/foreign
+    bytes)."""
     from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, bmp_meta
     from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
+    from anime_data_pipeline_spark.operators.tiff_codec import TIFF_MAGICS, tiff_meta
 
     if content[:4] == FIMG_MAGIC:
         return _decode_fimg(content)
@@ -115,6 +123,8 @@ def _decode_default(content: bytes) -> tuple[int, int, str] | None:
         return jpeg_meta(content)
     if content[:2] == BMP_MAGIC:
         return bmp_meta(content)
+    if content[:4] in TIFF_MAGICS:
+        return tiff_meta(content)
     return None
 
 
@@ -149,7 +159,8 @@ def png_pixel_decoder_loader() -> "Callable[[], Callable]":
 def image_pixel_decoder_loader() -> "Callable[[], Callable]":
     """Loader yielding the FULL pixel decode for every natively-coded
     format — PNG (palette expanded), GIF (first frame, palette
-    expanded), baseline JPEG — dispatched by magic bytes; bytes →
+    expanded), JPEG (baseline + progressive), BMP, baseline TIFF
+    (palette expanded) — dispatched by magic bytes; bytes →
     (h, w, ch) uint8 numpy array, None for corrupt/unsupported. Feeds
     the numpy preprocessing chain in operators/inference.py exactly
     where a PIL decode would."""
@@ -168,6 +179,10 @@ def image_pixel_decoder_loader() -> "Callable[[], Callable]":
             decode_jpeg,
         )
         from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC
+        from anime_data_pipeline_spark.operators.tiff_codec import (
+            TIFF_MAGICS,
+            decode_tiff,
+        )
 
         png_decode = png_pixel_decoder_loader()()
 
@@ -183,6 +198,8 @@ def image_pixel_decoder_loader() -> "Callable[[], Callable]":
                 return arr
             if content[:2] == BMP_MAGIC:
                 return decode_bmp(content)
+            if content[:4] in TIFF_MAGICS:
+                return decode_tiff(content)
             return None
 
         return decode

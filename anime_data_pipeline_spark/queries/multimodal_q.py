@@ -832,16 +832,19 @@ def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q177 — REAL BMP decode e2e (SURVEY S7 extended to Windows bitmaps,
-# round 6): a synthetic corpus of genuine spec-valid BMP files (stdlib
-# encoder, operators/bmp_codec.py) cycling doc_id % 4 through 24-bit
-# BGR, 32-bit BGRA, 8-bit palette, and 4-bit palette; every 27th row
+# q177 — REAL raster decode e2e (SURVEY S7 extended to Windows bitmaps
+# AND baseline TIFF, round 6): a synthetic corpus of genuine spec-valid
+# files (stdlib encoders, operators/bmp_codec.py + tiff_codec.py)
+# cycling doc_id % 8 through 24-bit BMP, 32-bit BMP, 8-bit-palette BMP,
+# RLE4 BMP, LZW+predictor TIFF (RGB), big-endian PackBits TIFF (RGBA),
+# uncompressed gray TIFF, and LZW palette TIFF; every 27th row
 # corrupt-after-magic. Decoded twice by the DEFAULT (no injection)
 # codec: header meta → aspect-ratio bucket assignment (reference
 # bucket_manager.py:180-189 flow), and FULL pixels via
 # decode_image_pixel_stats — uniform doc_id-derived fills give
 # closed-form min/max/mean, so a stride-padding, BGR-order, bottom-up,
-# or palette-expansion bug that leaves the header intact still breaks
+# byte-order, LZW early-change, predictor, RLE-escape, or
+# palette-expansion bug that leaves the header intact still breaks
 # the hash match. Oracle recomputes everything from doc_id and pins
 # pixel_ok TRUE.
 # ---------------------------------------------------------------------------
@@ -864,23 +867,29 @@ def _q177_oracle() -> str:
     SELECT image_key AS doc_id,
            CAST(16 + (image_key * 53) % 113 AS INTEGER) AS width,
            CAST(16 + (image_key * 101) % 103 AS INTEGER) AS height,
-           CASE CAST(image_key % 4 AS INTEGER)
-             WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'P' END AS mode,
+           CASE CAST(image_key % 8 AS INTEGER)
+             WHEN 0 THEN 'RGB' WHEN 4 THEN 'RGB'
+             WHEN 1 THEN 'RGBA' WHEN 5 THEN 'RGBA'
+             WHEN 6 THEN 'L' ELSE 'P' END AS mode,
            bucket_w, bucket_h,
            TRUE AS pixel_ok
     FROM assigned
     """
 
 
-def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _raster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 9 = 0) → (doc_id, content: binary) of real
-    BMP bytes, each a uniform doc_id-derived fill (f = 40 + id % 160;
-    palette rows a constant index j = id % 16 into the q115 closed-form
-    palette). id%4: 0 → 24-bit, 1 → 32-bit, 2 → 8-bit palette,
-    3 → 4-bit palette. Every 27th row corrupt-after-magic."""
+    BMP/TIFF bytes, each a uniform doc_id-derived fill (f = 40 +
+    id % 160; palette rows a constant index j = id % 16 into the q115
+    closed-form palette). id%8: 0 → 24-bit BMP, 1 → 32-bit BMP,
+    2 → 8-bit palette BMP, 3 → RLE4 BMP, 4 → TIFF RGB (LZW,
+    predictor 2), 5 → TIFF RGBA (big-endian, PackBits), 6 → TIFF gray
+    (uncompressed, strips), 7 → TIFF palette (LZW). Every 27th row
+    corrupt-after-magic."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, encode_bmp
+    from anime_data_pipeline_spark.operators.tiff_codec import encode_tiff
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -906,20 +915,43 @@ def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = 16 + (i * 53) % 113
                 h = 16 + (i * 101) % 103
                 f = 40 + i % 160
-                v = i % 4
+                j = i % 16
+                v = i % 8
                 if v == 0:
                     blob = encode_bmp(np.full((h, w, 3), f, dtype=np.uint8))
                 elif v == 1:
                     blob = encode_bmp(np.full((h, w, 4), f, dtype=np.uint8))
                 elif v == 2:
+                    blob = encode_bmp(np.full((h, w), j, dtype=np.uint8), palette=plte)
+                elif v == 3:
                     blob = encode_bmp(
-                        np.full((h, w), i % 16, dtype=np.uint8), palette=plte
-                    )
-                else:
-                    blob = encode_bmp(
-                        np.full((h, w), i % 16, dtype=np.uint8),
+                        np.full((h, w), j, dtype=np.uint8),
                         palette=plte,
                         bit_depth=4,
+                        rle=True,
+                    )
+                elif v == 4:
+                    blob = encode_tiff(
+                        np.full((h, w, 3), f, dtype=np.uint8),
+                        compression=5,
+                        predictor=2,
+                        rows_per_strip=16,
+                    )
+                elif v == 5:
+                    blob = encode_tiff(
+                        np.full((h, w, 4), f, dtype=np.uint8),
+                        byte_order=">",
+                        compression=32773,
+                    )
+                elif v == 6:
+                    blob = encode_tiff(
+                        np.full((h, w), f, dtype=np.uint8), rows_per_strip=8
+                    )
+                else:
+                    blob = encode_tiff(
+                        np.full((h, w), j, dtype=np.uint8),
+                        palette=plte,
+                        compression=5,
                     )
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
@@ -927,8 +959,8 @@ def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=schema)
 
 
-@register("q177_bmp_decode_bucket", oracle=_q177_oracle())
-def q177_bmp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q177_raster_decode_bucket", oracle=_q177_oracle())
+def q177_raster_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.operators.bucketing import (
         BucketConfig,
         assign_bucket_columns,
@@ -937,10 +969,12 @@ def q177_bmp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_pixel_stats,
     )
 
-    decoded = decode_image_pixel_stats(decode_image_meta(_bmp_corpus(spark, sf_dir)))
+    decoded = decode_image_pixel_stats(
+        decode_image_meta(_raster_corpus(spark, sf_dir))
+    )
     i = F.col("doc_id")
     f = (F.lit(40) + (i % 160)).cast("int")
-    v = (i % 4).cast("int")
+    v = (i % 8).cast("int")
     st = F.col("pixel_stats")
     j = (i % 16).cast("int")
     pr, pg, pb = j * 17, 255 - j * 17, (j * 37) % 256
@@ -952,8 +986,9 @@ def q177_bmp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uniform = (st["px_min"] == st["px_max"]) & (st["px_min"] == f)
     expected = (
-        F.when(v == 0, uniform & (st["channels"] == 3))
-        .when(v == 1, uniform & (st["channels"] == 4))
+        F.when(v.isin(0, 4), uniform & (st["channels"] == 3))
+        .when(v.isin(1, 5), uniform & (st["channels"] == 4))
+        .when(v == 6, uniform & (st["channels"] == 1))
         .otherwise(pal_ok)
     )
     decoded = decoded.withColumn(

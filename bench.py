@@ -82,7 +82,7 @@ EXTRA_QUERIES = [
     # cost at sf0.1 on the record for regression tracking
     "q115_png_decode_bucket",
     "q151_gif_jpeg_decode_bucket",
-    "q177_bmp_decode_bucket",
+    "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
     "q179_avi_frame_sample",
 ]

@@ -96,3 +96,60 @@ def test_bmp_roundtrip_property():
         assert out is not None and np.array_equal(out, arr)
 
     roundtrip()
+
+
+def test_rle_roundtrip_depths():
+    """BI_RLE8 and BI_RLE4 encoded-run bodies roundtrip through the
+    palette expansion, including single-pixel and >255-px-wide rows."""
+    rng = _rng(31)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for bd in (8, 4):
+        for shape in ((9, 13), (3, 300), (1, 1)):
+            idx = rng.integers(0, 16, shape, dtype=np.uint8)
+            blob = encode_bmp(idx, palette=plte, bit_depth=bd, rle=True)
+            meta = bmp_meta(blob)
+            assert meta == (shape[1], shape[0], "P")
+            out = decode_bmp(blob)
+            assert out is not None and np.array_equal(out, plte[idx])
+
+
+def test_rle_absolute_and_delta_escapes():
+    """Hand-built BI_RLE8 stream (not via the encoder) exercising the
+    absolute-mode (00 n>=3, word-aligned) and delta (00 02 dx dy)
+    escapes; delta-skipped cells stay index 0 per the MS spec."""
+    import struct as _s
+
+    plte = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    quads = np.zeros((16, 4), dtype=np.uint8)
+    quads[:, :3] = plte[:, ::-1]
+    w, h = 6, 2
+    body = bytes(
+        [3, 5]              # bottom line: 3 px of index 5
+        + [0, 3, 1, 2, 3, 0]  # absolute: 3 px (1,2,3) + pad byte
+        + [0, 0]            # end of line
+        + [2, 7]            # top line: 2 px of 7
+        + [0, 2, 2, 0]      # delta: skip 2 cells (stay 0)
+        + [2, 1]            # 2 px of 1
+        + [0, 0]            # end of line
+        + [0, 1]            # end of bitmap
+    )
+    offset = 14 + 40 + 64
+    hdr = _s.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 0, 0, 16, 0)
+    blob = hdr + info + quads.tobytes() + body
+    out = decode_bmp(blob)
+    assert out is not None
+    expect_idx = np.array([[7, 7, 0, 0, 1, 1], [5, 5, 5, 1, 2, 3]], dtype=np.uint8)
+    assert np.array_equal(out, plte[expect_idx])
+
+
+def test_rle_corrupt_returns_none():
+    rng = _rng(37)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 9), dtype=np.uint8)
+    blob = encode_bmp(idx, palette=plte, rle=True)
+    assert decode_bmp(blob[: len(blob) // 2]) is None  # truncated stream
+    assert decode_bmp(blob[:-2]) is None  # missing end-of-bitmap
+    mism = bytearray(blob)
+    mism[30:34] = b"\x02\x00\x00\x00"  # RLE4 flag on an 8-bit image
+    assert bmp_meta(bytes(mism)) is None and decode_bmp(bytes(mism)) is None

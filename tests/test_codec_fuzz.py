@@ -1,4 +1,4 @@
-"""Crash-safety fuzz for all six stdlib codecs: ANY bytes behind a
+"""Crash-safety fuzz for all seven stdlib codecs: ANY bytes behind a
 valid magic must decode to a value or None — never raise. One corrupt
 blob crashing a Spark task kills the whole stage at 100 TB scale; the
 contract (corrupt → dropped-with-count row) only holds if every
@@ -27,6 +27,11 @@ from anime_data_pipeline_spark.operators.jpeg_codec import (
     jpeg_meta,
 )
 from anime_data_pipeline_spark.operators.png_codec import decode_png, encode_png, png_meta
+from anime_data_pipeline_spark.operators.tiff_codec import (
+    decode_tiff,
+    encode_tiff,
+    tiff_meta,
+)
 from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav, wav_meta
 
 
@@ -40,6 +45,18 @@ def _valid_blobs():
         "gif": (encode_gif(idx, pal), [gif_meta, decode_gif]),
         "jpeg": (encode_jpeg(img, 85), [jpeg_meta, decode_jpeg]),
         "bmp": (encode_bmp(img), [bmp_meta, decode_bmp]),
+        "bmp_rle": (
+            encode_bmp(idx, palette=pal, rle=True),
+            [bmp_meta, decode_bmp],
+        ),
+        "tiff": (
+            encode_tiff(img, compression=5, predictor=2, rows_per_strip=3),
+            [tiff_meta, decode_tiff],
+        ),
+        "tiff_be": (
+            encode_tiff(img, byte_order=">", compression=32773),
+            [tiff_meta, decode_tiff],
+        ),
         "wav": (
             encode_wav(r.integers(-999, 999, (64, 2)).astype(np.int16), 16000),
             [wav_meta, decode_wav],
@@ -58,6 +75,9 @@ _MAGICS = {
     "gif": b"GIF89a",
     "jpeg": b"\xff\xd8\xff",
     "bmp": b"BM",
+    "bmp_rle": b"BM",
+    "tiff": b"II*\x00",
+    "tiff_be": b"MM\x00*",
     "wav": b"RIFF\x80\x00\x00\x00WAVE",
     "avi": b"RIFF\x80\x00\x00\x00AVI ",
 }

@@ -1,0 +1,191 @@
+"""Baseline-TIFF codec (operators/tiff_codec.py): roundtrips across
+the full supported matrix (both byte orders × none/LZW/PackBits ×
+predictor × strip sizes × gray/RGB/RGBA/palette/WhiteIsZero), a
+hand-assembled spec-literal file (external pinning — a decoder bug
+mirrored into the encoder can't hide), TIFF-LZW width-bump / early
+change / table-reset coverage, and the corrupt/unsupported → None
+contract the mapInPandas decode stages rely on."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anime_data_pipeline_spark.operators.tiff_codec import (
+    TIFF_MAGICS,
+    _lzw_decode,
+    _lzw_encode,
+    _unpackbits,
+    decode_tiff,
+    encode_tiff,
+    tiff_meta,
+)
+
+
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+@pytest.mark.parametrize(
+    "compression,predictor", [(1, 1), (5, 1), (5, 2), (32773, 1), (32773, 2)]
+)
+@pytest.mark.parametrize("rows_per_strip", [None, 4])
+@pytest.mark.parametrize("shape", [(13, 17), (13, 17, 3), (13, 17, 4)])
+def test_roundtrip_matrix(byte_order, compression, predictor, rows_per_strip, shape):
+    rng = np.random.default_rng(sum(shape) + compression + predictor)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    blob = encode_tiff(
+        arr,
+        byte_order=byte_order,
+        compression=compression,
+        predictor=predictor,
+        rows_per_strip=rows_per_strip,
+    )
+    assert blob[:4] in TIFF_MAGICS
+    expected = arr if arr.ndim == 3 else arr[:, :, None]
+    w, h, mode = tiff_meta(blob)
+    assert (w, h) == (17, 13)
+    assert mode == {1: "L", 3: "RGB", 4: "RGBA"}[expected.shape[2]]
+    out = decode_tiff(blob)
+    assert out is not None and out.shape == expected.shape
+    assert (out == expected).all()
+
+
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+def test_palette_expands_to_rgb(compression):
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 11), dtype=np.uint8)
+    blob = encode_tiff(idx, palette=plte, compression=compression)
+    assert tiff_meta(blob) == (11, 9, "P")
+    out = decode_tiff(blob)
+    assert out is not None and out.shape == (9, 11, 3)
+    assert (out == plte[idx]).all()
+
+
+def test_whiteiszero_inverts():
+    g = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    blob = encode_tiff(255 - g, photometric=0)
+    assert tiff_meta(blob) == (7, 5, "L")
+    assert (decode_tiff(blob)[:, :, 0] == g).all()
+
+
+def test_handassembled_spec_literal_file():
+    """A 3x2 8-bit gray little-endian TIFF written byte-by-byte from
+    the TIFF 6.0 spec (not via encode_tiff) must decode — pins the
+    decoder to the spec independently of the encoder."""
+    pixels = bytes([10, 20, 30, 40, 50, 60])  # rows (10,20,30), (40,50,60)
+    ifd_off = 8 + 6  # header + pixel strip
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+    ifd = struct.pack("<H", 9)
+    ifd += entry(256, 3, 1, 3)  # ImageWidth
+    ifd += entry(257, 3, 1, 2)  # ImageLength
+    ifd += entry(258, 3, 1, 8)  # BitsPerSample
+    ifd += entry(259, 3, 1, 1)  # Compression: none
+    ifd += entry(262, 3, 1, 1)  # Photometric: BlackIsZero
+    ifd += entry(273, 4, 1, 8)  # StripOffsets
+    ifd += entry(277, 3, 1, 1)  # SamplesPerPixel
+    ifd += entry(278, 3, 1, 2)  # RowsPerStrip
+    ifd += entry(279, 4, 1, 6)  # StripByteCounts
+    ifd += struct.pack("<I", 0)  # next IFD: none
+    blob = b"II*\x00" + struct.pack("<I", ifd_off) + pixels + ifd
+    assert tiff_meta(blob) == (3, 2, "L")
+    out = decode_tiff(blob)
+    assert out.shape == (2, 3, 1)
+    assert out.reshape(-1).tolist() == [10, 20, 30, 40, 50, 60]
+
+
+def test_lzw_width_bumps_and_table_reset():
+    """>4k distinct LZW entries forces 9→10→11→12-bit widths AND a
+    mid-stream table reset; random bytes maximize table growth."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(150, 200, 3), dtype=np.uint8)
+    blob = encode_tiff(arr, compression=5, rows_per_strip=50)
+    out = decode_tiff(blob)
+    assert out is not None and (out == arr).all()
+
+
+def test_lzw_stream_roundtrip_property():
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=4000))
+    def check(data):
+        assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+    check()
+
+
+def test_packbits_runs_and_literals():
+    row = bytes([7] * 200 + [1, 2, 3] + [9] * 2 + [4])
+    from anime_data_pipeline_spark.operators.tiff_codec import _packbits_encode
+
+    enc = _packbits_encode(row)
+    assert len(enc) < len(row)
+    assert _unpackbits(enc, len(row)) == row
+
+
+def test_unsupported_structures_return_none():
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_tiff(arr))
+    # 16-bit samples: patch BitsPerSample values (type SHORT inline)
+    b16 = bytearray(blob)
+    pos = b16.find(struct.pack("<HHI", 258, 3, 3))
+    assert pos > 0
+    # out-of-line bits: patch the pointed-to 3 SHORTs
+    (off,) = struct.unpack("<I", b16[pos + 8 : pos + 12])
+    b16[off : off + 6] = struct.pack("<HHH", 16, 16, 16)
+    assert tiff_meta(bytes(b16)) is None and decode_tiff(bytes(b16)) is None
+    # planar separated: add nothing — patch compression to an unsupported one
+    bjp = bytearray(blob)
+    pos = bjp.find(struct.pack("<HHI", 259, 3, 1))
+    bjp[pos + 8 : pos + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
+    assert tiff_meta(bytes(bjp)) is None
+    # truncated strip data
+    assert decode_tiff(bytes(blob)[:40]) is None
+    # empty / wrong magic
+    assert tiff_meta(b"") is None
+    assert tiff_meta(b"II+\x00" + bytes(blob)[4:]) is None
+
+
+def test_default_decoder_dispatch():
+    """multimodal's magic-byte dispatch routes TIFF to this codec for
+    both meta and full pixels."""
+    from anime_data_pipeline_spark.operators.multimodal import (
+        _decode_default,
+        image_pixel_decoder_loader,
+    )
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    blob = encode_tiff(arr, byte_order=">", compression=5, predictor=2)
+    assert _decode_default(blob) == (12, 10, "RGB")
+    px = image_pixel_decoder_loader()()
+    assert (px(blob) == arr).all()
+    plte = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(5, 6), dtype=np.uint8)
+    pblob = encode_tiff(idx, palette=plte, compression=32773)
+    assert _decode_default(pblob) == (6, 5, "P")
+    assert (px(pblob) == plte[idx]).all()
+
+
+def test_roundtrip_property():
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ch=st.sampled_from([1, 3, 4]),
+        comp=st.sampled_from([1, 5, 32773]),
+        bo=st.sampled_from(["<", ">"]),
+        seed=st.integers(0, 2**16),
+    )
+    def check(w, h, ch, comp, bo, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(arr, byte_order=bo, compression=comp))
+        assert out is not None and (out == arr).all()
+
+    check()
