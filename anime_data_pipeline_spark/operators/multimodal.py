@@ -20,12 +20,14 @@ gif_codec.py), JPEG (baseline + progressive Huffman — jpeg_codec.py),
 BMP (uncompressed 1/4/8/24/32-bit + RLE4/RLE8 — bmp_codec.py),
 baseline TIFF (both byte orders, none/LZW/PackBits, predictor,
 gray/RGB/RGBA/palette — tiff_codec.py): header meta AND full pixels
-for the inference preprocessing chain. Audio: WAV RIFF/PCM 8/16/32-bit
-(wav_codec.py) with a header-only fast path for chunk planning and a
-full-PCM stats gate. Video: MJPEG-AVI (avi_codec.py) — header-only
-frame-offset walk, only sampled frames' byte ranges JPEG-decode. Only
-the exotic tails — arithmetic/lossless JPEG (header meta still
-parses), WEBP, 16-bit/tiled TIFF, compressed audio, non-MJPEG video —
+for the inference preprocessing chain. Audio: WAV RIFF (wav_codec.py)
+— PCM 8/16/32-bit, IEEE float32, G.711 µ-law/A-law companding, and
+IMA ADPCM 4-bit blocks — with a header-only fast path for chunk
+planning and a full-sample stats gate. Video: MJPEG-AVI (avi_codec.py)
+— header-only frame-offset walk, only sampled frames' byte ranges
+JPEG-decode. Only the exotic tails — arithmetic/lossless JPEG (header
+meta still parses), WEBP, 16-bit/tiled TIFF, MP3-in-WAV, non-MJPEG
+video —
 fall through to the PIL/ffmpeg seams (absent in this container); the
 deterministic FIMG/FAUD/FVID fake containers remain for
 oracle-checkable synthetic corpora. The Spark plumbing — schemas,
@@ -532,7 +534,11 @@ def decode_audio_sample_stats(df: DataFrame, content_col: str = "content") -> Da
                         "channels": int(samples.shape[1]),
                         "s_min": int(samples.min()) if samples.size else 0,
                         "s_max": int(samples.max()) if samples.size else 0,
-                        "s_mean": float(samples.mean()) if samples.size else 0.0,
+                        # float64 accumulator: float32 clips would
+                        # otherwise lose mean exactness past 2^24
+                        "s_mean": float(samples.mean(dtype=np.float64))
+                        if samples.size
+                        else 0.0,
                     }
                 )
             pdf = pdf.copy()

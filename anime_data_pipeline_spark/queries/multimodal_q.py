@@ -1018,20 +1018,26 @@ def q177_raster_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q178 — REAL WAV decode e2e (round 6: the audio twin of q177's BMP
-# closure): a synthetic corpus of genuine RIFF/WAVE PCM files (stdlib
-# encoder, operators/wav_codec.py) cycling j = doc_id/16 through
-# 8/16/32-bit depths, 1-2 channels, and four sample rates, each a
-# uniform doc_id-derived fill; every 4th selected row corrupt (RIFF
-# magic, broken body). Decoded twice by the DEFAULT dispatch: header
-# meta (no data-chunk read) → whisper-style 0.5 s chunk plan
-# (audio_chunk_plan — the q87 flow on REAL bytes), and FULL PCM via
-# decode_audio_sample_stats — sample_ok pins min/max/mean/channels to
-# the closed form, so an endianness, bit-depth, or interleave bug
-# that leaves the header intact still breaks the hash match. The
-# oracle recomputes everything from doc_id and pins sample_ok TRUE.
-# chunk_s = 0.5 keeps rate*chunk_s exact in FP for every rate (0.5 is
-# a power of two; all rates even), so both engines agree on chunk_len.
+# q178 — REAL WAV decode e2e (round 6: the audio twin of q177's
+# raster closure): a synthetic corpus of genuine RIFF/WAVE files
+# (stdlib encoder, operators/wav_codec.py) cycling j = doc_id/16
+# through SEVEN formats — 8/16/32-bit PCM, 32-bit IEEE float, G.711
+# µ-law, G.711 A-law, and IMA ADPCM — 1-2 channels, and four sample
+# rates, each a uniform doc_id-derived fill chosen to survive the
+# format's quantizer EXACTLY (µ/A-law fills are codebook values;
+# a constant signal is an IMA fixpoint at step index 0; float fills
+# are small integers); every 4th selected row corrupt (RIFF magic,
+# broken body). Decoded twice by the DEFAULT dispatch: header meta
+# (no data-chunk read; ADPCM sample count from the fact chunk) →
+# whisper-style 0.5 s chunk plan (audio_chunk_plan — the q87 flow on
+# REAL bytes), and FULL samples via decode_audio_sample_stats —
+# sample_ok pins min/max/mean/channels to the closed form, so an
+# endianness, bit-depth, interleave, companding-table, or
+# nibble-state-machine bug that leaves the header intact still breaks
+# the hash match. The oracle recomputes everything from doc_id and
+# pins sample_ok TRUE. chunk_s = 0.5 keeps rate*chunk_s exact in FP
+# for every rate (0.5 is a power of two; all rates even), so both
+# engines agree on chunk_len.
 # ---------------------------------------------------------------------------
 _Q178_RATES = [8000, 16000, 22050, 44100]
 
@@ -1069,10 +1075,11 @@ def _q178_oracle() -> str:
 
 def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 16 = 0) → (doc_id, content: binary) of real
-    RIFF/WAVE PCM bytes, j = doc_id/16: rate = RATES[j%4], channels =
-    j%2+1, bit depth = [8,16,32][j%3], uniform fill = closed form per
-    depth. Every 4th selected row (doc_id % 64 = 0) is
-    corrupt-after-magic."""
+    RIFF/WAVE bytes, j = doc_id/16: rate = RATES[j%4], channels =
+    j%2+1, format = [pcm8, pcm16, pcm32, float32, µ-law, A-law,
+    IMA-ADPCM][j%7], uniform fill = closed form per format (exact
+    through each quantizer — see the q178 comment). Every 4th selected
+    row (doc_id % 64 = 0) is corrupt-after-magic."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.wav_codec import encode_wav
@@ -1101,14 +1108,26 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = _Q178_RATES[j % 4]
                 ch = j % 2 + 1
                 n = rate // 2 * (1 + j % 4) + (j * 13) % 997
-                bits = (8, 16, 32)[j % 3]
-                if bits == 8:
+                v = j % 7
+                fmt = "pcm"
+                if v == 0:
                     fill, dt = 100 + j % 100, np.uint8
-                elif bits == 16:
+                elif v == 1:
                     fill, dt = (j % 2000 - 1000) * 16, np.int16
-                else:
+                elif v == 2:
                     fill, dt = (j % 2000 - 1000) * 65536, np.int32
-                blobs.append(encode_wav(np.full((n, ch), fill, dtype=dt), rate))
+                elif v == 3:
+                    fill, dt, fmt = (j % 2000 - 1000) * 16, np.float32, "float32"
+                elif v == 4:  # µ-law codebook value: ((m*8+132)<<e)-132
+                    m, e = j % 16, j % 8
+                    fill, dt, fmt = ((m * 8 + 132) << e) - 132, np.int16, "ulaw"
+                elif v == 5:  # A-law codebook value
+                    q, s = j % 16, j % 8
+                    fill = q * 16 + 8 if s == 0 else (q * 16 + 264) << (s - 1)
+                    dt, fmt = np.int16, "alaw"
+                else:  # constant signal is an IMA-ADPCM fixpoint
+                    fill, dt, fmt = (j % 2000 - 1000) * 16, np.int16, "ima_adpcm"
+                blobs.append(encode_wav(np.full((n, ch), fill, dtype=dt), rate, fmt=fmt))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     return docs.mapInPandas(gen, schema=schema)
@@ -1125,11 +1144,22 @@ def q178_wav_decode_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_audio_sample_stats(decode_audio_meta(_wav_corpus(spark, sf_dir)))
     i = F.col("doc_id")
     j = (i / 16).cast("long")
-    bits_sel = (j % 3).cast("int")
+    v = (j % 7).cast("int")
+    m = j % 16
+    e = j % 8
+    # exact in doubles: (m*8+132) <= 252 and 2^e <= 128
+    ulaw_fill = ((m * 8 + 132) * F.pow(F.lit(2.0), e) - 132).cast("long")
+    alaw_fill = (
+        F.when(e == 0, (m * 16 + 8).cast("double"))
+        .otherwise((m * 16 + 264) * F.pow(F.lit(2.0), e - 1))
+        .cast("long")
+    )
     fill = (
-        F.when(bits_sel == 0, 100 + (j % 100))
-        .when(bits_sel == 1, ((j % 2000) - 1000) * 16)
-        .otherwise(((j % 2000) - 1000) * 65536)
+        F.when(v == 0, (100 + (j % 100)).cast("double"))
+        .when(v == 2, (((j % 2000) - 1000) * 65536).cast("double"))
+        .when(v == 4, ulaw_fill.cast("double"))
+        .when(v == 5, alaw_fill.cast("double"))
+        .otherwise((((j % 2000) - 1000) * 16).cast("double"))
         .cast("long")
     )
     st = F.col("sample_stats")

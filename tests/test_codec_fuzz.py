@@ -61,6 +61,16 @@ def _valid_blobs():
             encode_wav(r.integers(-999, 999, (64, 2)).astype(np.int16), 16000),
             [wav_meta, decode_wav],
         ),
+        "wav_ulaw": (
+            encode_wav(r.integers(-999, 999, (64, 2)).astype(np.int16), 8000, fmt="ulaw"),
+            [wav_meta, decode_wav],
+        ),
+        "wav_ima": (
+            encode_wav(
+                r.integers(-999, 999, (600, 2)).astype(np.int16), 16000, fmt="ima_adpcm"
+            ),
+            [wav_meta, decode_wav],
+        ),
         "avi": (
             encode_avi_mjpeg([img, img], fps=24),
             [avi_meta, avi_frame_offsets, decode_avi_frames],
@@ -79,6 +89,8 @@ _MAGICS = {
     "tiff": b"II*\x00",
     "tiff_be": b"MM\x00*",
     "wav": b"RIFF\x80\x00\x00\x00WAVE",
+    "wav_ulaw": b"RIFF\x80\x00\x00\x00WAVE",
+    "wav_ima": b"RIFF\x80\x00\x00\x00WAVE",
     "avi": b"RIFF\x80\x00\x00\x00AVI ",
 }
 

@@ -59,10 +59,15 @@ def test_corrupt_and_unsupported():
     assert decode_wav(good[:8] + b"AVEW" + good[12:]) is None  # not WAVE
     assert decode_wav(good[:30]) is None                   # truncated
     assert decode_wav(b"RIFF\x10\x00\x00\x00WAVEjunk") is None  # q178's corrupt blob
-    # IEEE-float format (3) → unsupported
+    # IEEE-float flag on a 16-bit body → structurally invalid
     ieee = bytearray(good)
     ieee[20:22] = struct.pack("<H", 3)
     assert decode_wav(bytes(ieee)) is None and wav_meta(bytes(ieee)) is None
+    # genuinely unsupported codecs: MS ADPCM (2), extensible (0xFFFE)
+    for code in (2, 0xFFFE):
+        ms = bytearray(good)
+        ms[20:22] = struct.pack("<H", code)
+        assert decode_wav(bytes(ms)) is None and wav_meta(bytes(ms)) is None
     # data size not a frame multiple → corrupt
     bad = bytearray(good)
     bad[40:44] = struct.pack("<I", 39)
@@ -93,3 +98,79 @@ def test_audio_meta_dispatch_and_sample_stats(spark):
     assert out[2]["audio_meta"]["sample_rate"] == 8000  # FAUD still works
     assert out[2]["sample_stats"] is None  # stub has no PCM body
     assert out[3]["audio_meta"] is None and out[3]["sample_stats"] is None
+
+
+def test_float32_roundtrip_and_fact():
+    r = _rng(17)
+    a = (r.integers(-4000, 4000, (333, 2))).astype(np.float32)
+    blob = encode_wav(a, 16000, fmt="float32")
+    assert wav_meta(blob) == (16000, 333, 2, 32)
+    out, rate = decode_wav(blob)
+    assert out.dtype == np.float32 and np.array_equal(out, a) and rate == 16000
+
+
+def test_g711_codebook_values_roundtrip_exactly():
+    from anime_data_pipeline_spark.operators.wav_codec import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    # known G.711 extremes pin the closed-form tables to the spec
+    assert int(_ULAW_TABLE.max()) == 32124 and int(_ULAW_TABLE.min()) == -32124
+    assert int(_ALAW_TABLE.max()) == 32256 and int(_ALAW_TABLE.min()) == -32256
+    for fmt, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        vals = np.sort(np.unique(table)).astype(np.int16)[:, None]
+        blob = encode_wav(vals, 8000, fmt=fmt)
+        assert wav_meta(blob) == (8000, len(vals), 1, 8)
+        out, _ = decode_wav(blob)
+        assert out.dtype == np.int16 and np.array_equal(out, vals)
+
+
+def test_g711_quantization_error_bounded():
+    r = _rng(23)
+    x = r.integers(-32000, 32000, (5000, 1)).astype(np.int16)
+    for fmt in ("ulaw", "alaw"):
+        out, _ = decode_wav(encode_wav(x, 8000, fmt=fmt))
+        err = np.abs(out.astype(np.int32) - x.astype(np.int32))
+        # half the widest segment's quantization interval
+        assert int(err.max()) <= 512
+
+
+def test_ima_adpcm_constant_is_exact():
+    for ch in (1, 2):
+        for n in (1, 504, 505, 506, 1200):
+            x = np.full((n, ch), -7936, dtype=np.int16)
+            blob = encode_wav(x, 16000, fmt="ima_adpcm")
+            # fact chunk carries the true count through partial blocks
+            assert wav_meta(blob) == (16000, n, ch, 4)
+            out, rate = decode_wav(blob)
+            assert out.shape == (n, ch) and (out == -7936).all() and rate == 16000
+
+
+def test_ima_adpcm_tracks_signal():
+    t = np.linspace(0, 25, 4000)
+    x = (np.sin(t) * 9000).astype(np.int16)[:, None]
+    out, _ = decode_wav(encode_wav(x, 16000, fmt="ima_adpcm"))
+    err = np.abs(out.astype(np.int32) - x.astype(np.int32)).astype(np.float64)
+    assert float(err.mean()) < 50  # ~4-bit quantization noise, no drift
+    stereo = np.stack([x[:, 0], -x[:, 0]], axis=1)
+    out2, _ = decode_wav(encode_wav(stereo, 16000, fmt="ima_adpcm"))
+    err2 = np.abs(out2.astype(np.int32) - stereo.astype(np.int32)).astype(np.float64)
+    assert float(err2.mean()) < 50  # channel de-interleave holds
+
+
+def test_ima_adpcm_corrupt_returns_none():
+    x = np.full((1200, 2), 512, dtype=np.int16)
+    blob = encode_wav(x, 16000, fmt="ima_adpcm")
+    # step index > 88 in a block header
+    bad = bytearray(blob)
+    data_at = blob.find(b"data") + 8
+    bad[data_at + 2] = 200
+    assert decode_wav(bytes(bad)) is None
+    # fact chunk claiming more samples than the blocks hold
+    more = bytearray(blob)
+    fact_at = blob.find(b"fact") + 8
+    more[fact_at : fact_at + 4] = struct.pack("<I", 10**6)
+    assert decode_wav(bytes(more)) is None
+    # truncated mid-block
+    assert decode_wav(blob[: len(blob) // 2]) is None
