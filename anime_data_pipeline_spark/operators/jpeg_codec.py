@@ -189,18 +189,37 @@ def _jpeg_meta(data: bytes) -> tuple[int, int, str] | None:
     return None
 
 
-def _build_huffman(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical (T.81 Annex C) Huffman table → {(length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """Canonical (T.81 Annex C) Huffman table compiled to a flat
+    16-bit-peek LUT: ``lut_len[p]`` is the code length whose codeword
+    prefixes the 16-bit window ``p`` (0 = invalid prefix) and
+    ``lut_sym[p]`` its symbol — one list probe per symbol instead of a
+    dict probe per BIT."""
+
+    __slots__ = ("lut_len", "lut_sym")
+
+    def __init__(self, bits: list[int], huffval: list[int]) -> None:
+        lut_len = bytearray(1 << 16)
+        lut_sym = bytearray(1 << 16)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                sym = huffval[k]
+                lut_len[lo : lo + span] = bytes([length]) * span
+                lut_sym[lo : lo + span] = bytes([sym]) * span
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut_len = bytes(lut_len)
+        self.lut_sym = bytes(lut_sym)
+
+
+def _build_huffman(bits: list[int], huffval: list[int]) -> _HuffTable:
+    """Canonical Huffman table → LUT-compiled decoder table."""
+    return _HuffTable(bits, huffval)
 
 
 class _ScanReader:
@@ -229,7 +248,9 @@ class _ScanReader:
                 return False  # a real marker: stop
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits so acc stays a machine-word int
+        # instead of accreting the whole scan into a bignum
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
         return True
 
@@ -240,25 +261,27 @@ class _ScanReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            bit = self.read_bit()
-            if bit is None:
+        while self.nbits < n:
+            if not self._fill():
                 return None
-            v = (v << 1) | bit
-        return v
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int | None:
-        code = 0
-        for length in range(1, 17):
-            bit = self.read_bit()
-            if bit is None:
-                return None
-            code = (code << 1) | bit
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        return None
+    def decode_symbol(self, table: _HuffTable) -> int | None:
+        while self.nbits < 16 and self._fill():
+            pass
+        nb = self.nbits
+        if nb == 0:
+            return None
+        if nb >= 16:
+            window = (self.acc >> (nb - 16)) & 0xFFFF
+        else:  # stream tail: zero-pad the peek; only real bits consume
+            window = (self.acc << (16 - nb)) & 0xFFFF
+        length = table.lut_len[window]
+        if length == 0 or length > nb:
+            return None  # invalid prefix, or code truncated by stream end
+        self.nbits = nb - length
+        return table.lut_sym[window]
 
     def at_marker(self) -> int | None:
         if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:

@@ -18,16 +18,16 @@ codecs, no PIL/cv2/soundfile/ffmpeg needed. Images: PNG (full spec
 matrix: 1/2/4/8/16-bit, Adam7 — png_codec.py), GIF (LZW + interlace —
 gif_codec.py), JPEG (baseline + progressive Huffman — jpeg_codec.py),
 BMP (uncompressed 1/4/8/24/32-bit + RLE4/RLE8 — bmp_codec.py),
-baseline TIFF (both byte orders, none/LZW/PackBits, predictor,
-gray/RGB/RGBA/palette — tiff_codec.py): header meta AND full pixels
-for the inference preprocessing chain. Audio: WAV RIFF (wav_codec.py)
-— PCM 8/16/32-bit, IEEE float32, G.711 µ-law/A-law companding, and
-IMA ADPCM 4-bit blocks — with a header-only fast path for chunk
-planning and a full-sample stats gate. Video: MJPEG-AVI (avi_codec.py)
-— header-only frame-offset walk, only sampled frames' byte ranges
+baseline TIFF (both byte orders, none/LZW/PackBits, predictor, 8- and
+16-bit samples, strip- AND tile-organized, gray/RGB/RGBA/palette —
+tiff_codec.py): header meta AND full pixels for the inference
+preprocessing chain. Audio: WAV RIFF (wav_codec.py) — PCM
+8/16/24/32-bit, IEEE float32, G.711 µ-law/A-law companding, and IMA
+ADPCM 4-bit blocks — with a header-only fast path for chunk planning
+and a full-sample stats gate. Video: MJPEG-AVI (avi_codec.py) —
+header-only frame-offset walk, only sampled frames' byte ranges
 JPEG-decode. Only the exotic tails — arithmetic/lossless JPEG (header
-meta still parses), WEBP, 16-bit/tiled TIFF, MP3-in-WAV, non-MJPEG
-video —
+meta still parses), WEBP, MP3-in-WAV, non-MJPEG video —
 fall through to the PIL/ffmpeg seams (absent in this container); the
 deterministic FIMG/FAUD/FVID fake containers remain for
 oracle-checkable synthetic corpora. The Spark plumbing — schemas,

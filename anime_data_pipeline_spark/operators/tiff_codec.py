@@ -3,16 +3,18 @@ native decode matrix (SURVEY S7) to TIFF, the archival/scan format that
 previously fell through to the (absent) PIL seam.
 
 The reference decodes every format through PIL (bucket_manager.py:
-180-189). Baseline TIFF 6.0 is an IFD tag walk plus strip
+180-189). Baseline TIFF 6.0 is an IFD tag walk plus segment
 decompression: both byte orders (``II`` little / ``MM`` big),
 Compression 1 (none), 5 (TIFF-variant LZW, with horizontal-differencing
 Predictor 2), and 32773 (PackBits); PhotometricInterpretation 0/1
 (gray, WhiteIsZero inverted), 2 (RGB, incl. an alpha ExtraSample →
 RGBA), and 3 (palette via the 16-bit ColorMap, expanded to RGB at
-decode like the BMP path); 8-bit samples, chunky planar layout,
-strip-organized. Tiled files, planar-separated layout, 16-bit samples,
-and the JPEG-in-TIFF / Deflate compressions return None like any other
-corrupt/unsupported input (dropped-with-count row).
+decode like the BMP path); 8-bit AND 16-bit samples (byte-order-true,
+decoded to real uint16 like the 16-bit PNG path), chunky planar
+layout, BOTH strip- and tile-organized files (TIFF §15).
+Planar-separated layout and the JPEG-in-TIFF / Deflate compressions
+return None like any other corrupt/unsupported input
+(dropped-with-count row).
 
 TIFF LZW (spec §13) differs from GIF LZW: codes are packed MSB-first,
 the table starts at 9 bits with Clear=256/EOI=257, and the code width
@@ -47,6 +49,10 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_COLORMAP = 320
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_EXTRA_SAMPLES = 338
 
 # TIFF type code → (struct letter, byte size). Only the types a
@@ -175,10 +181,12 @@ def tiff_meta(data: bytes) -> tuple[int, int, str] | None:
     bits = tags.get(_TAG_BITS)  # spec default is 1 (bilevel) — unsupported
     comp = _scalar(tags, _TAG_COMPRESSION, 1)
     planar = _scalar(tags, _TAG_PLANAR, 1)
-    if bits is None or any(b != 8 for b in bits):
+    if bits is None or len(set(bits)) != 1 or bits[0] not in (8, 16):
         return None
     if planar != 1 or comp not in (1, 5, 32773):
         return None
+    if bits[0] == 16 and photo == 3:
+        return None  # 16-bit palette indices not in the wild
     if photo in (0, 1):
         mode = "L" if samples == 1 else None
     elif photo == 2:
@@ -193,12 +201,28 @@ def tiff_meta(data: bytes) -> tuple[int, int, str] | None:
 
 
 def decode_tiff(data: bytes) -> np.ndarray | None:
-    """Full pixel decode → (h, w, ch) uint8 (palette expanded to RGB,
-    WhiteIsZero inverted), or None for corrupt/unsupported input."""
+    """Full pixel decode → (h, w, ch) uint8 — or uint16 for 16-bit
+    samples, kept true like the 16-bit PNG path (palette expanded to
+    RGB, WhiteIsZero inverted); None for corrupt/unsupported input."""
     try:
         return _decode_tiff_inner(data)
     except (ValueError, struct.error, IndexError, OverflowError, MemoryError):
         return None
+
+
+def _decompress(raw: bytes, comp: int, expect: int) -> bytes | None:
+    if comp == 1:
+        return raw[:expect] if len(raw) >= expect else None
+    if comp == 5:
+        return _lzw_decode(raw, expect)
+    return _unpackbits(raw, expect)
+
+
+def _undiff(seg: np.ndarray) -> np.ndarray:
+    """Predictor 2 reconstruction: cumulative sum mod 2^bits along
+    each row of one strip/tile segment."""
+    wrap = np.uint64(1 << (seg.dtype.itemsize * 8))
+    return (np.cumsum(seg.astype(np.uint64), axis=1) % wrap).astype(seg.dtype)
 
 
 def _decode_tiff_inner(data: bytes) -> np.ndarray | None:
@@ -208,47 +232,67 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray | None:
     w, h, mode = meta
     tags = _read_ifd(data)
     assert tags is not None
+    bo = "<" if data[:2] == b"II" else ">"
     samples = _scalar(tags, _TAG_SAMPLES, 1)
+    bits = tags[_TAG_BITS][0]
+    dtype = np.dtype(bo + ("u2" if bits == 16 else "u1"))
     comp = _scalar(tags, _TAG_COMPRESSION, 1)
     predictor = _scalar(tags, _TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         return None
-    offsets = tags.get(_TAG_STRIP_OFFSETS)
-    counts = tags.get(_TAG_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        return None
-    rps = _scalar(tags, _TAG_ROWS_PER_STRIP, h) or h
-    rps = min(rps, h)
-    row_bytes = w * samples
-    rows_out: list[bytes] = []
-    row_start = 0
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(data):
+    if _TAG_TILE_OFFSETS in tags:  # tiled organization (TIFF §15)
+        tw = _scalar(tags, _TAG_TILE_WIDTH)
+        tl = _scalar(tags, _TAG_TILE_LENGTH)
+        offsets = tags.get(_TAG_TILE_OFFSETS)
+        counts = tags.get(_TAG_TILE_COUNTS)
+        if not tw or not tl or tw % 16 or tl % 16 or not counts:
             return None
-        nrows = min(rps, h - row_start)
-        if nrows <= 0:
+        tiles_x, tiles_y = -(-w // tw), -(-h // tl)
+        if len(offsets) != tiles_x * tiles_y or len(counts) != len(offsets):
             return None
-        expect = nrows * row_bytes
-        raw = data[off : off + cnt]
-        if comp == 1:
-            strip = raw[:expect] if len(raw) >= expect else None
-        elif comp == 5:
-            strip = _lzw_decode(raw, expect)
-        else:
-            strip = _unpackbits(raw, expect)
-        if strip is None:
+        full = np.zeros((tiles_y * tl, tiles_x * tw, samples), dtype=dtype)
+        expect = tl * tw * samples * dtype.itemsize
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                return None
+            seg = _decompress(data[off : off + cnt], comp, expect)
+            if seg is None:
+                return None
+            tile = np.frombuffer(seg, dtype=dtype).reshape(tl, tw, samples)
+            if predictor == 2:
+                tile = _undiff(tile)
+            ty, tx = divmod(t, tiles_x)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        arr = full[:h, :w].copy()
+    else:  # strip organization
+        offsets = tags.get(_TAG_STRIP_OFFSETS)
+        counts = tags.get(_TAG_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
             return None
-        rows_out.append(strip)
-        row_start += nrows
-    if row_start < h:
-        return None
-    arr = np.frombuffer(b"".join(rows_out), dtype=np.uint8)[: h * row_bytes]
-    arr = arr.reshape(h, w, samples).copy()
-    if predictor == 2:  # horizontal differencing: cumsum mod 256 per row
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+        rps = _scalar(tags, _TAG_ROWS_PER_STRIP, h) or h
+        rps = min(rps, h)
+        row_bytes = w * samples * dtype.itemsize
+        segs: list[np.ndarray] = []
+        row_start = 0
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(data):
+                return None
+            nrows = min(rps, h - row_start)
+            if nrows <= 0:
+                return None
+            seg = _decompress(data[off : off + cnt], comp, nrows * row_bytes)
+            if seg is None:
+                return None
+            strip = np.frombuffer(seg, dtype=dtype).reshape(nrows, w, samples)
+            segs.append(_undiff(strip) if predictor == 2 else strip)
+            row_start += nrows
+        if row_start < h:
+            return None
+        arr = np.concatenate(segs, axis=0) if len(segs) > 1 else segs[0].copy()
+    arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("=")))
     photo = _scalar(tags, _TAG_PHOTOMETRIC)
     if photo == 0:  # WhiteIsZero
-        arr = 255 - arr
+        arr = (((1 << bits) - 1) - arr).astype(arr.dtype)
     elif photo == 3:  # palette → RGB (ColorMap: 3 planes of 16-bit)
         cmap = tags.get(_TAG_COLORMAP)
         if cmap is None or len(cmap) % 3 != 0:
@@ -345,15 +389,20 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     photometric: int | None = None,
     predictor: int = 1,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
-    """Minimal spec-conformant writer: (h, w) or (h, w, ch) uint8 →
-    strip-organized baseline TIFF. ``palette`` ((n, 3) uint8) switches
-    to photometric 3 with a 16-bit ColorMap. compression ∈ {1, 5,
-    32773}; ``predictor=2`` applies horizontal differencing before
-    compression (the usual LZW pairing)."""
+    """Minimal spec-conformant writer: (h, w) or (h, w, ch) uint8 or
+    uint16 → strip-organized (or, with ``tile_size=(tw, tl)``, both
+    multiples of 16, tile-organized) baseline TIFF. ``palette``
+    ((n, 3) uint8) switches to photometric 3 with a 16-bit ColorMap.
+    compression ∈ {1, 5, 32773}; ``predictor=2`` applies horizontal
+    differencing before compression (the usual LZW pairing)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
+    bits = arr.dtype.itemsize * 8
+    if bits not in (8, 16):
+        raise ValueError("samples must be uint8 or uint16")
     if palette is not None:
         photo, samples = 3, 1
     elif photometric is not None:
@@ -361,44 +410,74 @@ def encode_tiff(
     else:
         photo, samples = (1 if ch == 1 else 2), ch
     bo = byte_order
-    rps = rows_per_strip or h
-    if predictor == 2:
-        diff = arr.astype(np.int16)
-        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int16)
-        arr = (diff % 256).astype(np.uint8)
-    strips: list[bytes] = []
-    for r0 in range(0, h, rps):
-        raw = arr[r0 : r0 + rps].tobytes()
-        if compression == 5:
-            strips.append(_lzw_encode(raw))
-        elif compression == 32773:
-            rb = w * samples
-            strips.append(
-                b"".join(_packbits_encode(raw[i : i + rb]) for i in range(0, len(raw), rb))
-            )
+    sample_dtype = np.dtype(bo + ("u2" if bits == 16 else "u1"))
+
+    def prep(seg: np.ndarray) -> bytes:
+        if predictor == 2:
+            diff = seg.astype(np.int32)
+            diff[:, 1:, :] -= seg[:, :-1, :].astype(np.int32)
+            seg = (diff % (1 << bits)).astype(sample_dtype)
         else:
-            strips.append(raw)
+            seg = seg.astype(sample_dtype)
+        raw = seg.tobytes()
+        if compression == 5:
+            return _lzw_encode(raw)
+        if compression == 32773:
+            rb = seg.shape[1] * samples * sample_dtype.itemsize
+            return b"".join(
+                _packbits_encode(raw[i : i + rb]) for i in range(0, len(raw), rb)
+            )
+        return raw
+
+    segments: list[bytes] = []
+    if tile_size is not None:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        tiles_x, tiles_y = -(-w // tw), -(-h // tl)
+        full = np.zeros((tiles_y * tl, tiles_x * tw, samples), dtype=arr.dtype)
+        full[:h, :w] = arr
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                segments.append(
+                    prep(full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw])
+                )
+        rps = None
+    else:
+        rps = rows_per_strip or h
+        for r0 in range(0, h, rps):
+            segments.append(prep(arr[r0 : r0 + rps]))
 
     body = bytearray(b"II*\x00" if bo == "<" else b"MM\x00*")
     body += b"\x00\x00\x00\x00"  # IFD offset patched below
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(len(body))
+    seg_offsets = []
+    for s in segments:
+        seg_offsets.append(len(body))
         body += s
-    if len(body) % 2:
-        body += b"\x00"
+        if len(body) % 2:
+            body += b"\x00"
 
     entries: list[tuple[int, int, int, list[int]]] = [
         (_TAG_WIDTH, 3, 1, [w]),
         (_TAG_HEIGHT, 3, 1, [h]),
-        (_TAG_BITS, 3, samples, [8] * samples),
+        (_TAG_BITS, 3, samples, [bits] * samples),
         (_TAG_COMPRESSION, 3, 1, [compression]),
         (_TAG_PHOTOMETRIC, 3, 1, [photo]),
-        (_TAG_STRIP_OFFSETS, 4, len(strips), strip_offsets),
         (_TAG_SAMPLES, 3, 1, [samples]),
-        (_TAG_ROWS_PER_STRIP, 3, 1, [rps]),
-        (_TAG_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
     ]
+    if tile_size is not None:
+        entries += [
+            (_TAG_TILE_WIDTH, 3, 1, [tile_size[0]]),
+            (_TAG_TILE_LENGTH, 3, 1, [tile_size[1]]),
+            (_TAG_TILE_OFFSETS, 4, len(segments), seg_offsets),
+            (_TAG_TILE_COUNTS, 4, len(segments), [len(s) for s in segments]),
+        ]
+    else:
+        entries += [
+            (_TAG_STRIP_OFFSETS, 4, len(segments), seg_offsets),
+            (_TAG_ROWS_PER_STRIP, 3, 1, [rps]),
+            (_TAG_STRIP_COUNTS, 4, len(segments), [len(s) for s in segments]),
+        ]
     if photo == 2 and samples == 4:
         entries.append((_TAG_EXTRA_SAMPLES, 3, 1, [2]))  # unassociated alpha
     if predictor != 1:

@@ -7,7 +7,8 @@ extension a large-scale multimodal training pipeline needs (SURVEY §6
 / the q87 chunk-plan flow). Supported formats (the ``fmt `` chunk's
 wFormatTag):
 
-- 1 (PCM): 8-bit unsigned, 16/32-bit signed little-endian
+- 1 (PCM): 8-bit unsigned, 16/24/32-bit signed little-endian (24-bit
+  packed triplets sign-extend to int32)
 - 3 (IEEE float): 32-bit little-endian
 - 6 (A-law) / 7 (µ-law): ITU-T G.711 8-bit companding, expanded to
   int16 via the closed-form segment/mantissa decode (the public
@@ -17,7 +18,7 @@ wFormatTag):
   from the IMA spec; sample count from the (mandatory-for-compressed)
   ``fact`` chunk
 
-Anything else (MP3-in-WAV, 0xFFFE extensible, 24-bit packed) and any
+Anything else (MP3-in-WAV, 0xFFFE extensible) and any
 malformed/truncated chunk returns None — the dropped-with-count row,
 identical to the image codecs' corrupt contract. Extra chunks
 (LIST/INFO, cue) are skipped per spec.
@@ -128,7 +129,7 @@ def _header(data: bytes):
     audio_fmt, ch, rate, bits, balign = fmt
     if audio_fmt not in _SUPPORTED_FMTS or ch == 0 or rate <= 0:
         return None
-    if audio_fmt == FMT_PCM and bits not in _PCM_DTYPES:
+    if audio_fmt == FMT_PCM and bits != 24 and bits not in _PCM_DTYPES:
         return None
     if audio_fmt == FMT_FLOAT and bits != 32:
         return None
@@ -249,6 +250,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
         codes = np.frombuffer(data, dtype=np.uint8, count=size, offset=start)
         table = _ALAW_TABLE if fmt == FMT_ALAW else _ULAW_TABLE
         return table[codes].reshape(-1, ch), rate
+    if bits == 24:  # packed 3-byte little-endian → sign-extended int32
+        raw = np.frombuffer(data, dtype=np.uint8, count=size, offset=start)
+        trip = raw.reshape(-1, 3).astype(np.int32)
+        x = trip[:, 0] | (trip[:, 1] << 8) | (trip[:, 2] << 16)
+        x = (x ^ 0x800000) - 0x800000
+        return x.reshape(-1, ch), rate
     dtype = np.dtype("<f4") if fmt == FMT_FLOAT else np.dtype(_PCM_DTYPES[bits])
     flat = np.frombuffer(data, dtype=dtype, count=size // dtype.itemsize, offset=start)
     return flat.reshape(-1, ch), rate
@@ -346,6 +353,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int, fmt: str = "pcm") -> bytes
             raise ValueError("pcm samples must be uint8, int16, or int32")
         code, body = FMT_PCM, a.astype(_PCM_DTYPES[bits]).tobytes()
         balign = ch * bits // 8
+        extra = b""
+    elif fmt == "pcm24":  # int32 input in [-2^23, 2^23): low 3 bytes LE
+        code, bits = FMT_PCM, 24
+        le = a.astype("<i4").reshape(-1).view(np.uint8).reshape(-1, 4)
+        body = np.ascontiguousarray(le[:, :3]).tobytes()
+        balign = ch * 3
         extra = b""
     elif fmt == "float32":
         code, bits = FMT_FLOAT, 32

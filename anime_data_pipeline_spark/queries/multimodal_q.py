@@ -835,18 +835,19 @@ def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q177 — REAL raster decode e2e (SURVEY S7 extended to Windows bitmaps
 # AND baseline TIFF, round 6): a synthetic corpus of genuine spec-valid
 # files (stdlib encoders, operators/bmp_codec.py + tiff_codec.py)
-# cycling doc_id % 8 through 24-bit BMP, 32-bit BMP, 8-bit-palette BMP,
-# RLE4 BMP, LZW+predictor TIFF (RGB), big-endian PackBits TIFF (RGBA),
-# uncompressed gray TIFF, and LZW palette TIFF; every 27th row
-# corrupt-after-magic. Decoded twice by the DEFAULT (no injection)
-# codec: header meta → aspect-ratio bucket assignment (reference
-# bucket_manager.py:180-189 flow), and FULL pixels via
+# cycling doc_id % 10 through 24-bit BMP, 32-bit BMP, 8-bit-palette
+# BMP, RLE4 BMP, LZW+predictor TIFF (RGB), big-endian PackBits TIFF
+# (RGBA), uncompressed gray TIFF, LZW palette TIFF, 16-bit big-endian
+# gray TIFF (true uint16 samples), and TILE-organized LZW RGB TIFF;
+# every 27th row corrupt-after-magic. Decoded twice by the DEFAULT
+# (no injection) codec: header meta → aspect-ratio bucket assignment
+# (reference bucket_manager.py:180-189 flow), and FULL pixels via
 # decode_image_pixel_stats — uniform doc_id-derived fills give
 # closed-form min/max/mean, so a stride-padding, BGR-order, bottom-up,
-# byte-order, LZW early-change, predictor, RLE-escape, or
-# palette-expansion bug that leaves the header intact still breaks
-# the hash match. Oracle recomputes everything from doc_id and pins
-# pixel_ok TRUE.
+# byte-order, LZW early-change, predictor, RLE-escape, tile-placement,
+# 16-bit-endianness, or palette-expansion bug that leaves the header
+# intact still breaks the hash match. Oracle recomputes everything
+# from doc_id and pins pixel_ok TRUE.
 # ---------------------------------------------------------------------------
 _Q177_IMGS = """
   SELECT doc_id AS image_key,
@@ -867,10 +868,10 @@ def _q177_oracle() -> str:
     SELECT image_key AS doc_id,
            CAST(16 + (image_key * 53) % 113 AS INTEGER) AS width,
            CAST(16 + (image_key * 101) % 103 AS INTEGER) AS height,
-           CASE CAST(image_key % 8 AS INTEGER)
-             WHEN 0 THEN 'RGB' WHEN 4 THEN 'RGB'
+           CASE CAST(image_key % 10 AS INTEGER)
+             WHEN 0 THEN 'RGB' WHEN 4 THEN 'RGB' WHEN 9 THEN 'RGB'
              WHEN 1 THEN 'RGBA' WHEN 5 THEN 'RGBA'
-             WHEN 6 THEN 'L' ELSE 'P' END AS mode,
+             WHEN 6 THEN 'L' WHEN 8 THEN 'L' ELSE 'P' END AS mode,
            bucket_w, bucket_h,
            TRUE AS pixel_ok
     FROM assigned
@@ -881,10 +882,12 @@ def _raster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 9 = 0) → (doc_id, content: binary) of real
     BMP/TIFF bytes, each a uniform doc_id-derived fill (f = 40 +
     id % 160; palette rows a constant index j = id % 16 into the q115
-    closed-form palette). id%8: 0 → 24-bit BMP, 1 → 32-bit BMP,
+    closed-form palette). id%10: 0 → 24-bit BMP, 1 → 32-bit BMP,
     2 → 8-bit palette BMP, 3 → RLE4 BMP, 4 → TIFF RGB (LZW,
     predictor 2), 5 → TIFF RGBA (big-endian, PackBits), 6 → TIFF gray
-    (uncompressed, strips), 7 → TIFF palette (LZW). Every 27th row
+    (uncompressed, strips), 7 → TIFF palette (LZW), 8 → TIFF gray
+    16-bit (big-endian, fill f*257 like PIL's 8→16 scale), 9 → TIFF
+    RGB tiled (LZW, 16×16 tiles). Every 27th row
     corrupt-after-magic."""
     import numpy as np
 
@@ -916,7 +919,7 @@ def _raster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 16 + (i * 101) % 103
                 f = 40 + i % 160
                 j = i % 16
-                v = i % 8
+                v = i % 10
                 if v == 0:
                     blob = encode_bmp(np.full((h, w, 3), f, dtype=np.uint8))
                 elif v == 1:
@@ -947,11 +950,21 @@ def _raster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = encode_tiff(
                         np.full((h, w), f, dtype=np.uint8), rows_per_strip=8
                     )
-                else:
+                elif v == 7:
                     blob = encode_tiff(
                         np.full((h, w), j, dtype=np.uint8),
                         palette=plte,
                         compression=5,
+                    )
+                elif v == 8:
+                    blob = encode_tiff(
+                        np.full((h, w), f * 257, dtype=np.uint16), byte_order=">"
+                    )
+                else:
+                    blob = encode_tiff(
+                        np.full((h, w, 3), f, dtype=np.uint8),
+                        compression=5,
+                        tile_size=(16, 16),
                     )
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
@@ -974,7 +987,7 @@ def q177_raster_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = F.col("doc_id")
     f = (F.lit(40) + (i % 160)).cast("int")
-    v = (i % 8).cast("int")
+    v = (i % 10).cast("int")
     st = F.col("pixel_stats")
     j = (i % 16).cast("int")
     pr, pg, pb = j * 17, 255 - j * 17, (j * 37) % 256
@@ -985,10 +998,12 @@ def q177_raster_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (st["channels"] == 3)
     )
     uniform = (st["px_min"] == st["px_max"]) & (st["px_min"] == f)
+    uniform16 = (st["px_min"] == st["px_max"]) & (st["px_min"] == f * 257)
     expected = (
-        F.when(v.isin(0, 4), uniform & (st["channels"] == 3))
+        F.when(v.isin(0, 4, 9), uniform & (st["channels"] == 3))
         .when(v.isin(1, 5), uniform & (st["channels"] == 4))
         .when(v == 6, uniform & (st["channels"] == 1))
+        .when(v == 8, uniform16 & (st["channels"] == 1))
         .otherwise(pal_ok)
     )
     decoded = decoded.withColumn(
@@ -1021,8 +1036,9 @@ def q177_raster_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q178 — REAL WAV decode e2e (round 6: the audio twin of q177's
 # raster closure): a synthetic corpus of genuine RIFF/WAVE files
 # (stdlib encoder, operators/wav_codec.py) cycling j = doc_id/16
-# through SEVEN formats — 8/16/32-bit PCM, 32-bit IEEE float, G.711
-# µ-law, G.711 A-law, and IMA ADPCM — 1-2 channels, and four sample
+# through EIGHT formats — 8/16/32-bit PCM, 32-bit IEEE float, G.711
+# µ-law, G.711 A-law, IMA ADPCM, and packed 24-bit PCM — 1-2
+# channels, and four sample
 # rates, each a uniform doc_id-derived fill chosen to survive the
 # format's quantizer EXACTLY (µ/A-law fills are codebook values;
 # a constant signal is an IMA fixpoint at step index 0; float fills
@@ -1077,7 +1093,7 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 16 = 0) → (doc_id, content: binary) of real
     RIFF/WAVE bytes, j = doc_id/16: rate = RATES[j%4], channels =
     j%2+1, format = [pcm8, pcm16, pcm32, float32, µ-law, A-law,
-    IMA-ADPCM][j%7], uniform fill = closed form per format (exact
+    IMA-ADPCM, pcm24][j%8], uniform fill = closed form per format (exact
     through each quantizer — see the q178 comment). Every 4th selected
     row (doc_id % 64 = 0) is corrupt-after-magic."""
     import numpy as np
@@ -1108,7 +1124,7 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = _Q178_RATES[j % 4]
                 ch = j % 2 + 1
                 n = rate // 2 * (1 + j % 4) + (j * 13) % 997
-                v = j % 7
+                v = j % 8
                 fmt = "pcm"
                 if v == 0:
                     fill, dt = 100 + j % 100, np.uint8
@@ -1125,8 +1141,10 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q, s = j % 16, j % 8
                     fill = q * 16 + 8 if s == 0 else (q * 16 + 264) << (s - 1)
                     dt, fmt = np.int16, "alaw"
-                else:  # constant signal is an IMA-ADPCM fixpoint
+                elif v == 6:  # constant signal is an IMA-ADPCM fixpoint
                     fill, dt, fmt = (j % 2000 - 1000) * 16, np.int16, "ima_adpcm"
+                else:  # packed 3-byte samples, int32 carrier
+                    fill, dt, fmt = (j % 2000 - 1000) * 4096, np.int32, "pcm24"
                 blobs.append(encode_wav(np.full((n, ch), fill, dtype=dt), rate, fmt=fmt))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
@@ -1144,7 +1162,7 @@ def q178_wav_decode_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_audio_sample_stats(decode_audio_meta(_wav_corpus(spark, sf_dir)))
     i = F.col("doc_id")
     j = (i / 16).cast("long")
-    v = (j % 7).cast("int")
+    v = (j % 8).cast("int")
     m = j % 16
     e = j % 8
     # exact in doubles: (m*8+132) <= 252 and 2^e <= 128
@@ -1159,6 +1177,7 @@ def q178_wav_decode_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 2, (((j % 2000) - 1000) * 65536).cast("double"))
         .when(v == 4, ulaw_fill.cast("double"))
         .when(v == 5, alaw_fill.cast("double"))
+        .when(v == 7, (((j % 2000) - 1000) * 4096).cast("double"))
         .otherwise((((j % 2000) - 1000) * 16).cast("double"))
         .cast("long")
     )

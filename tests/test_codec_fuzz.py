@@ -57,6 +57,15 @@ def _valid_blobs():
             encode_tiff(img, byte_order=">", compression=32773),
             [tiff_meta, decode_tiff],
         ),
+        "tiff_tiled16": (
+            encode_tiff(
+                img[:, :, 0].astype("uint16") * 257,
+                byte_order=">",
+                compression=5,
+                tile_size=(16, 16),
+            ),
+            [tiff_meta, decode_tiff],
+        ),
         "wav": (
             encode_wav(r.integers(-999, 999, (64, 2)).astype(np.int16), 16000),
             [wav_meta, decode_wav],
@@ -88,6 +97,7 @@ _MAGICS = {
     "bmp_rle": b"BM",
     "tiff": b"II*\x00",
     "tiff_be": b"MM\x00*",
+    "tiff_tiled16": b"MM\x00*",
     "wav": b"RIFF\x80\x00\x00\x00WAVE",
     "wav_ulaw": b"RIFF\x80\x00\x00\x00WAVE",
     "wav_ima": b"RIFF\x80\x00\x00\x00WAVE",

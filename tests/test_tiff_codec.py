@@ -131,14 +131,14 @@ def test_unsupported_structures_return_none():
     rng = np.random.default_rng(9)
     arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_tiff(arr))
-    # 16-bit samples: patch BitsPerSample values (type SHORT inline)
-    b16 = bytearray(blob)
-    pos = b16.find(struct.pack("<HHI", 258, 3, 3))
+    # 12-bit samples (unsupported depth): patch BitsPerSample values
+    b12 = bytearray(blob)
+    pos = b12.find(struct.pack("<HHI", 258, 3, 3))
     assert pos > 0
     # out-of-line bits: patch the pointed-to 3 SHORTs
-    (off,) = struct.unpack("<I", b16[pos + 8 : pos + 12])
-    b16[off : off + 6] = struct.pack("<HHH", 16, 16, 16)
-    assert tiff_meta(bytes(b16)) is None and decode_tiff(bytes(b16)) is None
+    (off,) = struct.unpack("<I", b12[pos + 8 : pos + 12])
+    b12[off : off + 6] = struct.pack("<HHH", 12, 12, 12)
+    assert tiff_meta(bytes(b12)) is None and decode_tiff(bytes(b12)) is None
     # planar separated: add nothing — patch compression to an unsupported one
     bjp = bytearray(blob)
     pos = bjp.find(struct.pack("<HHI", 259, 3, 1))
@@ -189,3 +189,47 @@ def test_roundtrip_property():
         assert out is not None and (out == arr).all()
 
     check()
+
+
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("ch", [1, 3])
+def test_16bit_roundtrip_true_uint16(byte_order, compression, ch):
+    rng = np.random.default_rng(41 + ch)
+    shape = (11, 19) if ch == 1 else (11, 19, 3)
+    arr = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    blob = encode_tiff(arr, byte_order=byte_order, compression=compression)
+    w, h, mode = tiff_meta(blob)
+    assert (w, h, mode) == (19, 11, "L" if ch == 1 else "RGB")
+    out = decode_tiff(blob)
+    expected = arr if arr.ndim == 3 else arr[:, :, None]
+    assert out.dtype == np.uint16 and (out == expected).all()
+
+
+def test_16bit_whiteiszero_inverts_full_range():
+    g = np.array([[0, 1, 65534, 65535]], dtype=np.uint16)
+    blob = encode_tiff((65535 - g).astype(np.uint16), photometric=0, byte_order=">")
+    out = decode_tiff(blob)
+    assert out.dtype == np.uint16 and (out[:, :, 0] == g).all()
+
+
+@pytest.mark.parametrize("tile_size", [(16, 16), (32, 16), (16, 48)])
+@pytest.mark.parametrize("compression,predictor", [(1, 1), (5, 2), (32773, 1)])
+def test_tiled_roundtrip(tile_size, compression, predictor):
+    rng = np.random.default_rng(sum(tile_size))
+    # dims NOT multiples of the tile → edge tiles carry padding to trim
+    arr = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    blob = encode_tiff(
+        arr, compression=compression, predictor=predictor, tile_size=tile_size
+    )
+    assert tiff_meta(blob) == (53, 37, "RGB")
+    out = decode_tiff(blob)
+    assert out is not None and (out == arr).all()
+
+
+def test_tiled_16bit_big_endian():
+    rng = np.random.default_rng(77)
+    arr = rng.integers(0, 65536, size=(20, 30), dtype=np.uint16)
+    blob = encode_tiff(arr, byte_order=">", compression=5, tile_size=(16, 16))
+    out = decode_tiff(blob)
+    assert out.dtype == np.uint16 and (out[:, :, 0] == arr).all()

@@ -174,3 +174,16 @@ def test_ima_adpcm_corrupt_returns_none():
     assert decode_wav(bytes(more)) is None
     # truncated mid-block
     assert decode_wav(blob[: len(blob) // 2]) is None
+
+
+def test_pcm24_roundtrip():
+    r = _rng(29)
+    x = r.integers(-(2**23), 2**23, (1001, 2)).astype(np.int32)
+    blob = encode_wav(x, 48000, fmt="pcm24")
+    assert wav_meta(blob) == (48000, 1001, 2, 24)
+    out, rate = decode_wav(blob)
+    assert out.dtype == np.int32 and np.array_equal(out, x) and rate == 48000
+    # extremes sign-extend correctly
+    edge = np.array([[-(2**23)], [2**23 - 1], [0], [-1]], dtype=np.int32)
+    out2, _ = decode_wav(encode_wav(edge, 8000, fmt="pcm24"))
+    assert np.array_equal(out2, edge)
