@@ -18,7 +18,7 @@ codecs, no PIL/cv2/soundfile/ffmpeg needed. Images: PNG (full spec
 matrix: 1/2/4/8/16-bit, Adam7 — png_codec.py), GIF (LZW + interlace —
 gif_codec.py), JPEG (baseline + progressive Huffman — jpeg_codec.py),
 BMP (uncompressed 1/4/8/24/32-bit + RLE4/RLE8 — bmp_codec.py),
-baseline TIFF (both byte orders, none/LZW/PackBits, predictor, 8- and
+baseline TIFF (both byte orders, none/LZW/Deflate/PackBits, predictor, 8- and
 16-bit samples, strip- AND tile-organized, gray/RGB/RGBA/palette —
 tiff_codec.py): header meta AND full pixels for the inference
 preprocessing chain. Audio: WAV RIFF (wav_codec.py) — PCM

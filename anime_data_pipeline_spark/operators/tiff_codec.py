@@ -6,14 +6,14 @@ The reference decodes every format through PIL (bucket_manager.py:
 180-189). Baseline TIFF 6.0 is an IFD tag walk plus segment
 decompression: both byte orders (``II`` little / ``MM`` big),
 Compression 1 (none), 5 (TIFF-variant LZW, with horizontal-differencing
-Predictor 2), and 32773 (PackBits); PhotometricInterpretation 0/1
-(gray, WhiteIsZero inverted), 2 (RGB, incl. an alpha ExtraSample →
-RGBA), and 3 (palette via the 16-bit ColorMap, expanded to RGB at
-decode like the BMP path); 8-bit AND 16-bit samples (byte-order-true,
-decoded to real uint16 like the 16-bit PNG path), chunky planar
-layout, BOTH strip- and tile-organized files (TIFF §15).
-Planar-separated layout and the JPEG-in-TIFF / Deflate compressions
-return None like any other corrupt/unsupported input
+Predictor 2), 8/32946 (Deflate via stdlib zlib), and 32773 (PackBits);
+PhotometricInterpretation 0/1 (gray, WhiteIsZero inverted), 2 (RGB,
+incl. an alpha ExtraSample → RGBA), and 3 (palette via the 16-bit
+ColorMap, expanded to RGB at decode like the BMP path); 8-bit AND
+16-bit samples (byte-order-true, decoded to real uint16 like the
+16-bit PNG path), chunky planar layout, BOTH strip- and tile-organized
+files (TIFF §15). Planar-separated layout and the JPEG-in-TIFF
+compression return None like any other corrupt/unsupported input
 (dropped-with-count row).
 
 TIFF LZW (spec §13) differs from GIF LZW: codes are packed MSB-first,
@@ -32,6 +32,7 @@ shape the GIF decoder has.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -183,7 +184,7 @@ def tiff_meta(data: bytes) -> tuple[int, int, str] | None:
     planar = _scalar(tags, _TAG_PLANAR, 1)
     if bits is None or len(set(bits)) != 1 or bits[0] not in (8, 16):
         return None
-    if planar != 1 or comp not in (1, 5, 32773):
+    if planar != 1 or comp not in (1, 5, 8, 32946, 32773):
         return None
     if bits[0] == 16 and photo == 3:
         return None  # 16-bit palette indices not in the wild
@@ -215,6 +216,12 @@ def _decompress(raw: bytes, comp: int, expect: int) -> bytes | None:
         return raw[:expect] if len(raw) >= expect else None
     if comp == 5:
         return _lzw_decode(raw, expect)
+    if comp in (8, 32946):  # Deflate (Adobe 8 / legacy 32946): zlib stream
+        try:
+            out = zlib.decompress(raw)
+        except zlib.error:
+            return None
+        return out[:expect] if len(out) >= expect else None
     return _unpackbits(raw, expect)
 
 
@@ -395,7 +402,7 @@ def encode_tiff(
     uint16 → strip-organized (or, with ``tile_size=(tw, tl)``, both
     multiples of 16, tile-organized) baseline TIFF. ``palette``
     ((n, 3) uint8) switches to photometric 3 with a 16-bit ColorMap.
-    compression ∈ {1, 5, 32773}; ``predictor=2`` applies horizontal
+    compression ∈ {1, 5, 8 (Deflate), 32773}; ``predictor=2`` applies horizontal
     differencing before compression (the usual LZW pairing)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -422,6 +429,8 @@ def encode_tiff(
         raw = seg.tobytes()
         if compression == 5:
             return _lzw_encode(raw)
+        if compression == 8:
+            return zlib.compress(raw, 6)
         if compression == 32773:
             rb = seg.shape[1] * samples * sample_dtype.itemsize
             return b"".join(

@@ -233,3 +233,26 @@ def test_tiled_16bit_big_endian():
     blob = encode_tiff(arr, byte_order=">", compression=5, tile_size=(16, 16))
     out = decode_tiff(blob)
     assert out.dtype == np.uint16 and (out[:, :, 0] == arr).all()
+
+
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+@pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+def test_deflate_roundtrip(byte_order, dtype):
+    rng = np.random.default_rng(83)
+    hi = 256 if dtype == "uint8" else 65536
+    arr = rng.integers(0, hi, size=(14, 22, 3)).astype(dtype)
+    for kw in ({"rows_per_strip": 5}, {"tile_size": (16, 16)}):
+        blob = encode_tiff(arr, byte_order=byte_order, compression=8, **kw)
+        out = decode_tiff(blob)
+        assert out is not None and (out == arr).all()
+    # legacy code 32946 decodes through the same path
+    blob = bytearray(encode_tiff(arr, byte_order="<", compression=8))
+    pos = blob.find(struct.pack("<HHI", 259, 3, 1))
+    blob[pos + 8 : pos + 10] = struct.pack("<H", 32946)
+    out = decode_tiff(bytes(blob))
+    assert out is not None and (out == arr).all()
+    # corrupt zlib stream (strip data starts right after the 8-byte
+    # header) → None, not an exception
+    bad = bytearray(encode_tiff(arr, compression=8))
+    bad[10:30] = b"\x00" * 20
+    assert decode_tiff(bytes(bad)) is None
