@@ -724,7 +724,6 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
         return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []  # per component: dequantized coefficients (by, bx, 64)
     meta = []
     for cid, hi, vi, tq in comps:
         if cid not in scan_tables or tq not in qtabs:
@@ -732,13 +731,14 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
         td, ta = scan_tables[cid]
         if (0, td) not in htabs or (1, ta) not in htabs:
             return None
-        planes.append(
-            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.float64)
-        )
         meta.append((hi, vi, qtabs[tq], htabs[(0, td)], htabs[(1, ta)]))
     reader = _ScanReader(data, pos)
     preds = [0] * len(comps)
     n_mcu = mcux * mcuy
+    # blocks arrive in MCU raster order; collect plain lists and place
+    # them on the grid with one vectorized scatter per component at the
+    # end — no per-block numpy allocations in the hot loop
+    blocks: list[list[list[float]]] = [[] for _ in comps]
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             mk = reader.at_marker()
@@ -746,52 +746,114 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
                 return None
             reader.skip_marker()
             preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (hi, vi, qt, dct, act) in enumerate(meta):
-            for by in range(vi):
-                for bx in range(hi):
-                    coef = _decode_block(reader, dct, act, preds, ci)
-                    if coef is None:
-                        return None
-                    planes[ci][my * vi + by, mx * hi + bx] = coef * qt
+        for ci, (hi, vi, _qt, dct, act) in enumerate(meta):
+            sink = blocks[ci]
+            for _ in range(vi * hi):
+                coef = _decode_block(reader, dct, act, preds, ci)
+                if coef is None:
+                    return None
+                sink.append(coef)
+    planes = []  # per component: dequantized coefficients (by, bx, 64)
+    for ci, (hi, vi, qt, _d, _a) in enumerate(meta):
+        a = np.asarray(blocks[ci], dtype=np.float64) * qt
+        j = np.arange(a.shape[0])
+        m_i, r = j // (vi * hi), j % (vi * hi)
+        rows = (m_i // mcux) * vi + r // hi
+        cols = (m_i % mcux) * hi + r % hi
+        plane = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.float64)
+        plane[rows, cols] = a
+        planes.append(plane)
     out_planes = _idct_planes(
         planes, [(hi, vi) for hi, vi, _q, _d, _a in meta], h, w, hmax, vmax
     )
     return _planes_to_pixels(out_planes)
 
 
-def _decode_block(reader, dct, act, preds, ci):
-    t = reader.decode_symbol(dct)
-    if t is None or t > 15:
-        return None
-    if t:
-        v = reader.receive(t)
-        if v is None:
+_ZIGZAG_T = tuple(int(z) for z in _ZIGZAG)
+
+
+def _decode_block(reader, dct, act, preds, ci, _zz=_ZIGZAG_T):
+    """One 8x8 block's Huffman decode (T.81 F.2.2) as a tight loop over
+    LOCAL reader state — attribute access, method calls, and per-block
+    numpy allocations all hoisted out of the per-coefficient path; the
+    state syncs back to the reader at block end (restart-marker checks
+    happen between blocks). Semantics identical to the _ScanReader
+    methods, pinned by the roundtrip/progressive-equivalence tests."""
+    data = reader.data
+    n = len(data)
+    pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+    dlen, dsym = dct.lut_len, dct.lut_sym
+    alen, asym = act.lut_len, act.lut_sym
+    coef = [0.0] * 64
+    k = 0  # 0 = DC stage, 1..63 = AC
+    pred = preds[ci]
+    while True:
+        # refill: up to 31 buffered bits covers one symbol (<=16) plus
+        # its extra-bits field (<=15) without a second fill check
+        while nbits < 31:
+            if pos >= n:
+                break
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 < n and data[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    break  # a real marker: stop
+            else:
+                pos += 1
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | b
+            nbits += 8
+        if nbits <= 0:
             return None
-        preds[ci] += _extend(v, t)
-    coef = np.zeros(64)
-    coef[0] = preds[ci]
-    k = 1
-    while k < 64:
-        rs = reader.decode_symbol(act)
-        if rs is None:
+        if nbits >= 16:
+            window = (acc >> (nbits - 16)) & 0xFFFF
+        else:
+            window = (acc << (16 - nbits)) & 0xFFFF
+        if k == 0:
+            length = dlen[window]
+            if length == 0 or length > nbits:
+                return None
+            nbits -= length
+            t = dsym[window]
+            if t > 15:
+                return None
+            if t:
+                if nbits < t:
+                    return None
+                nbits -= t
+                v = (acc >> nbits) & ((1 << t) - 1)
+                pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            coef[0] = float(pred)
+            preds[ci] = pred
+            k = 1
+            continue
+        length = alen[window]
+        if length == 0 or length > nbits:
             return None
-        r, s = rs >> 4, rs & 0x0F
+        nbits -= length
+        rs = asym[window]
+        s = rs & 0x0F
         if s == 0:
             if rs == 0x00:  # EOB
                 break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            return None
-        k += r
+            if rs != 0xF0:
+                return None
+            k += 16  # ZRL
+            if k >= 64:
+                break
+            continue
+        k += rs >> 4
         if k > 63:
             return None
-        v = reader.receive(s)
-        if v is None:
+        if nbits < s:
             return None
-        coef[_ZIGZAG[k]] = _extend(v, s)
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        coef[_zz[k]] = float(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
         k += 1
+        if k >= 64:
+            break
+    reader.pos, reader.acc, reader.nbits = pos, acc, nbits
     return coef
 
 
