@@ -886,6 +886,9 @@ class _BitWriterMSB:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop emitted high bits: without this the accumulator grows
+        # into a bignum and every write costs O(bytes written so far)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush_scan(self) -> None:
         if self.nbits:
