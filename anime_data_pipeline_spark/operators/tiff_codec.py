@@ -126,7 +126,9 @@ def _lzw_decode(src: bytes, expect: int) -> bytes | None:
         while nbits < bits:
             if pos >= n:
                 return bytes(out[:expect]) if len(out) >= expect else None
-            acc = (acc << 8) | src[pos]
+            # mask consumed high bits — otherwise acc grows into a
+            # bignum and every shift costs O(stream length)
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | src[pos]
             pos += 1
             nbits += 8
         nbits -= bits
@@ -357,6 +359,7 @@ def _lzw_encode(src: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # drop emitted bits (bignum guard)
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code, bits = 258, 9
