@@ -48,11 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # JPEG marker walk + corrupt->None guards (operators/jpeg_codec.py,
 # progressive-JPEG decode added to q151's fixture corpus), q115's
 # corpus extended to the full PNG matrix (16-bit/Adam7/sub-8) with a
-# pixel_ok gate, and q177/q178/q179 are NEW (stdlib BMP+TIFF raster, WAV PCM, and
+# pixel_ok gate, q180 is NEW (HTML → text extraction, closed-form
+# oracle), and q177/q178/q179 are NEW (stdlib BMP+TIFF raster, WAV, and
 # MJPEG-AVI codecs e2e).
 _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
+    "q180_html_extract",
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
     "q179_avi_frame_sample",
@@ -119,8 +121,8 @@ _PRIORITY = [
     "q57_stratified_sample",
     "q59_pii_redact",
     "q70_webdataset_roundtrip",
-    "q73_tag_inference",
     # ---- 50-row driver cutoff lands here ----
+    "q73_tag_inference",
     "q74_snapshot_diff",
     "q75_mix_rebalance",
     "q76_salted_join_hot_key",

@@ -1455,3 +1455,98 @@ def q165_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pos_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — HTML → text extraction (round 6: the web-crawl ingest step —
+# CCNet/RefinedWeb boilerplate stripping as pure column expressions,
+# operators/html_extract.py). The corpus wraps each document's text
+# fragment in a deterministic page (head block with title/style/meta,
+# nav with two anchors incl. entities, h1, a script whose body
+# contains raw `<`, `>` and `&&`, an HTML comment containing FAKE
+# block tags, the fragment paragraph, an entity-dense footer); every
+# 31st row is tagless plain text (the no-markup path), and rows with
+# doc_id % 7 == 0 carry a 6-char fragment so the link-density filter
+# actually discriminates. The oracle predicts the extracted text
+# CLOSED-FORM from the page construction — it never runs the
+# extraction regexes, so a bug anywhere in the strip chain (comment
+# ordering, head removal, script tolerance of embedded `<`,
+# block-newline mapping, entity decode order, whitespace collapse)
+# breaks the string hash.
+# ---------------------------------------------------------------------------
+_Q180_FOOTER = "s''more <tags> & entities here"
+
+_Q180_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN trim(substr(text, 1, 6))
+                  ELSE trim(substr(text, 1, 100)) END AS frag
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 THEN frag
+                  ELSE 'Home About & Co' || chr(10) ||
+                       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                       frag || chr(10) || '{_Q180_FOOTER}'
+             END AS clean_text,
+             CASE WHEN doc_id % 31 = 0 THEN 0 ELSE 2 END AS n_links,
+             CASE WHEN doc_id % 31 = 0 THEN 0.0 ELSE 14.0 END AS anchor_chars
+      FROM base
+    )
+    SELECT doc_id, clean_text,
+           CAST(n_links AS INTEGER) AS n_links,
+           CAST(length(clean_text) AS BIGINT) AS clean_len,
+           {dround_sql("anchor_chars / length(clean_text)", 4)} AS link_density,
+           {dround_sql("anchor_chars / length(clean_text)", 4)} < 0.2 AS kept
+    FROM built
+"""
+
+
+@register("q180_html_extract", oracle=_Q180_ORACLE)
+def q180_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.html_extract import (
+        link_density,
+        n_links,
+        strip_html_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    frag = F.when(
+        i % 7 == 0, F.trim(F.substring(F.col("text"), 1, 6))
+    ).otherwise(F.trim(F.substring(F.col("text"), 1, 100)))
+    page = F.concat(
+        F.lit('<html><head><title>Doc '),
+        i,
+        F.lit('</title><style>p { color: red; }</style>'
+              '<meta charset="utf-8"></head><body>'),
+        F.lit('<nav><a href="/home">Home</a> '
+              '<a href="/about">About &amp; Co</a></nav>'),
+        F.lit("<h1>Doc "),
+        i,
+        F.lit("</h1>"),
+        F.lit('<script type="text/javascript">var k = '),
+        i,
+        F.lit('; if (k < 10 && k > 1) { track("&amp;"); }</script>'),
+        F.lit("<!-- comment with a <p>fake tag</p> inside -->"),
+        F.lit("<p>"),
+        frag,
+        F.lit("</p>"),
+        F.lit('<div class="footer">s&#39;more &lt;tags&gt; '
+              "&amp; entities&nbsp;here</div>"),
+        F.lit("</body></html>"),
+    )
+    raw = docs.select(
+        "doc_id", F.when(i % 31 == 0, frag).otherwise(page).alias("raw_html")
+    )
+    clean = strip_html_text(F.col("raw_html"))
+    out = raw.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_links(F.col("raw_html")).alias("n_links"),
+        F.length(clean).cast("long").alias("clean_len"),
+        dround(link_density(F.col("raw_html"), clean), 4).alias("link_density"),
+        (dround(link_density(F.col("raw_html"), clean), 4) < 0.2).alias("kept"),
+    )
+    return out
