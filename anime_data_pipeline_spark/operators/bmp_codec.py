@@ -79,11 +79,26 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     RGB — BMP's palette is part of the header, unlike PNG's optional
     PLTE, so expansion here keeps the decoder contract uniform). None
     for corrupt/unsupported input."""
+    try:
+        return _decode_bmp_inner(data)
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError):
+        return None
+
+
+def _decode_bmp_inner(data: bytes) -> np.ndarray | None:
     hdr = _header(data)
     if hdr is None:
         return None
     w, h, bpp, offset, palette, compression = hdr
     if compression:  # BI_RLE8 / BI_RLE4
+        # bound the output canvas BEFORE allocating: the uncompressed
+        # path is naturally size-checked (need = offset + stride*h),
+        # but RLE delta escapes can legally skip cells, so a corrupt
+        # header claiming a huge canvas would otherwise allocate
+        # h*w(*3) from ~60 bytes of data. 2^26 px (64 MP) is far past
+        # any real RLE bitmap.
+        if h * w > 1 << 26:
+            return None
         idx = _decode_rle(data[offset:], w, h, bpp)
         if idx is None or palette is None or idx.max(initial=0) >= len(palette):
             return None

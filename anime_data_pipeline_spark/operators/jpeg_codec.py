@@ -207,6 +207,11 @@ class _HuffTable:
             span = 1 << (16 - length)
             for _ in range(bits[length - 1]):
                 lo = code << (16 - length)
+                if lo + span > 1 << 16:
+                    # over-subscribed bits[] (Kraft violation): a
+                    # crafted DHT would otherwise grow the bytearray
+                    # past 64 KB via slice-append — corrupt table
+                    raise ValueError("over-subscribed Huffman table")
                 sym = huffval[k]
                 lut_len[lo : lo + span] = bytes([length]) * span
                 lut_sym[lo : lo + span] = bytes([sym]) * span
@@ -570,7 +575,7 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
     None rather than a crashed Spark task."""
     try:
         return _decode_jpeg(data)
-    except (ValueError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError):
         return None
 
 
@@ -578,7 +583,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     if len(data) < 4 or data[:3] != JPEG_MAGIC:
         return None
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htabs: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
     progressive = False
     restart_interval = 0

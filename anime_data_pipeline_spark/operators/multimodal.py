@@ -528,12 +528,24 @@ def decode_audio_sample_stats(df: DataFrame, content_col: str = "content") -> Da
                     stats.append(None)
                     continue
                 samples, _rate = out
+                if samples.dtype.kind == "f" and samples.size:
+                    if not np.isfinite(samples).all():
+                        stats.append(None)  # NaN/inf payload: corrupt clip
+                        continue
+                    # floor/ceil instead of int() truncation so [-1, 1]
+                    # float audio keeps a meaningful integer envelope
+                    s_min = int(np.floor(samples.min()))
+                    s_max = int(np.ceil(samples.max()))
+                elif samples.size:
+                    s_min, s_max = int(samples.min()), int(samples.max())
+                else:
+                    s_min = s_max = 0
                 stats.append(
                     {
                         "n_samples": int(samples.shape[0]),
                         "channels": int(samples.shape[1]),
-                        "s_min": int(samples.min()) if samples.size else 0,
-                        "s_max": int(samples.max()) if samples.size else 0,
+                        "s_min": s_min,
+                        "s_max": s_max,
                         # float64 accumulator: float32 clips would
                         # otherwise lose mean exactness past 2^24
                         "s_mean": float(samples.mean(dtype=np.float64))

@@ -175,6 +175,12 @@ def tiff_meta(data: bytes) -> tuple[int, int, str] | None:
     tags = _read_ifd(data)
     if tags is None:
         return None
+    return _meta_from_tags(tags)
+
+
+def _meta_from_tags(tags: dict[int, list[int]]) -> tuple[int, int, str] | None:
+    """tiff_meta's validation over an already-parsed tag map — lets
+    decode share one IFD walk with the meta check."""
     w = _scalar(tags, _TAG_WIDTH)
     h = _scalar(tags, _TAG_HEIGHT)
     photo = _scalar(tags, _TAG_PHOTOMETRIC)
@@ -235,12 +241,13 @@ def _undiff(seg: np.ndarray) -> np.ndarray:
 
 
 def _decode_tiff_inner(data: bytes) -> np.ndarray | None:
-    meta = tiff_meta(data)
+    tags = _read_ifd(data)
+    if tags is None:
+        return None
+    meta = _meta_from_tags(tags)  # one IFD walk shared with validation
     if meta is None:
         return None
     w, h, mode = meta
-    tags = _read_ifd(data)
-    assert tags is not None
     bo = "<" if data[:2] == b"II" else ">"
     samples = _scalar(tags, _TAG_SAMPLES, 1)
     bits = tags[_TAG_BITS][0]

@@ -153,3 +153,19 @@ def test_rle_corrupt_returns_none():
     mism = bytearray(blob)
     mism[30:34] = b"\x02\x00\x00\x00"  # RLE4 flag on an 8-bit image
     assert bmp_meta(bytes(mism)) is None and decode_bmp(bytes(mism)) is None
+
+
+def test_rle_huge_canvas_header_returns_none():
+    """A corrupt header claiming a giant canvas must not allocate it
+    (the review-confirmed MemoryError escape): RLE path bounds h*w
+    before np.zeros."""
+    import struct as _s
+
+    plte = _rng(41).integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = _rng(42).integers(0, 16, (9, 9), dtype=np.uint8)
+    blob = bytearray(encode_bmp(idx, palette=plte, rle=True))
+    blob[18:22] = _s.pack("<i", 1 << 30)  # width = 2^30
+    assert decode_bmp(bytes(blob)) is None
+    blob2 = bytearray(encode_bmp(idx, palette=plte, rle=True))
+    blob2[22:26] = _s.pack("<i", 1 << 30)  # height = 2^30
+    assert decode_bmp(bytes(blob2)) is None

@@ -454,3 +454,21 @@ def test_gif_jpeg_pixels_through_preprocess_chain():
         assert sq.shape == (50, 50, 3)
         small = area_resize(sq, 25)
         assert small.shape == (25, 25, 3)
+
+
+def test_oversubscribed_dht_returns_none():
+    """A crafted DHT whose bits[] violates the Kraft inequality must
+    yield None, not a multi-GB LUT allocation (review-confirmed)."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_meta,
+    )
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 85))
+    i = blob.find(b"\xff\xc4")
+    blob[i + 5] = 255  # bits[1] = 255 → 255 one-bit codes
+    assert decode_jpeg(bytes(blob)) is None
+    assert jpeg_meta(bytes(blob)) is not None  # header meta still parses

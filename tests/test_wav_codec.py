@@ -187,3 +187,32 @@ def test_pcm24_roundtrip():
     edge = np.array([[-(2**23)], [2**23 - 1], [0], [-1]], dtype=np.int32)
     out2, _ = decode_wav(encode_wav(edge, 8000, fmt="pcm24"))
     assert np.array_equal(out2, edge)
+
+
+def test_float_nan_payload_is_corrupt_clip(spark):
+    """A float32 WAV whose payload bytes decode to NaN must surface as
+    a null-stats row (dropped-with-count), not a task crash — and
+    normal float clips keep a floor/ceil integer envelope."""
+    from pyspark.sql import types as T
+
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_audio_sample_stats,
+    )
+
+    good = encode_wav(np.array([[0.25], [-0.75]], dtype=np.float32), 8000,
+                      fmt="float32")
+    nan_blob = bytearray(good)
+    data_at = good.find(b"data") + 8
+    nan_blob[data_at : data_at + 4] = b"\xff\xff\xff\xff"  # NaN sample
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("content", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, good), (2, bytes(nan_blob))], schema)
+    out = {r["doc_id"]: r for r in
+           decode_audio_sample_stats(decode_audio_meta(df)).collect()}
+    s1 = out[1]["sample_stats"]
+    assert (s1["s_min"], s1["s_max"]) == (-1, 1)  # floor(-0.75), ceil(0.25)
+    assert abs(s1["s_mean"] - (0.25 - 0.75) / 2) < 1e-12
+    assert out[2]["sample_stats"] is None  # NaN payload: corrupt clip
