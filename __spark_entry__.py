@@ -49,15 +49,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # progressive-JPEG decode added to q151's fixture corpus), q115's
 # corpus extended to the full PNG matrix (16-bit/Adam7/sub-8) with a
 # pixel_ok gate, q180 is NEW (HTML → text extraction, closed-form
-# oracle), and q177/q178/q179 are NEW (stdlib BMP+TIFF raster, WAV, and
-# MJPEG-AVI codecs e2e).
+# oracle), and q177/q178/q179 are NEW (stdlib BMP+TIFF raster, WAV,
+# and MJPEG-AVI + animated-GIF video sampling e2e).
 _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
     "q180_html_extract",
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
-    "q179_avi_frame_sample",
+    "q179_video_frame_sample",
     "q152_url_canonical_dedup",
     "q153_normalized_dedup",
     "q151_gif_jpeg_decode_bucket",

@@ -5,10 +5,14 @@ The reference decodes real images with PIL (bucket_manager.py:180-189);
 GIF's container needs only bit math: the LZW variant from the GIF89a
 spec (variable 3..12-bit codes, LSB-first packing, CLEAR/EOI codes)
 plus palette expansion and the 4-pass interlace order. Supported:
-GIF87a/GIF89a, global or local color table, interlaced or not, first
-frame of animations (same as PIL's default ``Image.open`` frame 0).
-Transparency is ignored for pixel decode (mode stays "P"-palette →
-RGB expansion), matching how the bucketing pipeline consumes images.
+GIF87a/GIF89a, global or local color table, interlaced or not, and
+FULL animations: ``gif_frame_count`` walks chunk headers only (the
+planning path), ``decode_gif_frames`` samples requested frames with
+real GIF89a compositing (GCE transparency reveals the prior canvas;
+disposal 2 restores background, 3 restores the pre-frame canvas), and
+``decode_gif`` keeps PIL's default frame-0 behavior. GIF frames are
+deltas, so sampling frame k decodes 0..k — the sampler passes all its
+lattice indices in one call (unlike MJPEG-AVI's independent frames).
 
 Scale note: decode runs inside Arrow-batched ``mapInPandas`` workers
 (operators/multimodal.py) — per-executor, embarrassingly parallel. The
@@ -142,16 +146,9 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(data: bytes) -> np.ndarray | None:
-    """GIF bytes → uint8 (h, w, 3) RGB of the FIRST frame (palette
-    expanded, interlace undone). None for corrupt/truncated input —
-    the caller maps that to the dropped-with-count row like any other
-    decode failure. Frames smaller than the logical screen are placed
-    at their (left, top) offset on a background of palette entry 0."""
-    meta = gif_meta(data)
-    if meta is None:
-        return None
-    sw, sh, _ = meta
+def _parse_gct(data: bytes):
+    """(global color table | None, pos after LSD+GCT), or None when the
+    table is truncated. Assumes gif_meta already validated the LSD."""
     pos = 10
     lsd_flags = data[pos]
     pos += 3  # flags, background index, aspect
@@ -164,20 +161,53 @@ def decode_gif(data: bytes) -> np.ndarray | None:
             -1, 3
         )
         pos += gct_size
-    while pos < len(data):
+    return gct, pos
+
+
+def _parse_frames(data: bytes, upto: int | None = None, decode_pixels: bool = True):
+    """Walk the block stream collecting frames as
+    (left, top, fw, fh, idx | None, palette, transparent_idx, disposal)
+    tuples; Graphic Control Extensions (89a) attach transparency and
+    disposal to the FOLLOWING image. ``decode_pixels=False`` skips the
+    LZW work (the O(container) frame-count path); ``upto`` stops after
+    frame index ``upto``. None on structural corruption."""
+    meta = gif_meta(data)
+    if meta is None:
+        return None
+    g = _parse_gct(data)
+    if g is None:
+        return None
+    gct, pos = g
+    n = len(data)
+    frames = []
+    pend_trans: int | None = None
+    pend_disposal = 0
+    while pos < n:
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            return None  # no image descriptor seen
-        if block == 0x21:  # extension: label + sub-blocks, skip
+            break
+        if block == 0x21:  # extension
+            if pos >= n:
+                return None
+            label = data[pos]
             pos += 1
-            while pos < len(data) and data[pos]:
+            if (
+                label == 0xF9
+                and pos < n
+                and data[pos] >= 4
+                and pos + 1 + data[pos] <= n
+            ):
+                sub = data[pos + 1 : pos + 1 + data[pos]]
+                pend_disposal = (sub[0] >> 2) & 0x7
+                pend_trans = sub[3] if sub[0] & 1 else None
+            while pos < n and data[pos]:
                 pos += 1 + data[pos]
             pos += 1
             continue
         if block != 0x2C:  # image descriptor
             return None
-        if pos + 9 > len(data):
+        if pos + 9 > n:
             return None
         left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
         img_flags = data[pos + 8]
@@ -185,7 +215,7 @@ def decode_gif(data: bytes) -> np.ndarray | None:
         lct_size = _color_table_size(img_flags)
         palette = gct
         if lct_size:
-            if pos + lct_size > len(data):
+            if pos + lct_size > n:
                 return None
             palette = np.frombuffer(
                 data, dtype=np.uint8, count=lct_size, offset=pos
@@ -193,34 +223,100 @@ def decode_gif(data: bytes) -> np.ndarray | None:
             pos += lct_size
         if palette is None or fw <= 0 or fh <= 0:
             return None
-        if pos >= len(data):
+        if pos >= n:
             return None
         min_code_size = data[pos]
         pos += 1
         if not 2 <= min_code_size <= 11:
             return None
-        sub = bytearray()
-        while pos < len(data) and data[pos]:
-            n = data[pos]
-            sub.extend(data[pos + 1 : pos + 1 + n])
-            pos += 1 + n
-        raw = _lzw_decode(bytes(sub), min_code_size, fw * fh)
-        if raw is None or len(raw) < fw * fh:
-            return None
-        idx = np.frombuffer(bytes(raw[: fw * fh]), dtype=np.uint8).reshape(fh, fw)
-        if img_flags & 0x40:
-            idx = _deinterlace(idx)
+        sub_data = bytearray()
+        while pos < n and data[pos]:
+            k = data[pos]
+            sub_data.extend(data[pos + 1 : pos + 1 + k])
+            pos += 1 + k
+        pos += 1  # sub-block terminator
+        idx = None
+        if decode_pixels:
+            raw = _lzw_decode(bytes(sub_data), min_code_size, fw * fh)
+            if raw is None or len(raw) < fw * fh:
+                return None
+            idx = np.frombuffer(bytes(raw[: fw * fh]), dtype=np.uint8).reshape(fh, fw)
+            if img_flags & 0x40:
+                idx = _deinterlace(idx)
+        frames.append((left, top, fw, fh, idx, palette, pend_trans, pend_disposal))
+        pend_trans, pend_disposal = None, 0
+        if upto is not None and len(frames) > upto:
+            break
+    return frames
+
+
+def gif_frame_count(data: bytes) -> int | None:
+    """Number of frames, walking chunk headers ONLY (no LZW decode) —
+    the O(container-bytes) planning path, mirroring avi_frame_offsets:
+    a sampling lattice is laid out before any pixel work happens."""
+    frames = _parse_frames(data, decode_pixels=False)
+    return None if frames is None else len(frames)
+
+
+def decode_gif_frames(data: bytes, indices) -> dict[int, np.ndarray] | None:
+    """Animated-GIF frame sampling: {frame_idx: (sh, sw, 3) uint8} for
+    the requested indices, compositing per GIF89a — transparent pixels
+    reveal the prior canvas, disposal 2 restores the frame region to
+    background, disposal 3 restores the pre-frame canvas. GIF frames
+    are DELTAS, so sampling frame k costs decoding frames 0..k (unlike
+    MJPEG-AVI, where each sampled frame's byte range decodes
+    independently); the lattice sampler amortizes this by requesting
+    all its indices in ONE call. None for corrupt input or an index
+    past the last frame."""
+    want = sorted({int(i) for i in indices})
+    if not want or want[0] < 0:
+        return None
+    frames = _parse_frames(data, upto=want[-1])
+    if frames is None or len(frames) <= want[-1]:
+        return None
+    sw, sh, _ = gif_meta(data)
+    gct, _ = _parse_gct(data)
+    bg = gct[0] if gct is not None else frames[0][5][0]
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    want_set = set(want)
+    out: dict[int, np.ndarray] = {}
+    for fi, (left, top, fw, fh, idx, palette, trans, disposal) in enumerate(frames):
         idx = np.minimum(idx, len(palette) - 1)
-        frame = palette[idx]
-        if (left, top, fw, fh) == (0, 0, sw, sh):
-            return frame
-        out = np.broadcast_to(palette[0], (sh, sw, 3)).copy()
         fh_c = min(fh, sh - top) if top < sh else 0
         fw_c = min(fw, sw - left) if left < sw else 0
+        prev_region = None
+        if disposal == 3 and fh_c > 0 and fw_c > 0:
+            prev_region = canvas[top : top + fh_c, left : left + fw_c].copy()
         if fh_c > 0 and fw_c > 0:
-            out[top : top + fh_c, left : left + fw_c] = frame[:fh_c, :fw_c]
-        return out
-    return None
+            region_idx = idx[:fh_c, :fw_c]
+            px = palette[region_idx]
+            tgt = canvas[top : top + fh_c, left : left + fw_c]
+            if trans is not None:
+                mask = region_idx != trans
+                tgt[mask] = px[mask]
+            else:
+                tgt[:] = px
+        if fi in want_set:
+            out[fi] = canvas.copy()
+            if fi == want[-1]:
+                break
+        if disposal == 2 and fh_c > 0 and fw_c > 0:
+            canvas[top : top + fh_c, left : left + fw_c] = bg
+        elif disposal == 3 and prev_region is not None:
+            canvas[top : top + fh_c, left : left + fw_c] = prev_region
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray | None:
+    """GIF bytes → uint8 (h, w, 3) RGB of the FIRST frame (palette
+    expanded, interlace undone, composited on the logical screen at
+    the frame's (left, top) offset over a background of global-palette
+    entry 0; a GCE-transparent pixel in frame 0 shows that
+    background). None for corrupt/truncated input — the caller maps
+    that to the dropped-with-count row like any other decode
+    failure."""
+    out = decode_gif_frames(data, (0,))
+    return None if out is None else out.get(0)
 
 
 class _BitWriter:
@@ -325,4 +421,62 @@ def encode_gif(
         chunk = compressed[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames,
+    palette: np.ndarray,
+    *,
+    offsets=None,
+    transparent: int | None = None,
+    disposals=None,
+    screen: tuple[int, int] | None = None,
+) -> bytes:
+    """Multi-frame GIF89a fixture writer: ``frames`` is a list of
+    (h, w) uint8 index arrays sharing one global ``palette``;
+    ``offsets`` gives each frame's (left, top) on the logical screen
+    (default (0, 0)); ``transparent`` emits a GCE transparency index
+    on every frame after the first; ``disposals`` is a per-frame
+    disposal method list (0 none / 1 leave / 2 restore-bg /
+    3 restore-prev). Mirrors the layout real encoders produce so
+    decode_gif_frames' compositing rules are exercised for real."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    if n < 2 or n > 256:
+        raise ValueError(f"palette size must be in [2, 256], got {n}")
+    if not frames:
+        raise ValueError("need at least one frame")
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    if screen is None:
+        sw = max(o[0] + f.shape[1] for f, o in zip(frames, offsets))
+        sh = max(o[1] + f.shape[0] for f, o in zip(frames, offsets))
+    else:
+        sw, sh = screen
+    bits = max(1, (n - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[:n] = palette
+    min_code_size = max(2, bits)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += table.tobytes()
+    for fi, (frame, (left, top)) in enumerate(zip(frames, offsets)):
+        frame = np.asarray(frame, dtype=np.uint8)
+        fh, fw = frame.shape
+        disp = disposals[fi] & 0x7
+        trans = transparent if (transparent is not None and fi > 0) else None
+        if disp or trans is not None:
+            packed = (disp << 2) | (1 if trans is not None else 0)
+            out += bytes([0x21, 0xF9, 4, packed, 0, 0, trans or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + bytes([0])
+        out += bytes([min_code_size])
+        compressed = _lzw_encode(frame.tobytes(), min_code_size)
+        for i in range(0, len(compressed), 255):
+            chunk = compressed[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

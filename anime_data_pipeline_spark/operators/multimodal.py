@@ -704,21 +704,24 @@ AVI_FRAME_FIELDS = [
 ]
 
 
-def sample_avi_frame_stats(
+def sample_video_frame_stats(
     df: DataFrame, content_col: str = "content", every_k: int = 4
 ) -> DataFrame:
-    """REAL video frame sampling (round 6): MJPEG-AVI binary → one row
-    per sampled frame with FULL-decode pixel stats — the
-    ``sample_video_frames`` plumbing running an actual container parse
-    (operators/avi_codec.py) and actual JPEG frame decodes instead of
-    the FVID stub. Corrupt containers → zero rows (dropped, countable
-    upstream via avi_meta null); q179 gates the stats against a
-    closed-form fill per (doc, frame).
+    """REAL video frame sampling (round 6): MJPEG-AVI or animated-GIF
+    binary → one row per sampled frame with FULL-decode pixel stats —
+    the ``sample_video_frames`` plumbing running actual container
+    parses (operators/avi_codec.py, gif_codec.py) instead of the FVID
+    stub. Corrupt containers → zero rows (dropped, countable upstream
+    via the meta stage); q179 gates the stats against a closed-form
+    fill per (doc, frame). GIFs report fps 0 (the container stores
+    per-frame delays, not a rate).
 
-    Scale shape: the container walk reads chunk headers only; exactly
-    the sampled frames' byte ranges feed the JPEG decoder. Same
-    row-multiplying caveat as sample_video_frames — keep it AFTER
-    pushed-down filters."""
+    Scale shape: both container walks read chunk headers only to lay
+    out the lattice. AVI then decodes exactly the sampled frames' byte
+    ranges; GIF frames are deltas, so the compositor decodes 0..max
+    sampled ONCE for all lattice indices (decode_gif_frames takes the
+    whole lattice in one call). Same row-multiplying caveat as
+    sample_video_frames — keep it AFTER pushed-down filters."""
     passthrough = [f for f in df.schema.fields if f.name != content_col]
     out_schema = T.StructType(passthrough + AVI_FRAME_FIELDS)
     pass_names = [f.name for f in passthrough]
@@ -728,30 +731,57 @@ def sample_avi_frame_stats(
             avi_meta,
             decode_avi_frames,
         )
+        from anime_data_pipeline_spark.operators.gif_codec import (
+            GIF_MAGICS,
+            decode_gif_frames,
+            gif_frame_count,
+            gif_meta,
+        )
 
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in pass_names}
             cols: dict[str, list] = {f.name: [] for f in AVI_FRAME_FIELDS}
+
+            def emit(row_i, w, h, n_frames, fps, fi, arr):
+                for c in pass_names:
+                    out[c].append(pdf[c].iloc[row_i])
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_frames"].append(n_frames)
+                cols["fps"].append(fps)
+                cols["frame_idx"].append(fi)
+                cols["f_min"].append(int(arr.min()))
+                cols["f_max"].append(int(arr.max()))
+                cols["f_w"].append(int(arr.shape[1]))
+                cols["f_h"].append(int(arr.shape[0]))
+
             for i in range(len(pdf)):
                 content = pdf[content_col].iloc[i]
                 b = bytes(content) if content is not None else b""
+                if b[:6] in GIF_MAGICS:
+                    meta = gif_meta(b)
+                    count = gif_frame_count(b)
+                    if meta is None or not count:
+                        continue
+                    w, h, _mode = meta
+                    lattice = list(range(0, count, every_k))
+                    frames = decode_gif_frames(b, lattice)
+                    if frames is None:
+                        continue
+                    for fi in lattice:
+                        emit(i, w, h, count, 0, fi, frames[fi])
+                    continue
                 meta = avi_meta(b)
                 if meta is None:
                     continue
                 w, h, n_frames, fps = meta
                 for fi, arr in decode_avi_frames(b, every_k=every_k) or []:
-                    for c in pass_names:
-                        out[c].append(pdf[c].iloc[i])
-                    cols["width"].append(w)
-                    cols["height"].append(h)
-                    cols["n_frames"].append(n_frames)
-                    cols["fps"].append(fps)
-                    cols["frame_idx"].append(fi)
-                    cols["f_min"].append(int(arr.min()))
-                    cols["f_max"].append(int(arr.max()))
-                    cols["f_w"].append(int(arr.shape[1]))
-                    cols["f_h"].append(int(arr.shape[0]))
+                    emit(i, w, h, n_frames, fps, fi, arr)
             out.update(cols)
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(sample, schema=out_schema)
+
+
+# back-compat name used by earlier round-6 call sites/tests
+sample_avi_frame_stats = sample_video_frame_stats

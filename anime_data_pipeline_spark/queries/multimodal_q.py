@@ -1207,15 +1207,20 @@ def q178_wav_decode_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q179 — REAL video decode e2e (round 6: MJPEG-AVI through
-# operators/avi_codec.py + the stdlib JPEG codec): a synthetic corpus
-# of genuine RIFF/AVI Motion-JPEG files, j = doc_id/13 deriving dims,
-# fps, frame count, and a per-frame uniform fill; every 4th selected
-# row corrupt-after-magic. The container walk reads chunk headers
-# only, then every 4th frame's byte range is JPEG-decoded FULLY
-# (q80's sampling lattice on real bytes); frame_ok pins each sampled
-# frame's min==max within ±2 of the closed-form fill (DC quantization
-# at quality 85) and decoded dims == header dims. The oracle
-# recomputes the lattice + metadata from doc_id and pins frame_ok.
+# operators/avi_codec.py + the stdlib JPEG codec, AND animated GIF
+# through gif_codec's GIF89a compositor): a synthetic corpus where
+# j = doc_id/13 derives dims, frame count, a per-frame uniform fill,
+# and the CONTAINER — even j → RIFF/AVI Motion-JPEG (fps from a
+# 4-entry table), odd j → animated GIF (fps 0: GIFs store per-frame
+# delays, not a rate); every 4th selected row corrupt-after-magic.
+# Both container walks read chunk headers only to lay the every-4th
+# lattice (q80's sampling on real bytes); AVI then decodes exactly
+# the sampled byte ranges, GIF composites 0..max-sampled once for the
+# whole lattice (frames are deltas). frame_ok pins each sampled
+# frame's min==max within ±2 of the closed-form fill (exact for GIF;
+# DC quantization at quality 85 for MJPEG) and decoded dims == header
+# dims. The oracle recomputes the lattice + metadata from doc_id and
+# pins frame_ok.
 # ---------------------------------------------------------------------------
 _Q179_FPS = [12, 24, 25, 30]
 
@@ -1232,7 +1237,9 @@ def _q179_oracle() -> str:
              CAST(16 + (j * 11) % 48 AS INTEGER) AS width,
              CAST(16 + (j * 5) % 40 AS INTEGER) AS height,
              CAST(1 + j % 12 AS INTEGER) AS n_frames,
-             CAST([{fps}][CAST(j % 4 AS INTEGER) + 1] AS INTEGER) AS fps
+             CAST(CASE WHEN j % 2 = 0
+                  THEN [{fps}][CAST(j % 4 AS INTEGER) + 1]
+                  ELSE 0 END AS INTEGER) AS fps
       FROM vids
     )
     SELECT doc_id, width, height, n_frames, fps,
@@ -1242,14 +1249,16 @@ def _q179_oracle() -> str:
     """
 
 
-def _avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents (doc_id % 13 = 0) → (doc_id, content: binary) of real
-    MJPEG AVIs: j = doc_id/13, frame fi filled with
-    40 + (j*7 + fi*5) % 180. Every 4th selected row (doc_id % 52 = 0)
-    is corrupt-after-magic."""
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 13 = 0) → (doc_id, content: binary):
+    j = doc_id/13, frame fi filled with 40 + (j*7 + fi*5) % 180;
+    even j → real MJPEG AVI, odd j → real animated GIF (grayscale
+    identity palette, so the fill survives losslessly). Every 4th
+    selected row (doc_id % 52 = 0) is corrupt-after-magic."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.avi_codec import encode_avi_mjpeg
+    from anime_data_pipeline_spark.operators.gif_codec import encode_gif_animation
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1275,23 +1284,30 @@ def _avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = 16 + (j * 11) % 48
                 h = 16 + (j * 5) % 40
                 n = 1 + j % 12
-                frames = [
-                    np.full((h, w, 3), 40 + (j * 7 + fi * 5) % 180, dtype=np.uint8)
-                    for fi in range(n)
-                ]
-                blobs.append(encode_avi_mjpeg(frames, fps=_Q179_FPS[j % 4]))
+                fills = [40 + (j * 7 + fi * 5) % 180 for fi in range(n)]
+                if j % 2 == 0:
+                    frames = [
+                        np.full((h, w, 3), f, dtype=np.uint8) for f in fills
+                    ]
+                    blobs.append(encode_avi_mjpeg(frames, fps=_Q179_FPS[j % 4]))
+                else:
+                    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+                    idx_frames = [
+                        np.full((h, w), f, dtype=np.uint8) for f in fills
+                    ]
+                    blobs.append(encode_gif_animation(idx_frames, gray))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     return docs.mapInPandas(gen, schema=schema)
 
 
-@register("q179_avi_frame_sample", oracle=_q179_oracle())
-def q179_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q179_video_frame_sample", oracle=_q179_oracle())
+def q179_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.operators.multimodal import (
-        sample_avi_frame_stats,
+        sample_video_frame_stats,
     )
 
-    sampled = sample_avi_frame_stats(_avi_corpus(spark, sf_dir), every_k=4)
+    sampled = sample_video_frame_stats(_video_corpus(spark, sf_dir), every_k=4)
     j = (F.col("doc_id") / 13).cast("long")
     fill = (40 + (j * 7 + F.col("frame_idx") * 5) % 180).cast("int")
     frame_ok = (

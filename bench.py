@@ -84,7 +84,7 @@ EXTRA_QUERIES = [
     "q151_gif_jpeg_decode_bucket",
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
-    "q179_avi_frame_sample",
+    "q179_video_frame_sample",
 ]
 
 

@@ -472,3 +472,86 @@ def test_oversubscribed_dht_returns_none():
     blob[i + 5] = 255  # bits[1] = 255 → 255 one-bit codes
     assert decode_jpeg(bytes(blob)) is None
     assert jpeg_meta(bytes(blob)) is not None  # header meta still parses
+
+
+def test_gif_animation_compositing():
+    """Hand-computed canvases pin the GIF89a compositing rules:
+    transparency reveals the prior canvas, disposal 2 restores the
+    background, disposal 3 restores the pre-frame canvas."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_frame_count,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    base = np.full((4, 6), 10, np.uint8)
+    patch = np.full((2, 2), 200, np.uint8)
+    last = np.full((4, 6), 30, np.uint8)
+    blob = encode_gif_animation(
+        [base, patch, last], pal, offsets=[(0, 0), (1, 1), (0, 0)],
+        disposals=[1, 1, 0],
+    )
+    assert gif_frame_count(blob) == 3
+    out = decode_gif_frames(blob, [0, 1, 2])
+    assert (out[0] == 10).all()
+    exp1 = np.full((4, 6), 10, np.uint8)
+    exp1[1:3, 1:3] = 200  # patch at (1,1) over the retained canvas
+    assert (out[1][:, :, 0] == exp1).all()
+    assert (out[2] == 30).all()
+
+    # transparency: frame 1 draws only its opaque pixels
+    tr = np.array([[0, 200], [200, 0]], dtype=np.uint8)  # 0 = transparent
+    blob_t = encode_gif_animation(
+        [base, tr], pal, offsets=[(0, 0), (0, 0)], transparent=0,
+        disposals=[1, 0],
+    )
+    out_t = decode_gif_frames(blob_t, [1])
+    exp_t = np.full((4, 6), 10, np.uint8)
+    exp_t[0, 1] = 200
+    exp_t[1, 0] = 200
+    assert (out_t[1][:, :, 0] == exp_t).all()
+
+    # disposal 2 (restore background) between frames 1 and 2
+    blob_d2 = encode_gif_animation(
+        [base, patch, patch], pal, offsets=[(0, 0), (1, 1), (2, 2)],
+        disposals=[1, 2, 0],
+    )
+    out_d2 = decode_gif_frames(blob_d2, [2])
+    exp_d2 = np.full((4, 6), 10, np.uint8)
+    exp_d2[1:3, 1:3] = 0  # frame-1 region restored to bg (palette 0)
+    exp_d2[2:4, 2:4] = 200
+    assert (out_d2[2][:, :, 0] == exp_d2).all()
+
+    # disposal 3 (restore previous) between frames 1 and 2
+    blob_d3 = encode_gif_animation(
+        [base, patch, patch], pal, offsets=[(0, 0), (1, 1), (2, 2)],
+        disposals=[1, 3, 0],
+    )
+    out_d3 = decode_gif_frames(blob_d3, [2])
+    exp_d3 = np.full((4, 6), 10, np.uint8)  # frame-1 region back to 10
+    exp_d3[2:4, 2:4] = 200
+    assert (out_d3[2][:, :, 0] == exp_d3).all()
+
+
+def test_gif_frame_sampling_contract():
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_frame_count,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    frames = [np.full((3, 3), 40 + 5 * i, np.uint8) for i in range(9)]
+    blob = encode_gif_animation(frames, pal)
+    assert gif_frame_count(blob) == 9
+    out = decode_gif_frames(blob, [0, 4, 8])
+    assert sorted(out) == [0, 4, 8]
+    for fi in (0, 4, 8):
+        assert (out[fi] == 40 + 5 * fi).all()
+    assert decode_gif_frames(blob, [9]) is None  # past the last frame
+    assert decode_gif_frames(blob[: len(blob) // 2], [8]) is None  # truncated
