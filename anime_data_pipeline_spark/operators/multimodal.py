@@ -26,8 +26,10 @@ preprocessing chain. Audio: WAV RIFF (wav_codec.py) — PCM
 ADPCM 4-bit blocks — with a header-only fast path for chunk planning
 and a full-sample stats gate. Video: MJPEG-AVI (avi_codec.py) —
 header-only frame-offset walk, only sampled frames' byte ranges
-JPEG-decode. Only the exotic tails — arithmetic/lossless JPEG (header
-meta still parses), WEBP, MP3-in-WAV, non-MJPEG video —
+JPEG-decode — AND animated GIF (gif_codec.decode_gif_frames, real
+GIF89a compositing; frames are deltas so one compositor pass serves a
+sampling lattice). Only the exotic tails — arithmetic/lossless JPEG
+(header meta still parses), WEBP, MP3-in-WAV, non-MJPEG/GIF video —
 fall through to the PIL/ffmpeg seams (absent in this container); the
 deterministic FIMG/FAUD/FVID fake containers remain for
 oracle-checkable synthetic corpora. The Spark plumbing — schemas,

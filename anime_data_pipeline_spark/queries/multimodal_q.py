@@ -1249,7 +1249,7 @@ def _q179_oracle() -> str:
     """
 
 
-def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _real_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 13 = 0) → (doc_id, content: binary):
     j = doc_id/13, frame fi filled with 40 + (j*7 + fi*5) % 180;
     even j → real MJPEG AVI, odd j → real animated GIF (grayscale
@@ -1307,7 +1307,7 @@ def q179_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frame_stats,
     )
 
-    sampled = sample_video_frame_stats(_video_corpus(spark, sf_dir), every_k=4)
+    sampled = sample_video_frame_stats(_real_video_corpus(spark, sf_dir), every_k=4)
     j = (F.col("doc_id") / 13).cast("long")
     fill = (40 + (j * 7 + F.col("frame_idx") * 5) % 180).cast("int")
     frame_ok = (

@@ -170,3 +170,24 @@ def test_gopher_bullet_and_ellipsis_line_rules(spark):
     rows = {r["doc_id"]: r for r in gopher_rules(df, "text").collect()}
     assert not rows[1]["r_bullet"]  # 100% bullet lines > 90% cap
     assert not rows[2]["r_ellipsis"]  # 80% ellipsis endings > 30% cap
+
+
+def test_no_duplicate_toplevel_defs():
+    """A module-level def reusing an earlier name silently shadows it
+    (this bit q80 when a q179 helper took its corpus name — the stub
+    gate fed real-codec bytes and returned 0 rows). AST-scan every
+    source module for duplicate top-level function/class names."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "anime_data_pipeline_spark"
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        seen: set[str] = set()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(f"{py.name}:{node.lineno} {node.name}")
+                seen.add(node.name)
+    assert not offenders, f"shadowed top-level defs: {offenders}"
