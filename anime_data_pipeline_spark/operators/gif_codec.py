@@ -223,6 +223,8 @@ def _parse_frames(data: bytes, upto: int | None = None, decode_pixels: bool = Tr
             pos += lct_size
         if palette is None or fw <= 0 or fh <= 0:
             return None
+        if fw * fh > _MAX_CANVAS_PX:
+            return None  # crafted descriptor dims: LZW-bomb guard
         if pos >= n:
             return None
         min_code_size = data[pos]
@@ -258,27 +260,33 @@ def gif_frame_count(data: bytes) -> int | None:
     return None if frames is None else len(frames)
 
 
-def decode_gif_frames(data: bytes, indices) -> dict[int, np.ndarray] | None:
-    """Animated-GIF frame sampling: {frame_idx: (sh, sw, 3) uint8} for
-    the requested indices, compositing per GIF89a — transparent pixels
-    reveal the prior canvas, disposal 2 restores the frame region to
-    background, disposal 3 restores the pre-frame canvas. GIF frames
-    are DELTAS, so sampling frame k costs decoding frames 0..k (unlike
-    MJPEG-AVI, where each sampled frame's byte range decodes
-    independently); the lattice sampler amortizes this by requesting
-    all its indices in ONE call. None for corrupt input or an index
-    past the last frame."""
-    want = sorted({int(i) for i in indices})
-    if not want or want[0] < 0:
-        return None
-    frames = _parse_frames(data, upto=want[-1])
-    if frames is None or len(frames) <= want[-1]:
-        return None
+_MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP
+
+
+def _background_rgb(data: bytes, gct, frames) -> np.ndarray:
+    """Background color per the LSD background-color-index byte
+    (data[11]) into the global color table; falls back to entry 0 /
+    the first frame's palette when absent or out of range."""
+    pal = gct if gct is not None else frames[0][5]
+    bg_idx = data[11] if gct is not None else 0
+    return pal[bg_idx if bg_idx < len(pal) else 0]
+
+
+def _composite(data: bytes, frames, want_set: set[int]):
+    """Shared GIF89a compositor: run frames 0..max(want) over the
+    logical-screen canvas, returning {frame_idx: canvas copy} for the
+    requested indices. Frame 0 draws ALL its pixels (PIL's frame-0
+    behavior — there is no prior canvas for transparency to reveal);
+    later frames skip GCE-transparent pixels. Disposal 2 restores the
+    frame region to the LSD background color, 3 restores the pre-frame
+    canvas."""
     sw, sh, _ = gif_meta(data)
+    if sw * sh > _MAX_CANVAS_PX:
+        return None  # crafted LSD dims: refuse before allocating
     gct, _ = _parse_gct(data)
-    bg = gct[0] if gct is not None else frames[0][5][0]
+    bg = _background_rgb(data, gct, frames)
     canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
-    want_set = set(want)
+    last = max(want_set)
     out: dict[int, np.ndarray] = {}
     for fi, (left, top, fw, fh, idx, palette, trans, disposal) in enumerate(frames):
         idx = np.minimum(idx, len(palette) - 1)
@@ -291,14 +299,14 @@ def decode_gif_frames(data: bytes, indices) -> dict[int, np.ndarray] | None:
             region_idx = idx[:fh_c, :fw_c]
             px = palette[region_idx]
             tgt = canvas[top : top + fh_c, left : left + fw_c]
-            if trans is not None:
+            if trans is not None and fi > 0:
                 mask = region_idx != trans
                 tgt[mask] = px[mask]
             else:
                 tgt[:] = px
         if fi in want_set:
             out[fi] = canvas.copy()
-            if fi == want[-1]:
+            if fi == last:
                 break
         if disposal == 2 and fh_c > 0 and fw_c > 0:
             canvas[top : top + fh_c, left : left + fw_c] = bg
@@ -307,14 +315,49 @@ def decode_gif_frames(data: bytes, indices) -> dict[int, np.ndarray] | None:
     return out
 
 
+def decode_gif_frames(data: bytes, indices) -> dict[int, np.ndarray] | None:
+    """Animated-GIF frame sampling: {frame_idx: (sh, sw, 3) uint8} for
+    the requested indices, compositing per GIF89a (see _composite).
+    GIF frames are DELTAS, so sampling frame k costs decoding frames
+    0..k (unlike MJPEG-AVI, where each sampled frame's byte range
+    decodes independently); the lattice sampler amortizes this by
+    requesting all its indices in ONE call. None for corrupt input or
+    an index past the last frame."""
+    want = sorted({int(i) for i in indices})
+    if not want or want[0] < 0:
+        return None
+    frames = _parse_frames(data, upto=want[-1])
+    if frames is None or len(frames) <= want[-1]:
+        return None
+    return _composite(data, frames, set(want))
+
+
+def decode_gif_lattice(
+    data: bytes, every_k: int
+) -> tuple[int, dict[int, np.ndarray]] | None:
+    """(frame_count, {frame_idx: canvas}) for the every-k sampling
+    lattice in ONE container walk — the sampler's path (a separate
+    gif_frame_count + decode_gif_frames pair would walk the sub-block
+    chain twice per document)."""
+    frames = _parse_frames(data)
+    if frames is None or not frames:
+        return None
+    want = set(range(0, len(frames), max(1, every_k)))
+    out = _composite(data, frames, want)
+    if out is None:
+        return None
+    return len(frames), out
+
+
 def decode_gif(data: bytes) -> np.ndarray | None:
     """GIF bytes → uint8 (h, w, 3) RGB of the FIRST frame (palette
     expanded, interlace undone, composited on the logical screen at
-    the frame's (left, top) offset over a background of global-palette
-    entry 0; a GCE-transparent pixel in frame 0 shows that
-    background). None for corrupt/truncated input — the caller maps
-    that to the dropped-with-count row like any other decode
-    failure."""
+    the frame's (left, top) offset over the LSD background color;
+    frame-0 GCE transparency is IGNORED — transparent pixels render
+    their palette color, matching PIL's frame-0 RGB conversion and the
+    pre-animation contract). None for corrupt/truncated input — the
+    caller maps that to the dropped-with-count row like any other
+    decode failure."""
     out = decode_gif_frames(data, (0,))
     return None if out is None else out.get(0)
 

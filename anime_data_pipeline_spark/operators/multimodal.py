@@ -735,8 +735,7 @@ def sample_video_frame_stats(
         )
         from anime_data_pipeline_spark.operators.gif_codec import (
             GIF_MAGICS,
-            decode_gif_frames,
-            gif_frame_count,
+            decode_gif_lattice,
             gif_meta,
         )
 
@@ -762,15 +761,12 @@ def sample_video_frame_stats(
                 b = bytes(content) if content is not None else b""
                 if b[:6] in GIF_MAGICS:
                     meta = gif_meta(b)
-                    count = gif_frame_count(b)
-                    if meta is None or not count:
+                    res = decode_gif_lattice(b, every_k)  # one container walk
+                    if meta is None or res is None:
                         continue
                     w, h, _mode = meta
-                    lattice = list(range(0, count, every_k))
-                    frames = decode_gif_frames(b, lattice)
-                    if frames is None:
-                        continue
-                    for fi in lattice:
+                    count, frames = res
+                    for fi in sorted(frames):
                         emit(i, w, h, count, 0, fi, frames[fi])
                     continue
                 meta = avi_meta(b)

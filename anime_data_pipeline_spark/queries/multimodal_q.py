@@ -1254,7 +1254,8 @@ def _real_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = doc_id/13, frame fi filled with 40 + (j*7 + fi*5) % 180;
     even j → real MJPEG AVI, odd j → real animated GIF (grayscale
     identity palette, so the fill survives losslessly). Every 4th
-    selected row (doc_id % 52 = 0) is corrupt-after-magic."""
+    selected row (doc_id % 52 = 0) is corrupt-after-magic, the magic
+    alternating AVI/GIF so BOTH containers' drop paths run e2e."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.avi_codec import encode_avi_mjpeg
@@ -1273,12 +1274,16 @@ def _real_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 if i % 52 == 0:
-                    blobs.append(b"RIFF\x0c\x00\x00\x00AVI LISTjunk")
+                    if (i // 52) % 2:  # valid GIF LSD, truncated descriptor
+                        blobs.append(b"GIF89a\x04\x00\x04\x00\x00\x00\x00\x2cJU")
+                    else:
+                        blobs.append(b"RIFF\x0c\x00\x00\x00AVI LISTjunk")
                     continue
                 j = i // 13
                 w = 16 + (j * 11) % 48
@@ -1291,7 +1296,6 @@ def _real_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     blobs.append(encode_avi_mjpeg(frames, fps=_Q179_FPS[j % 4]))
                 else:
-                    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
                     idx_frames = [
                         np.full((h, w), f, dtype=np.uint8) for f in fills
                     ]

@@ -555,3 +555,55 @@ def test_gif_frame_sampling_contract():
         assert (out[fi] == 40 + 5 * fi).all()
     assert decode_gif_frames(blob, [9]) is None  # past the last frame
     assert decode_gif_frames(blob[: len(blob) // 2], [8]) is None  # truncated
+
+
+def test_gif_crafted_dims_and_background_index():
+    """Review-confirmed shapes: (a) a crafted LSD claiming a 65535^2
+    canvas must refuse before allocating ~13 GB; (b) the LSD
+    background-color-index byte picks the disposal-2 restore color;
+    (c) frame-0 GCE transparency is ignored (PIL frame-0 parity)."""
+    import struct
+
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.gif_codec import (
+        decode_gif,
+        decode_gif_frames,
+        decode_gif_lattice,
+        encode_gif_animation,
+    )
+
+    # (a) huge logical screen, tiny valid frame
+    blob = (
+        b"GIF89a" + struct.pack("<HH", 0xFFFF, 0xFFFF)
+        + bytes([0x80, 0, 0]) + bytes(6)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0, 2])
+        + b"\x02\x44\x01\x00\x3b"
+    )
+    assert decode_gif_frames(blob, [0]) is None
+    assert decode_gif(blob) is None
+    assert decode_gif_lattice(blob, 4) is None
+
+    # (b) background index 1 (white), disposal 2 restores to it
+    pal = np.zeros((4, 3), np.uint8)
+    pal[1] = 255
+    f0 = np.full((2, 2), 2, np.uint8)
+    f1 = np.full((1, 1), 2, np.uint8)
+    anim = bytearray(
+        encode_gif_animation([f0, f1], pal, offsets=[(0, 0), (0, 0)],
+                             disposals=[2, 0], screen=(3, 3))
+    )
+    anim[11] = 1  # LSD background-color-index
+    out = decode_gif_frames(bytes(anim), [0, 1])
+    assert out[0][2, 2].tolist() == [255, 255, 255]  # initial canvas
+    assert out[1][1, 1].tolist() == [255, 255, 255]  # disposal-2 restore
+
+    # (c) a GCE transparency flag on frame 0 does not blank its pixels
+    one = encode_gif_animation(
+        [np.full((2, 2), 2, np.uint8)], pal, disposals=[1]
+    )
+    gce = bytes([0x21, 0xF9, 4, 0x05, 0, 0, 2, 0])  # transparent idx 2
+    desc = one.index(b"\x2c")
+    patched = one[:desc] + gce + one[desc:]
+    arr = decode_gif(patched)
+    assert (arr == pal[2]).all()  # palette color kept, not background
