@@ -607,3 +607,65 @@ def test_gif_crafted_dims_and_background_index():
     patched = one[:desc] + gce + one[desc:]
     arr = decode_gif(patched)
     assert (arr == pal[2]).all()  # palette color kept, not background
+
+
+def test_gif_compositor_matches_reference_simulator():
+    """Property test: random animations (frames, offsets, disposals,
+    transparency) must match an INDEPENDENT numpy simulation of the
+    GIF89a compositing rules — a convention error shared by encoder
+    and decoder cannot also match this third implementation."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from anime_data_pipeline_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 2**16),
+        n_frames=st.integers(1, 6),
+        sw=st.integers(4, 10),
+        sh=st.integers(4, 10),
+        use_trans=st.booleans(),
+    )
+    def check(seed, n_frames, sw, sh, use_trans):
+        rng = np.random.default_rng(seed)
+        frames, offsets, disposals = [], [], []
+        for _ in range(n_frames):
+            fw = int(rng.integers(1, sw + 1))
+            fh = int(rng.integers(1, sh + 1))
+            frames.append(rng.integers(1, 16, (fh, fw), dtype=np.uint8))
+            offsets.append(
+                (int(rng.integers(0, sw - fw + 1)), int(rng.integers(0, sh - fh + 1)))
+            )
+            disposals.append(int(rng.integers(0, 4)))
+        trans = 3 if use_trans else None
+        blob = encode_gif_animation(
+            frames, pal, offsets=offsets, transparent=trans,
+            disposals=disposals, screen=(sw, sh),
+        )
+        got = decode_gif_frames(blob, range(n_frames))
+        # independent simulation
+        canvas = np.zeros((sh, sw), dtype=np.uint8)  # palette idx 0 = bg
+        for fi, (f, (lx, ty), disp) in enumerate(zip(frames, offsets, disposals)):
+            fh, fw = f.shape
+            region = canvas[ty : ty + fh, lx : lx + fw]
+            saved = region.copy()
+            if trans is not None and fi > 0:
+                m = f != trans
+                region[m] = f[m]
+            else:
+                region[:] = f
+            expect = pal[canvas]
+            assert np.array_equal(got[fi], expect), (fi, disposals, offsets)
+            if disp == 2:
+                canvas[ty : ty + fh, lx : lx + fw] = 0
+            elif disp == 3:
+                canvas[ty : ty + fh, lx : lx + fw] = saved
+
+    check()
