@@ -55,6 +55,7 @@ _CHANGED_THIS_ROUND = [
     "q172_grouping_sets",
     "q173_referential_integrity",
     "q180_html_extract",
+    "q181_image_dedup",
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
     "q179_video_frame_sample",
@@ -120,8 +121,8 @@ _PRIORITY = [
     "q56_tfidf_topk",
     "q57_stratified_sample",
     "q59_pii_redact",
-    "q70_webdataset_roundtrip",
     # ---- 50-row driver cutoff lands here ----
+    "q70_webdataset_roundtrip",
     "q73_tag_inference",
     "q74_snapshot_diff",
     "q75_mix_rebalance",

@@ -1329,3 +1329,148 @@ def q179_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         frame_ok.alias("frame_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — perceptual image dedup e2e (round 6: dHash over REAL decoded
+# pixels, operators/imagehash.py — the pixel-level near-dup family the
+# text/embedding dedup suite lacked). The corpus builds 8×9-block
+# images whose block values are a closed-form integer function of
+# (group, row, col): m = doc_id/11, each group of three docs carries a
+# BASE pattern, a NEAR variant (two designated blocks inverted — 0 to
+# 4 gradient bits flip, data-dependently), and a FAR variant (an
+# independent pattern); containers cycle PNG-gray / BMP-RGB /
+# TIFF-gray-LZW so identical pixels hash identically across codecs,
+# and every 4th selected row is corrupt-after-magic. Spark hashes the
+# DECODED pixels and runs the 4×16-bit band join + popcount verify;
+# the oracle recomputes every gradient bit closed-form from doc_id
+# (never touching pixels), replays the same band join and Hamming
+# filter in SQL, and must produce the identical pair set — a bug
+# anywhere in decode → gray → integer pooling → bit packing → banding
+# → popcount changes the pairs.
+# ---------------------------------------------------------------------------
+def _q181_block_sql(g: str, by: int, bx: int) -> str:
+    """Closed-form block value 40/200 as SQL over a group expression."""
+    return (
+        f"(40 + 160 * ((({g} * 73856093 + {by} * 19349663 + {bx} * 83492791)"
+        f" % 97) % 2))"
+    )
+
+
+def _q181_oracle() -> str:
+    # per-doc effective group expr and the two NEAR-inverted blocks
+    flips = {(2, 3), (5, 6)}
+
+    def v_sql(by: int, bx: int) -> str:
+        base = _q181_block_sql("geff", by, bx)
+        if (by, bx) in flips:
+            return f"(CASE WHEN r = 1 THEN 240 - {base} ELSE {base} END)"
+        return base
+
+    band_terms: dict[int, list[str]] = {0: [], 1: [], 2: [], 3: []}
+    for i in range(64):
+        by, bx = i // 8, i % 8
+        shift_total = 63 - i
+        b, within = shift_total // 16, shift_total % 16
+        bit = f"(CASE WHEN {v_sql(by, bx + 1)} > {v_sql(by, bx)} THEN 1 ELSE 0 END)"
+        band_terms[b].append(f"{bit} * {1 << within}")
+    band_cols = ",\n             ".join(
+        f"CAST({' + '.join(band_terms[b])} AS BIGINT) AS b{b}" for b in range(4)
+    )
+    return f"""
+    WITH sel AS (
+      SELECT doc_id, doc_id // 11 AS m FROM documents
+      WHERE doc_id % 11 = 0 AND (doc_id // 11) % 4 <> 0
+    ),
+    roles AS (
+      SELECT doc_id, m // 3 AS g, CAST(m % 3 AS INTEGER) AS r,
+             m // 3 + CASE WHEN m % 3 = 2 THEN 500009 ELSE 0 END AS geff
+      FROM sel
+    ),
+    hashed AS (
+      SELECT doc_id, r,
+             {band_cols}
+      FROM roles
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS INTEGER) AS hamming
+    FROM hashed a JOIN hashed b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 4
+    """
+
+
+def _perceptual_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 11 = 0) → (doc_id, content: binary) of
+    block-pattern images (see the q181 comment); m % 4 == 0 rows are
+    corrupt-after-magic."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.bmp_codec import encode_bmp
+    from anime_data_pipeline_spark.operators.png_codec import encode_png
+    from anime_data_pipeline_spark.operators.tiff_codec import encode_tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    flips = {(2, 3), (5, 6)}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m = i // 11
+                if m % 4 == 0:
+                    blobs.append(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+                    continue
+                g, r = m // 3, m % 3
+                geff = g + (500009 if r == 2 else 0)
+                blocks = np.empty((8, 9), dtype=np.uint8)
+                for by in range(8):
+                    for bx in range(9):
+                        u = ((geff * 73856093 + by * 19349663 + bx * 83492791) % 97) % 2
+                        v = 40 + 160 * u
+                        if r == 1 and (by, bx) in flips:
+                            v = 240 - v
+                        blocks[by, bx] = v
+                sy, sx = 2 + m % 5, 2 + m % 7
+                img = np.repeat(np.repeat(blocks, sy, axis=0), sx, axis=1)
+                if r == 0:
+                    blob = encode_png(img[:, :, None])
+                elif r == 1:
+                    blob = encode_bmp(np.repeat(img[:, :, None], 3, axis=2))
+                else:
+                    blob = encode_tiff(img, compression=5)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q181_image_dedup", oracle=_q181_oracle())
+def q181_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.imagehash import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    hashed = image_dhash(_perceptual_corpus(spark, sf_dir))
+    pairs = dhash_near_dup_pairs(hashed, id_col="doc_id", max_hamming=4)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
