@@ -54,7 +54,18 @@ def dhash_from_pixels(arr: np.ndarray) -> int:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
+    if h == 0 or w == 0:
+        return 0
     gray = arr.astype(np.int64).sum(axis=2) // ch
+    # images smaller than the pooling grid (1x1 tracking pixels, tiny
+    # thumbnails) integer-upscale first — floor edges would otherwise
+    # produce empty blocks (division by zero)
+    if h < GRID_H:
+        gray = np.repeat(gray, -(-GRID_H // h), axis=0)
+        h = gray.shape[0]
+    if w < GRID_W:
+        gray = np.repeat(gray, -(-GRID_W // w), axis=1)
+        w = gray.shape[1]
     ye = [(i * h) // GRID_H for i in range(GRID_H + 1)]
     xe = [(j * w) // GRID_W for j in range(GRID_W + 1)]
     pooled = np.empty((GRID_H, GRID_W), dtype=np.int64)

@@ -134,3 +134,15 @@ def test_hot_band_cap_drops_degenerate_buckets(spark):
     # below the cap they pair normally
     out2 = dhash_near_dup_pairs(df, max_hamming=4, max_band_freq=100).count()
     assert out2 == 12 * 11 // 2
+
+
+def test_tiny_images_hash_without_crashing():
+    """Images smaller than the 9x8 pooling grid (1x1 tracking pixels)
+    must hash, not divide by zero on empty floor-edge blocks."""
+    assert dhash_from_pixels(np.full((1, 1, 3), 9, np.uint8)) == 0
+    assert dhash_from_pixels(np.full((2, 3), 50, np.uint8)) == 0
+    # tiny ramp: upscaled columns keep their gradient order
+    t = np.array([[0, 100, 200]], dtype=np.uint8)
+    h = dhash_from_pixels(t)
+    big = np.repeat(np.repeat(t, 8, axis=0), 3, axis=1)
+    assert h == dhash_from_pixels(big)
