@@ -56,7 +56,11 @@ def dhash_from_pixels(arr: np.ndarray) -> int:
     h, w, ch = arr.shape
     if h == 0 or w == 0:
         return 0
-    gray = arr.astype(np.int64).sum(axis=2) // ch
+    # gray over COLOR channels only — folding alpha in would make an
+    # opaque RGBA re-encode hash differently from its RGB twin, the
+    # exact duplicate pair this operator exists to catch
+    nc = min(ch, 3)
+    gray = arr[:, :, :nc].astype(np.int64).sum(axis=2) // nc
     # images smaller than the pooling grid (1x1 tracking pixels, tiny
     # thumbnails) integer-upscale first — floor edges would otherwise
     # produce empty blocks (division by zero)
@@ -122,8 +126,16 @@ def dhash_near_dup_pairs(
     max_df analogue: a band shared by more than this many images —
     all-uniform thumbnails — contributes candidate pairs
     quadratically while carrying no discriminating signal)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
-        F.col("h").isNotNull()
+    # persist: the hash table (id + 8 bytes) is consumed by the band
+    # frequency agg, the anti-join probe, and BOTH self-join sides —
+    # without this the upstream decode+hash mapInPandas lineage runs
+    # up to four times (same contract as dedup.band_candidates'
+    # persisted signature table; this variant carries the hash through
+    # for the popcount verify, which that helper drops)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .persist()
     )
     h = F.col("h")
     bands = F.array(

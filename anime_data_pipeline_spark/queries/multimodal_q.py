@@ -1339,7 +1339,9 @@ def q179_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (group, row, col): m = doc_id/11, each group of three docs carries a
 # BASE pattern, a NEAR variant (two designated blocks inverted — 0 to
 # 4 gradient bits flip, data-dependently), and a FAR variant (an
-# independent pattern); containers cycle PNG-gray / BMP-RGB /
+# independent pattern — the block hash reduces mod 1000003, far above
+# any group count, so patterns never alias across groups and pair
+# output grows with groups, not quadratically); containers cycle PNG-gray / BMP-RGB /
 # TIFF-gray-LZW so identical pixels hash identically across codecs,
 # and every 4th selected row is corrupt-after-magic. Spark hashes the
 # DECODED pixels and runs the 4×16-bit band join + popcount verify;
@@ -1350,11 +1352,15 @@ def q179_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # → popcount changes the pairs.
 # ---------------------------------------------------------------------------
 def _q181_block_sql(g: str, by: int, bx: int) -> str:
-    """Closed-form block value 40/200 as SQL over a group expression."""
-    return (
-        f"(40 + 160 * ((({g} * 73856093 + {by} * 19349663 + {bx} * 83492791)"
-        f" % 97) % 2))"
-    )
+    """Closed-form block value 40/200 as SQL over a group expression.
+    The parity comes from a QUADRATIC mix of the reduced hash: the raw
+    hash is linear in (g, by, bx) with odd coefficients, so its direct
+    parity degenerates to a checkerboard shared by every group (mod-2
+    of a linear form — caught when 341 corpus images produced only 87
+    distinct fingerprints); squaring the mod-1000003 residue first
+    breaks the linearity and patterns stop aliasing across groups."""
+    y = f"(({g} * 73856093 + {by} * 19349663 + {bx} * 83492791) % 1000003)"
+    return f"(40 + 160 * ((({y} * {y}) % 1000003) % 2))"
 
 
 def _q181_oracle() -> str:
@@ -1441,7 +1447,8 @@ def _perceptual_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blocks = np.empty((8, 9), dtype=np.uint8)
                 for by in range(8):
                     for bx in range(9):
-                        u = ((geff * 73856093 + by * 19349663 + bx * 83492791) % 97) % 2
+                        y = (geff * 73856093 + by * 19349663 + bx * 83492791) % 1000003
+                        u = (y * y % 1000003) % 2
                         v = 40 + 160 * u
                         if r == 1 and (by, bx) in flips:
                             v = 240 - v
@@ -1468,7 +1475,14 @@ def q181_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     hashed = image_dhash(_perceptual_corpus(spark, sf_dir))
-    pairs = dhash_near_dup_pairs(hashed, id_col="doc_id", max_hamming=4)
+    # the oracle's SQL band join is uncapped, so the gate disables the
+    # hot-band frequency cap (the corpus keeps band multiplicity tiny:
+    # patterns are unique per group, so only a group's base/near share
+    # bands); the cap's drop behavior is pinned by
+    # tests/test_imagehash.py::test_hot_band_cap_drops_degenerate_buckets
+    pairs = dhash_near_dup_pairs(
+        hashed, id_col="doc_id", max_hamming=4, max_band_freq=1 << 40
+    )
     return pairs.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),

@@ -146,3 +146,20 @@ def test_tiny_images_hash_without_crashing():
     h = dhash_from_pixels(t)
     big = np.repeat(np.repeat(t, 8, axis=0), 3, axis=1)
     assert h == dhash_from_pixels(big)
+
+
+def test_rgba_and_rgb_encodings_hash_identically():
+    """Alpha is excluded from the grayscale fold: an opaque-RGBA
+    re-encode must hash exactly like its RGB twin (review finding)."""
+    from anime_data_pipeline_spark.operators.multimodal import (
+        image_pixel_decoder_loader,
+    )
+    from anime_data_pipeline_spark.operators.png_codec import encode_png
+
+    rng = _rng(23)
+    rgb = rng.integers(0, 256, (27, 36, 3), dtype=np.uint8)
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+    decode = image_pixel_decoder_loader()()
+    assert dhash_from_pixels(decode(encode_png(rgb))) == dhash_from_pixels(
+        decode(encode_png(rgba))
+    )
