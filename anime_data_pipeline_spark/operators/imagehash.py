@@ -118,14 +118,17 @@ def dhash_near_dup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "dhash",
     max_hamming: int = 4,
-    max_band_freq: int = 1024,
+    max_band_freq: int | None = 1024,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs with id_a < id_b: 4×16-bit
     band equi-join → distinct candidates → popcount(xor) ≤
     max_hamming. ``max_band_freq`` drops degenerate hot bands (the
     max_df analogue: a band shared by more than this many images —
     all-uniform thumbnails — contributes candidate pairs
-    quadratically while carrying no discriminating signal)."""
+    quadratically while carrying no discriminating signal); ``None``
+    skips the frequency pass entirely (callers whose corpus bounds
+    band multiplicity by construction, e.g. the q181 gate whose
+    oracle join is uncapped)."""
     # persist: the hash table (id + 8 bytes) is consumed by the band
     # frequency agg, the anti-join probe, and BOTH self-join sides —
     # without this the upstream decode+hash mapInPandas lineage runs
@@ -146,14 +149,15 @@ def dhash_near_dup_pairs(
         "h",
         F.posexplode(bands).alias("band_idx", "band_val"),
     )
-    freq = hashed.groupBy("band_idx", "band_val").agg(
-        F.count(F.lit(1)).alias("n_band")
-    )
-    hashed = hashed.join(
-        F.broadcast(freq.filter(F.col("n_band") > max_band_freq)),
-        ["band_idx", "band_val"],
-        "left_anti",
-    )
+    if max_band_freq is not None:
+        freq = hashed.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("n_band")
+        )
+        hashed = hashed.join(
+            F.broadcast(freq.filter(F.col("n_band") > max_band_freq)),
+            ["band_idx", "band_val"],
+            "left_anti",
+        )
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(

@@ -1475,13 +1475,13 @@ def q181_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     hashed = image_dhash(_perceptual_corpus(spark, sf_dir))
-    # the oracle's SQL band join is uncapped, so the gate disables the
-    # hot-band frequency cap (the corpus keeps band multiplicity tiny:
+    # the oracle's SQL band join is uncapped, so the gate skips the
+    # hot-band frequency pass (the corpus keeps band multiplicity tiny:
     # patterns are unique per group, so only a group's base/near share
     # bands); the cap's drop behavior is pinned by
     # tests/test_imagehash.py::test_hot_band_cap_drops_degenerate_buckets
     pairs = dhash_near_dup_pairs(
-        hashed, id_col="doc_id", max_hamming=4, max_band_freq=1 << 40
+        hashed, id_col="doc_id", max_hamming=4, max_band_freq=None
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"),
