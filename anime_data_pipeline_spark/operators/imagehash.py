@@ -58,8 +58,9 @@ def dhash_from_pixels(arr: np.ndarray) -> int:
         return 0
     # gray over COLOR channels only — folding alpha in would make an
     # opaque RGBA re-encode hash differently from its RGB twin, the
-    # exact duplicate pair this operator exists to catch
-    nc = min(ch, 3)
+    # exact duplicate pair this operator exists to catch; 2-channel
+    # arrays are luma+alpha (PNG color type 4), so only channel 0 is color
+    nc = 1 if ch == 2 else min(ch, 3)
     gray = arr[:, :, :nc].astype(np.int64).sum(axis=2) // nc
     # images smaller than the pooling grid (1x1 tracking pixels, tiny
     # thumbnails) integer-upscale first — floor edges would otherwise

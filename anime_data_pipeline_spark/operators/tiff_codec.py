@@ -54,6 +54,8 @@ _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
+
+_MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP/GIF
 _TAG_EXTRA_SAMPLES = 338
 
 # TIFF type code → (struct letter, byte size). Only the types a
@@ -186,6 +188,8 @@ def _meta_from_tags(tags: dict[int, list[int]]) -> tuple[int, int, str] | None:
     photo = _scalar(tags, _TAG_PHOTOMETRIC)
     if not w or not h or photo is None or w <= 0 or h <= 0:
         return None
+    if w * h > _MAX_CANVAS_PX:  # bounds BEFORE allocation: the IFD is untrusted
+        return None
     samples = _scalar(tags, _TAG_SAMPLES, 1)
     bits = tags.get(_TAG_BITS)  # spec default is 1 (bilevel) — unsupported
     comp = _scalar(tags, _TAG_COMPRESSION, 1)
@@ -226,10 +230,12 @@ def _decompress(raw: bytes, comp: int, expect: int) -> bytes | None:
         return _lzw_decode(raw, expect)
     if comp in (8, 32946):  # Deflate (Adobe 8 / legacy 32946): zlib stream
         try:
-            out = zlib.decompress(raw)
+            # max_length bounds the inflate: a crafted strip can't expand
+            # past what this segment is allowed to hold
+            out = zlib.decompressobj().decompress(raw, expect)
         except zlib.error:
             return None
-        return out[:expect] if len(out) >= expect else None
+        return out if len(out) == expect else None
     return _unpackbits(raw, expect)
 
 
@@ -265,6 +271,10 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray | None:
             return None
         tiles_x, tiles_y = -(-w // tw), -(-h // tl)
         if len(offsets) != tiles_x * tiles_y or len(counts) != len(offsets):
+            return None
+        # tile dims are independently untrusted: tw=2^30 with w=16 still
+        # passes the w*h cap but would allocate a giant padded canvas
+        if tiles_x * tw * tiles_y * tl > _MAX_CANVAS_PX:
             return None
         full = np.zeros((tiles_y * tl, tiles_x * tw, samples), dtype=dtype)
         expect = tl * tw * samples * dtype.itemsize

@@ -140,6 +140,15 @@ def _header(data: bytes):
         # the fact chunk's true sample count (mandatory for compressed)
         if bits != 4 or balign <= 4 * ch or fact is None:
             return None
+        # fact is an untrusted header field: cap it at what the data
+        # chunk can actually decode (header sample + 8 per nibble word
+        # per channel, times ceil(data/block) blocks), else a ~60-byte
+        # crafted clip claims 2^32 samples and the chunk planner
+        # explodes it into millions of rows
+        spb = 1 + ((balign - 4 * ch) // 4 // ch) * 8
+        max_n = -(-pcm[1] // balign) * spb
+        if fact > max_n:
+            return None
     elif pcm[1] % (ch * bits // 8) != 0:
         return None
     return audio_fmt, rate, ch, bits, balign, pcm[0], pcm[1], fact

@@ -163,3 +163,15 @@ def test_rgba_and_rgb_encodings_hash_identically():
     assert dhash_from_pixels(decode(encode_png(rgb))) == dhash_from_pixels(
         decode(encode_png(rgba))
     )
+
+
+def test_gray_alpha_ignores_alpha_plane():
+    """2-channel (luma+alpha, PNG color type 4) must hash like its gray
+    twin: averaging the alpha plane in made an opaque LA re-encode a
+    dedup miss (r6 advice: imagehash.py:62)."""
+    g = _rng(23).integers(0, 256, size=(32, 40), dtype=np.uint8)
+    base = dhash_from_pixels(g)
+    opaque = np.stack([g, np.full_like(g, 255)], axis=2)
+    assert dhash_from_pixels(opaque) == base
+    varying = np.stack([g, _rng(5).integers(0, 256, size=g.shape, dtype=np.uint8)], axis=2)
+    assert dhash_from_pixels(varying) == base

@@ -9,6 +9,7 @@ contract the mapInPandas decode stages rely on."""
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -256,3 +257,81 @@ def test_deflate_roundtrip(byte_order, dtype):
     bad = bytearray(encode_tiff(arr, compression=8))
     bad[10:30] = b"\x00" * 20
     assert decode_tiff(bytes(bad)) is None
+
+
+def test_crafted_huge_dims_rejected_before_allocation():
+    """A ~100-byte blob claiming a 50000x50000 canvas (deflate strip of
+    zeros) must be rejected by the bounds-before-allocation cap — not
+    decompressed into ~GB of RSS (r6 advice: tiff_codec.py:243)."""
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+    strip = zlib.compress(b"\x00" * 64)
+    ifd_off = 8 + len(strip)
+    ifd = struct.pack("<H", 9)
+    ifd += entry(256, 4, 1, 50000)  # ImageWidth
+    ifd += entry(257, 4, 1, 50000)  # ImageLength
+    ifd += entry(258, 3, 1, 8)
+    ifd += entry(259, 3, 1, 8)  # Deflate
+    ifd += entry(262, 3, 1, 1)
+    ifd += entry(273, 4, 1, 8)
+    ifd += entry(277, 3, 1, 1)
+    ifd += entry(278, 4, 1, 50000)
+    ifd += entry(279, 4, 1, len(strip))
+    ifd += struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", ifd_off) + strip + ifd
+    assert tiff_meta(blob) is None
+    assert decode_tiff(blob) is None
+
+
+def test_crafted_huge_tile_dims_rejected():
+    """Small claimed canvas but a crafted 2^20-square tile grid: the
+    single tile passes the offset-count check yet would zero-allocate a
+    terabyte padded canvas without the tile-area cap."""
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+    strip = zlib.compress(b"\x00" * 64)
+    ifd_off = 8 + len(strip)
+    ifd = struct.pack("<H", 11)
+    ifd += entry(256, 4, 1, 16)
+    ifd += entry(257, 4, 1, 16)
+    ifd += entry(258, 3, 1, 8)
+    ifd += entry(259, 3, 1, 8)
+    ifd += entry(262, 3, 1, 1)
+    ifd += entry(277, 3, 1, 1)
+    ifd += entry(322, 4, 1, 1 << 20)  # TileWidth
+    ifd += entry(323, 4, 1, 1 << 20)  # TileLength
+    ifd += entry(324, 4, 1, 8)  # TileOffsets
+    ifd += entry(325, 4, 1, len(strip))  # TileByteCounts
+    ifd += struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", ifd_off) + strip + ifd
+    assert decode_tiff(blob) is None
+
+
+def test_deflate_overlong_stream_still_truncates():
+    """A zlib stream longer than the strip's expected bytes keeps the
+    pre-cap truncation semantics (decode the first `expect` bytes)."""
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 12, 1)
+    blob = bytearray(encode_tiff(arr, compression=8))
+    strip = zlib.compress(arr.tobytes() + b"\xaa" * 100, 6)
+    # encode_tiff writes the strip first (offset 8); splice a longer one
+    old = zlib.compress(arr.tobytes(), 6)
+    pos = bytes(blob).find(old)
+    assert pos == 8
+    out = bytes(blob[:pos]) + strip + bytes(blob[pos + len(old):])
+    # fix up StripByteCounts (tag 279) and all offsets shifted by the splice
+    delta = len(strip) - len(old)
+    b = bytearray(out)
+    ifd_ptr = struct.unpack("<I", b[4:8])[0] + delta
+    b[4:8] = struct.pack("<I", ifd_ptr)
+    n = struct.unpack("<H", b[ifd_ptr:ifd_ptr + 2])[0]
+    for i in range(n):
+        e = ifd_ptr + 2 + 12 * i
+        tag = struct.unpack("<H", b[e:e + 2])[0]
+        if tag == 279:
+            b[e + 8:e + 12] = struct.pack("<I", len(strip))
+    res = decode_tiff(bytes(b))
+    assert res is not None and (res == arr).all()

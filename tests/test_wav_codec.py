@@ -216,3 +216,20 @@ def test_float_nan_payload_is_corrupt_clip(spark):
     assert (s1["s_min"], s1["s_max"]) == (-1, 1)  # floor(-0.75), ceil(0.25)
     assert abs(s1["s_mean"] - (0.25 - 0.75) / 2) < 1e-12
     assert out[2]["sample_stats"] is None  # NaN payload: corrupt clip
+
+
+def test_crafted_fact_rejected_at_header_time():
+    """wav_meta (the header-only chunk-planning path) must reject a fact
+    chunk claiming more samples than the data chunk can decode — before
+    the fix, a ~60-byte crafted ADPCM header planned millions of chunk
+    rows (r6 advice: wav_codec.py:157)."""
+    x = np.full((1200, 2), 512, dtype=np.int16)
+    blob = encode_wav(x, 16000, fmt="ima_adpcm")
+    fact_at = blob.find(b"fact") + 8
+    for claim in (10**6, 2**32 - 1):
+        bad = bytearray(blob)
+        bad[fact_at:fact_at + 4] = struct.pack("<I", claim)
+        assert wav_meta(bytes(bad)) is None
+        assert decode_wav(bytes(bad)) is None
+    # fact at (or slightly under) true capacity still plans fine
+    assert wav_meta(blob) == (16000, 1200, 2, 4)
