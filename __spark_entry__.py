@@ -41,87 +41,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # only green rows predate the rework, then (d) the stalest remaining
 # rows. Never newer-before-never-rowed.
 
-# (a) changed in round 6: q172 revenue re-typed to per-row-cents
-# DOUBLE (the r5 red row), q173 dropped the fact-sized orders
-# broadcast, q152/q153 go through the boundary-anchored tracking-param
-# regex (operators/web.py), q151/q71/q115 go through the hardened
-# JPEG marker walk + corrupt->None guards (operators/jpeg_codec.py,
-# progressive-JPEG decode added to q151's fixture corpus), q115's
-# corpus extended to the full PNG matrix (16-bit/Adam7/sub-8) with a
-# pixel_ok gate, q180 is NEW (HTML → text extraction, closed-form
-# oracle), and q177/q178/q179 are NEW (stdlib BMP+TIFF raster, WAV,
-# and MJPEG-AVI + animated-GIF video sampling e2e).
+# (a) changed in round 7: q177/q178 go through the hardened TIFF/WAV
+# header handling (64MP bounds-before-allocation cap, tile-canvas cap,
+# bounded Deflate inflate, ADPCM fact clamped to the data chunk's
+# decodable maximum) and q181 through the gray+alpha dHash fix — the
+# three r6 ADVICE items.
 _CHANGED_THIS_ROUND = [
-    "q172_grouping_sets",
-    "q173_referential_integrity",
-    "q180_html_extract",
-    "q181_image_dedup",
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
-    "q179_video_frame_sample",
-    "q152_url_canonical_dedup",
-    "q153_normalized_dedup",
-    "q151_gif_jpeg_decode_bucket",
-    "q71_multimodal_decode",
-    "q115_png_decode_bucket",
+    "q181_image_dedup",
 ]
 
-# (b) added in round 4, never sampled by the driver (r5 verdict item 2)
-_NEVER_ROWED = [
-    "q118_span_decontaminate",
-    "q119_json_props_extract",
-    "q120_minhash_quality_audit",
-    "q121_embedding_dim_profile",
-    "q122_source_overlap_matrix",
-    "q123_stream_heavy_hitters",
-    "q124_group_quantiles",
-    "q125_signature_sidetable",
-    "q126_curation_report",
-    "q127_cdc_chunks",
-    "q128_length_buckets",
-    "q129_robust_outliers",
-]
+# (b) never rowed: none — round 6 caught the record up; every
+# registered query has at least one green driver row.
+_NEVER_ROWED: list[str] = []
 
-# (c) reworked in round 5 (bucketed_global_rank q29, TakeOrdered
-# top-k q107/q109/q110/q114, dual-content-hash dedup
-# q35/q88/q102/q104/q108, bloom q100) — green rows exist only from
-# BEFORE the rework; the record must catch up.
-_REWORKED_R5 = [
-    "q29_seeded_shuffle",
-    "q35_curation_pipeline",
-    "q88_pretraining_corpus",
-    "q100_bloom_contamination",
-    "q102_incremental_dedup",
-    "q104_curation_v2",
-    "q107_bm25_topk",
-    "q108_stream_incremental_dedup",
-    "q109_pmi_collocations",
-    "q110_bm25_rerank",
-    "q114_gumbel_resample",
-]
+# (c) reworked last round with only pre-rework rows: none — the round-6
+# reworks (q172/q173/q152/q153/q151/q71/q115) all got green r6 rows.
+_REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
-    *_REWORKED_R5,
-    # (d) stalest: newest driver row is from round 2 (pre-r3 testdata
-    # regeneration) — fills the remaining first-50 slots
-    "q27_upsert_merge",
-    "q28_crop_ltrb",
-    "q30_map_zip_filter",
-    "q31_exact_dedup",
-    "q33_simhash_fingerprint",
-    "q34_ngram_jaccard_neardup",
-    "q37_name_series_parse",
-    "q40_corpus_profile",
-    "q45_cube_rollup",
-    "q46_set_ops",
-    "q49_corpus_profile_approx",
-    "q50_ngram_repetition",
-    "q56_tfidf_topk",
-    "q57_stratified_sample",
-    "q59_pii_redact",
-    # ---- 50-row driver cutoff lands here ----
+    *_REWORKED_LAST_ROUND,
+    # (d) stalest first: newest driver row from round 2 ...
     "q70_webdataset_roundtrip",
     "q73_tag_inference",
     "q74_snapshot_diff",
@@ -130,9 +73,9 @@ _PRIORITY = [
     "q78_contamination_check",
     "q80_video_frame_sample",
     "q81_line_dedup",
+    # ... then newest row from round 3
     "q87_audio_chunk_plan",
     "q66_stream_static_enrich",
-    # remaining stale r1/r2-row queries, then stable/green rotate back
     "q15_rollup",
     "q16_pivot_status",
     "q17_tokenize_normalize",
@@ -151,6 +94,50 @@ _PRIORITY = [
     "q54_winnow_fingerprints",
     "q55_quality_rollup",
     "q58_pack_chunks",
+    "q91_leakage_safe_split",
+    "q67_pack_greedy",
+    "q79_unigram_logprob",
+    "q89_temperature_mix",
+    "q92_pack_barriered",
+    "q82_gopher_rules",
+    "q94_rag_chunking",
+    "q77_label_centroid_cohesion",
+    "q61_stream_tumbling",
+    "q62_stream_sliding",
+    "q63_stream_sessions",
+    "q65_stream_stream_join",
+    "q64_stream_dedup",
+    "q68_stream_stateful_stats",
+    "q69_stream_foreachbatch_upsert",
+    "q90_stream_quality_dedup",
+    "q83_zorder_key",
+    "q84_zorder_skipping",
+    # ---- 50-row driver cutoff lands here ----
+    # newest row from round 4 (refresh continues next round)
+    "q21_bucket_assign",
+    "q22_bucket_assign_noupscale",
+    "q23_bucket_stats",
+    "q32_minhash_lsh_neardup",
+    "q96_editdist_verify",
+    "q101_span_dedup",
+    "q36_neardup_clusters",
+    "q60_cluster_resolve",
+    "q72_multimodal_features",
+    "q106_image_neardup",
+    "q01_pricing_summary",
+    "q02_threshold_filter",
+    "q03_inner_join_agg",
+    "q04_left_join_nulls",
+    "q05_semi_join",
+    "q06_anti_join_count",
+    "q07_union_dedup_last_wins",
+    "q08_conditional_audit",
+    "q09_distinct_pairs",
+    "q10_topk_global",
+    "q11_topk_per_group",
+    "q12_argmax_per_group",
+    "q13_star_join_revenue",
+    "q14_monthly_orders",
 ]
 
 

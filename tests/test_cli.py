@@ -138,7 +138,7 @@ def test_priority_front_loads_unrowed_and_changed():
             rowed.update(json.load(fh).keys())
     assert rowed, "no CORRECTNESS_r*.json found — cannot verify priority rule"
     never_rowed = {n for n in all_queries() if n not in rowed}
-    need = never_rowed | set(ent._CHANGED_THIS_ROUND) | set(ent._REWORKED_R5)
+    need = never_rowed | set(ent._CHANGED_THIS_ROUND) | set(ent._REWORKED_LAST_ROUND)
     first50 = set(list(ent.queries())[:50])
     left_out = sorted(need - first50)
     assert not left_out, (
