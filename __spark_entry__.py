@@ -45,11 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # header handling (64MP bounds-before-allocation cap, tile-canvas cap,
 # bounded Deflate inflate, ADPCM fact clamped to the data chunk's
 # decodable maximum) and q181 through the gray+alpha dHash fix — the
-# three r6 ADVICE items.
+# three r6 ADVICE items; q182/q183/q184 are NEW (outlink extraction →
+# domain link graph, IR retrieval metrics MRR/recall@k/nDCG@k, and the
+# audio silence/clipping hygiene filter over real decoded WAV bytes).
 _CHANGED_THIS_ROUND = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
     "q181_image_dedup",
+    "q182_link_graph",
+    "q183_retrieval_metrics",
+    "q184_audio_quality_filter",
 ]
 
 # (b) never rowed: none — round 6 caught the record up; every
@@ -108,11 +113,11 @@ _PRIORITY = [
     "q65_stream_stream_join",
     "q64_stream_dedup",
     "q68_stream_stateful_stats",
+    # ---- 50-row driver cutoff lands here ----
     "q69_stream_foreachbatch_upsert",
     "q90_stream_quality_dedup",
     "q83_zorder_key",
     "q84_zorder_skipping",
-    # ---- 50-row driver cutoff lands here ----
     # newest row from round 4 (refresh continues next round)
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",

@@ -562,6 +562,79 @@ def decode_audio_sample_stats(df: DataFrame, content_col: str = "content") -> Da
     return df.mapInPandas(decode, schema=out_schema)
 
 
+AUDIO_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_zero_cross", T.LongType()),
+        T.StructField("clip_rate", T.DoubleType()),
+        T.StructField("is_silence", T.BooleanType()),
+    ]
+)
+
+# |full-scale| per decoded dtype — clipping is "the converter pinned at
+# its rail", which is dtype-specific (uint8 is offset-binary)
+_FULL_SCALE = {"uint8": 127.0, "int16": 32767.0, "int32": 2147483647.0}
+
+
+def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas FULL decode → the audio-hygiene features a speech
+    training pipeline filters on BEFORE expensive transcription:
+    peak / RMS energy (silence and near-silence detection), zero
+    crossings on the mono downmix (degenerate constant/DC payloads have
+    none; broadband audio has many), and clip rate (fraction of samples
+    pinned at full scale — hard-clipped sources poison ASR training).
+    Null struct for undecodable bytes, so the corrupt path stays a
+    dropped-with-count row (q184 gates the whole chain on a square-wave
+    corpus whose features are integer-exact closed forms).
+
+    All arithmetic is float64 numpy over the Arrow batch — the per-clip
+    Python loop does O(1) vector ops per clip."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("audio_quality", AUDIO_QUALITY_SCHEMA)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anime_data_pipeline_spark.operators.wav_codec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for content in pdf[content_col]:
+                out = decode_wav(bytes(content)) if content is not None else None
+                if out is None or out[0].size == 0:
+                    rows.append(None)
+                    continue
+                samples, _rate = out
+                if samples.dtype.kind == "f" and not np.isfinite(samples).all():
+                    rows.append(None)
+                    continue
+                center = 128.0 if samples.dtype == np.uint8 else 0.0
+                mono = samples.mean(axis=1, dtype=np.float64) - center
+                full = _FULL_SCALE.get(samples.dtype.name, 1.0)
+                amag = np.abs(mono)
+                rms = float(np.sqrt(np.mean(np.square(mono))))
+                rows.append(
+                    {
+                        "n_samples": int(samples.shape[0]),
+                        "channels": int(samples.shape[1]),
+                        "peak": float(amag.max()),
+                        "rms": rms,
+                        "n_zero_cross": int(
+                            np.sum(mono[1:] * mono[:-1] < 0.0)
+                        ),
+                        "clip_rate": float(np.mean(amag >= full)),
+                        "is_silence": bool(rms < 1e-12),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["audio_quality"] = rows
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def audio_chunk_plan(
     df: DataFrame, chunk_s: float = 30.0, meta_col: str = "audio_meta"
 ) -> DataFrame:

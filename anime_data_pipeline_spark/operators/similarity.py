@@ -242,10 +242,13 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact per-query cosine top-k. ``queries`` is broadcast (the small
     side); the scoring pass is map-only over the corpus. Ties broken by
-    corpus id for a deterministic result set.
+    corpus id for a deterministic result set. ``exclude_self`` drops the
+    query's own corpus row before ranking (kNN/IR-eval convention when
+    the query set is drawn from the corpus).
 
     Norms are materialized ONCE per side before the pairing join —
     sqrt(sq_norm(cv)) is computed per corpus row, not per (query ×
@@ -261,6 +264,8 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

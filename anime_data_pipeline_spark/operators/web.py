@@ -74,3 +74,18 @@ def canonicalize_url_sql(expr: str) -> str:
     rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
     rest = f"regexp_replace({rest}, '/+(\\?|$)', '\\1', 'g')"
     return f"({scheme} || '://' || {auth} || {rest})"
+
+
+def extract_hrefs(html: Column) -> Column:
+    """Every anchor href value in document order (the crawl frontier /
+    link-graph feed: RefinedWeb §3.1 collects outlinks at extraction
+    time). Native ``regexp_extract_all`` — codegen, no UDF; attribute
+    order inside the tag doesn't matter because the match anchors on
+    ``href="..."`` itself."""
+    return F.regexp_extract_all(html, F.lit(r'<[aA]\s[^>]*href="([^"]*)"'), 1)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased hostname (no port) of an absolute URL; '' when the
+    value has no scheme://host prefix (relative links)."""
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))

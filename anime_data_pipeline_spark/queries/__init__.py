@@ -15,5 +15,6 @@ from anime_data_pipeline_spark.queries import (  # noqa: F401
     tags_q,
     temporal_q,
     text_q,
+    web_q,
     zorder_q,
 )

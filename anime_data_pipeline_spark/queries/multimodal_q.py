@@ -1488,3 +1488,110 @@ def q181_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — audio-hygiene quality filter (round 7): REAL WAV bytes →
+# decode_audio_quality → silence / clipping gate, the filter a speech
+# pipeline runs before transcription. The corpus (doc_id % 8 = 4,
+# j = doc_id/8, every 4th j corrupt-after-magic) is mono 16 kHz pcm16
+# SQUARE WAVES — half-period 2*(1+j%5) samples, amplitude a: 0 every
+# 9th clip (silence), 32767 every 6th (hard-clipped), else
+# 500*(1+j%60) — so every feature is an integer-exact closed form:
+# rms = peak = a (the mean of squares is exactly a² and sqrt of a
+# perfect square is exact in IEEE), zero crossings = (n-1)//half
+# (adjacent-sample products are -a² exactly at each flip), clip_rate
+# ∈ {0, 1}. A sign, interleave, accumulator-dtype, or threshold bug
+# anywhere in the decode→feature chain breaks the hash; the oracle
+# recomputes everything from doc_id and never touches bytes.
+# ---------------------------------------------------------------------------
+def _q184_oracle() -> str:
+    return """
+    WITH meta AS (
+      SELECT doc_id, doc_id // 8 AS j
+      FROM documents WHERE doc_id % 8 = 4 AND (doc_id // 8) % 4 <> 3
+    ),
+    feat AS (
+      SELECT doc_id,
+             640 + (j * 37) % 1600 AS n,
+             2 * (1 + j % 5) AS half,
+             CASE WHEN j % 9 = 0 THEN 0
+                  WHEN j % 6 = 0 THEN 32767
+                  ELSE 500 * (1 + j % 60) END AS a
+      FROM meta
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(a AS DOUBLE) AS peak,
+           CAST(a AS DOUBLE) AS rms,
+           CAST(CASE WHEN a = 0 THEN 0 ELSE (n - 1) // half END AS BIGINT)
+             AS n_zero_cross,
+           CASE WHEN a >= 32767 THEN 1.0 ELSE 0.0 END AS clip_rate,
+           (a = 0) AS is_silence,
+           (a <> 0 AND a < 32767) AS kept
+    FROM feat
+    """
+
+
+def _square_wave_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 8 = 4) → real mono pcm16 RIFF bytes of the
+    square-wave lattice described on q184; every 4th j corrupt."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.wav_codec import encode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                j = int(doc_id) // 8
+                if j % 4 == 3:
+                    blobs.append(b"RIFF\x08\x00\x00\x00WAVExx")
+                    continue
+                n = 640 + (j * 37) % 1600
+                half = 2 * (1 + j % 5)
+                if j % 9 == 0:
+                    a = 0
+                elif j % 6 == 0:
+                    a = 32767
+                else:
+                    a = 500 * (1 + j % 60)
+                t = np.arange(n, dtype=np.int64)
+                s = (a * (1 - 2 * ((t // half) % 2))).astype(np.int16)
+                blobs.append(encode_wav(s[:, None], 16000, fmt="pcm"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q184_audio_quality_filter", oracle=_q184_oracle())
+def q184_audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import decode_audio_quality
+
+    decoded = decode_audio_quality(_square_wave_corpus(spark, sf_dir))
+    qc = F.col("audio_quality")
+    return (
+        decoded.filter(qc.isNotNull())
+        .select(
+            "doc_id",
+            qc["n_samples"].alias("n_samples"),
+            qc["peak"].alias("peak"),
+            qc["rms"].alias("rms"),
+            qc["n_zero_cross"].alias("n_zero_cross"),
+            qc["clip_rate"].alias("clip_rate"),
+            qc["is_silence"].alias("is_silence"),
+            (~qc["is_silence"] & (qc["clip_rate"] < 0.1)).alias("kept"),
+        )
+    )

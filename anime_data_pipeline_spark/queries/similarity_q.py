@@ -1216,3 +1216,107 @@ def q148_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") != F.col("nlabel")).alias("relabel_candidate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — retrieval-quality metrics (round 7: the IR-eval layer over the
+# ANN family — MRR, recall@k, and binary-gain nDCG@k of exact cosine
+# retrieval against label relevance; q139 audits INDEX recall vs the
+# exact search, this audits the EMBEDDING SPACE itself against ground
+# truth, the standard eval before an embedding corpus is trusted for
+# hard-negative mining / semantic dedup). Per the repo's libm rule,
+# every 1/log2(rank+1) gain is dround-12-ed in BOTH engines before any
+# sum (log2 may differ by 1 ulp between JVM and DuckDB); idcg is a
+# left fold over the identical dround-12 terms (F.aggregate ↔
+# list_reduce). Scale: query side broadcast, scoring map-only, one
+# window per query partition, label-size side table broadcast.
+# ---------------------------------------------------------------------------
+_Q183_K = 10
+
+
+def _q183_gain_sql(rank_expr: str) -> str:
+    return dround_sql(f"1.0 / log2(CAST({rank_expr} AS DOUBLE) + 1.0)", 12)
+
+
+_Q183_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+                    FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                 label AS q_label
+          FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (SELECT q.query_id, q.q_label, corpus.vec_id, corpus.label,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN q ON corpus.vec_id <> q.query_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored),
+    topk AS (SELECT * FROM ranked WHERE rank <= {_Q183_K}),
+    perq AS (SELECT query_id, q_label,
+                    coalesce(max(CASE WHEN label = q_label
+                                      THEN 1.0 / rank END), 0.0) AS rr,
+                    CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_hits,
+                    sum(CASE WHEN label = q_label
+                             THEN {_q183_gain_sql("rank")} ELSE 0.0 END) AS dcg
+             FROM topk GROUP BY query_id, q_label),
+    sizes AS (SELECT label, count(*) - 1 AS n_rel FROM corpus GROUP BY label),
+    mets AS (SELECT p.query_id, p.q_label, p.rr, p.n_hits,
+                    CAST(p.n_hits AS DOUBLE) / least({_Q183_K}, s.n_rel) AS recall,
+                    p.dcg / list_reduce(
+                      list_transform(range(1, least({_Q183_K}, s.n_rel) + 1),
+                                     r -> {_q183_gain_sql("r")}),
+                      (a, b) -> a + b) AS ndcg
+             FROM perq p JOIN sizes s ON p.q_label = s.label)
+    SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+           {dround_sql("avg(rr)", 6)} AS mrr,
+           {dround_sql("avg(recall)", 6)} AS mean_recall,
+           {dround_sql("avg(ndcg)", 6)} AS mean_ndcg
+    FROM mets GROUP BY q_label
+"""
+
+
+@register("q183_retrieval_metrics", oracle=_Q183_ORACLE)
+def q183_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    topk = brute_force_topk(
+        corpus,
+        _queries(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=_Q183_K,
+        exclude_self=True,
+    )
+    labels = corpus.select("vec_id", "label")
+    qlab = corpus.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    gain = dround(1.0 / F.log2(F.col("rank").cast("double") + 1.0), 12)
+    hit = F.col("label") == F.col("q_label")
+    perq = (
+        topk.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.coalesce(F.max(F.when(hit, 1.0 / F.col("rank"))), F.lit(0.0)).alias("rr"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+            F.sum(F.when(hit, gain).otherwise(0.0)).alias("dcg"),
+        )
+    )
+    sizes = corpus.groupBy("label").agg((F.count(F.lit(1)) - 1).alias("n_rel"))
+    m = F.least(F.lit(_Q183_K), F.col("n_rel"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m.cast("int")),
+        F.lit(0.0),
+        lambda acc, r: acc + dround(1.0 / F.log2(r.cast("double") + 1.0), 12),
+    )
+    mets = (
+        perq.join(F.broadcast(sizes), perq["q_label"] == sizes["label"])
+        .withColumn("recall", F.col("n_hits").cast("double") / m)
+        .withColumn("ndcg", F.col("dcg") / idcg)
+    )
+    return mets.groupBy("q_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        dround(F.avg("rr"), 6).alias("mrr"),
+        dround(F.avg("recall"), 6).alias("mean_recall"),
+        dround(F.avg("ndcg"), 6).alias("mean_ndcg"),
+    ).withColumnRenamed("q_label", "label")

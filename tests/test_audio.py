@@ -49,3 +49,48 @@ def test_audio_chunk_plan(audio_df):
     assert sorted(by_key["a1"]) == [(0, 0, 44100 * 10)]
     # empty clip still yields one empty chunk row (0, 0, 0)
     assert sorted(by_key["a2"]) == [(0, 0, 0)]
+
+
+def test_decode_audio_quality_features(spark):
+    """Closed-form feature checks on hand-built clips: silence,
+    hard-clip, square-wave ZCR, stereo downmix, corrupt → null."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.multimodal import decode_audio_quality
+    from anime_data_pipeline_spark.operators.wav_codec import encode_wav
+
+    t = np.arange(1000, dtype=np.int64)
+    sq = (700 * (1 - 2 * ((t // 4) % 2))).astype(np.int16)[:, None]
+    clips = [
+        ("silence", encode_wav(np.zeros((500, 1), np.int16), 8000)),
+        ("clipped", encode_wav(np.full((400, 1), 32767, np.int16), 8000)),
+        ("square", encode_wav(sq, 16000)),
+        # stereo whose downmix cancels to zero → silence by RMS
+        ("cancel", encode_wav(np.stack([sq[:, 0], -sq[:, 0]], axis=1), 16000)),
+        ("corrupt", b"RIFF\x04\x00\x00\x00WAVE"),
+    ]
+    df = spark.createDataFrame(clips, "name string, content binary")
+    rows = {r["name"]: r["audio_quality"] for r in decode_audio_quality(df).collect()}
+    assert rows["corrupt"] is None
+    s = rows["silence"]
+    assert s["is_silence"] and s["rms"] == 0.0 and s["n_zero_cross"] == 0
+    c = rows["clipped"]
+    assert c["clip_rate"] == 1.0 and c["peak"] == 32767.0 and not c["is_silence"]
+    q = rows["square"]
+    assert q["rms"] == 700.0 and q["peak"] == 700.0
+    assert q["n_zero_cross"] == (1000 - 1) // 4 and q["clip_rate"] == 0.0
+    x = rows["cancel"]
+    assert x["channels"] == 2 and x["is_silence"] and x["n_zero_cross"] == 0
+
+
+def test_brute_force_topk_exclude_self(spark):
+    from anime_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 3)
+    with_self = brute_force_topk(df, q, "vec_id", "embedding", k=2)
+    assert [r["vec_id"] for r in with_self.orderBy("rank").collect()][0] == 3
+    without = brute_force_topk(df, q, "vec_id", "embedding", k=4, exclude_self=True)
+    got = [r["vec_id"] for r in without.orderBy("rank").collect()]
+    assert 3 not in got and len(got) == 4

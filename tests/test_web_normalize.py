@@ -121,3 +121,38 @@ def test_twin_parity_generated(spark):
             f"WITH v(x) AS (VALUES (?)) SELECT {ccnet_normalize_sql('x')} FROM v", [t]
         ).fetchone()
         assert s == d, f"norm twin drift on {t!r}: spark {s!r} duck {d!r}"
+
+
+def test_extract_hrefs_and_url_host(spark):
+    from anime_data_pipeline_spark.operators.web import extract_hrefs, url_host
+
+    html = (
+        '<html><body><!-- <a href="https://ghost.example.com/x">c</a> -->'
+        '<A class="big" href="https://A.Example.com:8080/Page">one</A>'
+        '<a href="/relative/path">two</a>'
+        '<img href="https://not-an-anchor.example.com/i">'
+        '<a data-x="1" href="http://b.example.com/q?z=1">three</a></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    row = df.select(
+        extract_hrefs(F.col("h")).alias("links"),
+    ).collect()[0]
+    # the commented-out anchor IS matched (extraction does not parse
+    # comments — q182's corpus uses non-anchor tags for comment noise)
+    assert row["links"] == [
+        "https://ghost.example.com/x",
+        "https://A.Example.com:8080/Page",
+        "/relative/path",
+        "http://b.example.com/q?z=1",
+    ]
+    hosts = (
+        df.select(F.explode(extract_hrefs(F.col("h"))).alias("u"))
+        .select(url_host(F.col("u")).alias("d"))
+        .collect()
+    )
+    assert [r["d"] for r in hosts] == [
+        "ghost.example.com",
+        "a.example.com",  # lowercased, port dropped
+        "",  # relative: no host
+        "b.example.com",
+    ]
