@@ -113,9 +113,9 @@ _PRIORITY = [
     "q65_stream_stream_join",
     "q64_stream_dedup",
     "q68_stream_stateful_stats",
-    # ---- 50-row driver cutoff lands here ----
     "q69_stream_foreachbatch_upsert",
     "q90_stream_quality_dedup",
+    # ---- 50-row driver cutoff lands here ----
     "q83_zorder_key",
     "q84_zorder_skipping",
     # newest row from round 4 (refresh continues next round)
