@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # decodable maximum) and q181 through the gray+alpha dHash fix — the
 # three r6 ADVICE items; q182/q183/q184 are NEW (outlink extraction →
 # domain link graph, IR retrieval metrics MRR/recall@k/nDCG@k, and the
-# audio silence/clipping hygiene filter over real decoded WAV bytes).
+# audio silence/clipping hygiene filter over real decoded WAV bytes,
+# and blocked entity resolution over synthesized dirty records).
 _CHANGED_THIS_ROUND = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
@@ -55,6 +56,7 @@ _CHANGED_THIS_ROUND = [
     "q182_link_graph",
     "q183_retrieval_metrics",
     "q184_audio_quality_filter",
+    "q185_entity_resolution",
 ]
 
 # (b) never rowed: none — round 6 caught the record up; every
@@ -114,8 +116,8 @@ _PRIORITY = [
     "q64_stream_dedup",
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
-    "q90_stream_quality_dedup",
     # ---- 50-row driver cutoff lands here ----
+    "q90_stream_quality_dedup",
     "q83_zorder_key",
     "q84_zorder_skipping",
     # newest row from round 4 (refresh continues next round)

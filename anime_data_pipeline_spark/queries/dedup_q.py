@@ -1122,3 +1122,135 @@ def q161_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("cont_a_in_b"), 6).alias("cont_a_in_b"),
         dround(F.col("cont_b_in_a"), 6).alias("cont_b_in_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — blocked entity resolution (round 7: record linkage — the
+# structured-record sibling of document near-dup: Fellegi-Sunter-style
+# block → candidate pairs → edit-distance verify). Records are
+# synthesized from `customer` with name lists whose initials are
+# UNIQUE per list, so initial-pair blocking is exact (a typo'd variant
+# never leaves its entity's block — the property real ER blocking
+# approximates); every 3rd customer gets a variant with one (or, every
+# 6th, two) deterministic character substitutions, so the lev<=1
+# verify keeps single-typo variants and rejects double-typo ones.
+# Both engines run the SAME pipeline (build → block → self-join →
+# levenshtein) — name synthesis is closed-form from c_custkey, and
+# the lev values are small-string exact in both engines (q96's
+# established parity). Scale: blocking key equi-join (one shuffle);
+# the within-block quadratic is bounded by block size — at 1000
+# executors the block-size distribution IS the cost model, and the
+# skew treatment is the same hot-key cap/AQE story as the banding
+# dedups; the output is a per-block aggregate, never the pair list.
+# ---------------------------------------------------------------------------
+_Q185_FIRST = [
+    "Alice", "Brian", "Clara", "David", "Elena", "Frank", "Grace", "Henry",
+    "Irene", "James", "Karen", "Louis", "Maria", "Nora", "Oscar", "Peter",
+]
+_Q185_LAST = [
+    "Adams", "Brown", "Clark", "Davis", "Evans", "Field", "Green", "Hayes",
+    "Irwin", "Jones", "Kline", "Lewis", "Moore", "Nolan", "Olsen", "Perez",
+]
+
+
+def _q185_oracle() -> str:
+    first = ", ".join(f"'{n}'" for n in _Q185_FIRST)
+    last = ", ".join(f"'{n}'" for n in _Q185_LAST)
+    return f"""
+    WITH ks AS (SELECT c_custkey AS k FROM customer),
+    named AS (
+      SELECT k, [{first}][CAST(k * 7 AS INTEGER) % 16 + 1] AS fn,
+             [{last}][CAST(k // 16 AS INTEGER) % 16 + 1] AS ln
+      FROM ks
+    ),
+    recs AS (
+      SELECT k * 2 AS rec_id, fn || ' ' || ln AS name FROM named
+      UNION ALL
+      SELECT k * 2 + 1 AS rec_id,
+             fn || ' ' || CASE WHEN k % 6 = 0
+               THEN substr(ln, 1, 1) || 'x' || substr(ln, 3, 1) || 'q' || substr(ln, 5)
+               ELSE substr(ln, 1, 1) || 'x' || substr(ln, 3) END AS name
+      FROM named WHERE k % 3 = 0
+    ),
+    blocked AS (
+      SELECT rec_id, name,
+             substr(name, 1, 1) AS fi,
+             substr(split_part(name, ' ', 2), 1, 1) AS li
+      FROM recs
+    ),
+    pairs AS (
+      SELECT a.fi, a.li, levenshtein(a.name, b.name) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.fi = b.fi AND a.li = b.li AND a.rec_id < b.rec_id
+    ),
+    sizes AS (
+      SELECT fi, li, CAST(count(*) AS BIGINT) AS n_records
+      FROM blocked GROUP BY fi, li
+    )
+    SELECT s.fi AS first_initial, s.li AS last_initial, s.n_records,
+           CAST(count(p.lev) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN p.lev <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(sum(CASE WHEN p.lev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+    FROM sizes s LEFT JOIN pairs p ON s.fi = p.fi AND s.li = p.li
+    GROUP BY s.fi, s.li, s.n_records
+    """
+
+
+@register("q185_entity_resolution", oracle=_q185_oracle())
+def q185_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    fn = F.element_at(
+        F.array(*[F.lit(n) for n in _Q185_FIRST]), ((k * 7) % 16 + 1).cast("int")
+    )
+    ln = F.element_at(
+        F.array(*[F.lit(n) for n in _Q185_LAST]),
+        # floor-div decorrelates from the first-name index (k*7 % 16 is
+        # a bijection of k % 16, so a second k-linear index would yield
+        # only 16 name combos instead of 256)
+        (F.floor(k / 16) % 16 + 1).cast("int"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = cust.select((k * 2).alias("rec_id"), F.concat(fn, F.lit(" "), ln).alias("name"))
+    typo1 = F.concat(F.substring(ln, 1, 1), F.lit("x"), F.substring(ln, 3, 3))
+    typo2 = F.concat(
+        F.substring(ln, 1, 1), F.lit("x"), F.substring(ln, 3, 1),
+        F.lit("q"), F.substring(ln, 5, 1),
+    )
+    variants = cust.filter(k % 3 == 0).select(
+        (k * 2 + 1).alias("rec_id"),
+        F.concat(fn, F.lit(" "), F.when(k % 6 == 0, typo2).otherwise(typo1)).alias("name"),
+    )
+    blocked = base.unionByName(variants).select(
+        "rec_id",
+        "name",
+        F.substring(F.col("name"), 1, 1).alias("fi"),
+        F.substring(F.substring_index(F.col("name"), " ", -1), 1, 1).alias("li"),
+    )
+    a = blocked.select(
+        F.col("fi"), F.col("li"), F.col("rec_id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = blocked.select(
+        F.col("fi"), F.col("li"), F.col("rec_id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    pairs = a.join(b, ["fi", "li"]).filter(F.col("id_a") < F.col("id_b")).select(
+        "fi", "li", F.levenshtein(F.col("name_a"), F.col("name_b")).alias("lev")
+    )
+    sizes = blocked.groupBy("fi", "li").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    agg = pairs.groupBy("fi", "li").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("lev") <= 1, 1).otherwise(0)).cast("long").alias("n_matches"),
+        F.sum(F.when(F.col("lev") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+    )
+    return (
+        sizes.join(agg, ["fi", "li"], "left")
+        .select(
+            F.col("fi").alias("first_initial"),
+            F.col("li").alias("last_initial"),
+            "n_records",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
