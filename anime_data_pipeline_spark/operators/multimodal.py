@@ -574,18 +574,46 @@ AUDIO_QUALITY_SCHEMA = T.StructType(
     ]
 )
 
-# |full-scale| per decoded dtype — clipping is "the converter pinned at
-# its rail", which is dtype-specific (uint8 is offset-binary)
-_FULL_SCALE = {"uint8": 127.0, "int16": 32767.0, "int32": 2147483647.0}
+def _wav_full_scale(data: bytes) -> float:
+    """|full-scale| of the CONTAINER, not the decoded numpy dtype:
+    24-bit PCM decodes to int32 but rails at ±(2^23-1), and the G.711
+    codebooks top out at 32256 (A-law) / 32124 (µ-law) — keying on the
+    decoded dtype would make a hard-clipped 24-bit or G.711 clip
+    invisible to the hygiene filter."""
+    from anime_data_pipeline_spark.operators.wav_codec import (
+        FMT_ALAW,
+        FMT_FLOAT,
+        FMT_IMA,
+        FMT_ULAW,
+        _header,
+    )
+
+    hdr = _header(data)
+    if hdr is None:
+        return float("inf")
+    fmt, _rate, _ch, bits, *_ = hdr
+    if fmt == FMT_FLOAT:
+        return 1.0
+    if fmt == FMT_ALAW:
+        return 32256.0
+    if fmt == FMT_ULAW:
+        return 32124.0
+    if fmt == FMT_IMA:
+        return 32767.0
+    return {8: 127.0, 16: 32767.0, 24: 8388607.0, 32: 2147483647.0}.get(
+        bits, float("inf")
+    )
 
 
 def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas FULL decode → the audio-hygiene features a speech
     training pipeline filters on BEFORE expensive transcription:
-    peak / RMS energy (silence and near-silence detection), zero
-    crossings on the mono downmix (degenerate constant/DC payloads have
-    none; broadband audio has many), and clip rate (fraction of samples
-    pinned at full scale — hard-clipped sources poison ASR training).
+    peak / RMS energy over every channel sample (silence detection that
+    anti-phase stereo can't fool), zero crossings on the mono downmix
+    (degenerate constant/DC payloads have none; broadband audio has
+    many), and clip rate (fraction of channel samples pinned at the
+    CONTAINER's full scale — hard-clipped sources poison ASR training,
+    and one pinned channel must not hide behind a quiet one).
     Null struct for undecodable bytes, so the corrupt path stays a
     dropped-with-count row (q184 gates the whole chain on a square-wave
     corpus whose features are integer-exact closed forms).
@@ -611,10 +639,15 @@ def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFra
                     rows.append(None)
                     continue
                 center = 128.0 if samples.dtype == np.uint8 else 0.0
-                mono = samples.mean(axis=1, dtype=np.float64) - center
-                full = _FULL_SCALE.get(samples.dtype.name, 1.0)
-                amag = np.abs(mono)
-                rms = float(np.sqrt(np.mean(np.square(mono))))
+                # peak / clip / RMS over EVERY channel sample — a downmix
+                # would hide one hard-pinned channel behind a quiet one
+                # (and anti-phase stereo would read as silence)
+                centered = samples.astype(np.float64) - center
+                amag = np.abs(centered)
+                full = _wav_full_scale(bytes(content))
+                rms = float(np.sqrt(np.mean(np.square(centered))))
+                # temporal structure on the mono downmix (standard VAD)
+                mono = centered.mean(axis=1)
                 rows.append(
                     {
                         "n_samples": int(samples.shape[0]),

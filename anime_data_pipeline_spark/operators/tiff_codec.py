@@ -54,9 +54,9 @@ _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
+_TAG_EXTRA_SAMPLES = 338
 
 _MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP/GIF
-_TAG_EXTRA_SAMPLES = 338
 
 # TIFF type code → (struct letter, byte size). Only the types a
 # baseline writer emits for the tags above.

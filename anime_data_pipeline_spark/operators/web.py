@@ -81,11 +81,19 @@ def extract_hrefs(html: Column) -> Column:
     link-graph feed: RefinedWeb §3.1 collects outlinks at extraction
     time). Native ``regexp_extract_all`` — codegen, no UDF; attribute
     order inside the tag doesn't matter because the match anchors on
-    ``href="..."`` itself."""
-    return F.regexp_extract_all(html, F.lit(r'<[aA]\s[^>]*href="([^"]*)"'), 1)
+    ``href="..."`` itself; fully case-insensitive (legacy pages write
+    ``<A HREF=...>``)."""
+    return F.regexp_extract_all(html, F.lit(r'(?i)<a\s[^>]*href="([^"]*)"'), 1)
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased hostname (no port) of an absolute URL; '' when the
-    value has no scheme://host prefix (relative links)."""
-    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    """Lowercased hostname (no port, no userinfo) of an absolute URL;
+    '' when the value has no scheme://host prefix (relative links).
+    The optional ``user:pw@`` prefix is consumed BEFORE the capture so
+    a crafted ``https://trusted.com@evil.com/`` attributes to the real
+    host (evil.com), the classic open-redirect parsing trap."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)", 1
+        )
+    )

@@ -1151,6 +1151,14 @@ _Q185_LAST = [
     "Adams", "Brown", "Clark", "Davis", "Evans", "Field", "Green", "Hayes",
     "Irwin", "Jones", "Kline", "Lewis", "Moore", "Nolan", "Olsen", "Perez",
 ]
+# the Spark typo expressions use fixed-length substrings while the
+# oracle's substr(ln, 3) runs to end-of-string — they agree only while
+# every last name is exactly 5 chars (and initials stay unique so the
+# blocking is exact; 'x'/'q' never appear at the typo positions so the
+# lev distances are exact)
+assert all(len(n) == 5 for n in _Q185_LAST)
+assert len({n[0] for n in _Q185_FIRST}) == 16 and len({n[0] for n in _Q185_LAST}) == 16
+assert all(n[1] != "x" and n[3] != "q" for n in _Q185_LAST)
 
 
 def _q185_oracle() -> str:

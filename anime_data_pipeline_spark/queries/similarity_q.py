@@ -1259,7 +1259,8 @@ _Q183_ORACLE = f"""
                     sum(CASE WHEN label = q_label
                              THEN {_q183_gain_sql("rank")} ELSE 0.0 END) AS dcg
              FROM topk GROUP BY query_id, q_label),
-    sizes AS (SELECT label, count(*) - 1 AS n_rel FROM corpus GROUP BY label),
+    sizes AS (SELECT label, count(*) - 1 AS n_rel FROM corpus
+              GROUP BY label HAVING count(*) >= 2),
     mets AS (SELECT p.query_id, p.q_label, p.rr, p.n_hits,
                     CAST(p.n_hits AS DOUBLE) / least({_Q183_K}, s.n_rel) AS recall,
                     p.dcg / list_reduce(
@@ -1302,7 +1303,14 @@ def q183_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hit, gain).otherwise(0.0)).alias("dcg"),
         )
     )
-    sizes = corpus.groupBy("label").agg((F.count(F.lit(1)) - 1).alias("n_rel"))
+    # singleton labels have no relevant set: recall would be 0/0 and the
+    # idcg fold would see an empty (Spark: DESCENDING [1,0]) sequence —
+    # drop them in BOTH engines before metrics
+    sizes = (
+        corpus.groupBy("label")
+        .agg((F.count(F.lit(1)) - 1).alias("n_rel"))
+        .filter(F.col("n_rel") >= 1)
+    )
     m = F.least(F.lit(_Q183_K), F.col("n_rel"))
     idcg = F.aggregate(
         F.sequence(F.lit(1), m.cast("int")),

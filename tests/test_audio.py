@@ -65,8 +65,18 @@ def test_decode_audio_quality_features(spark):
         ("silence", encode_wav(np.zeros((500, 1), np.int16), 8000)),
         ("clipped", encode_wav(np.full((400, 1), 32767, np.int16), 8000)),
         ("square", encode_wav(sq, 16000)),
-        # stereo whose downmix cancels to zero → silence by RMS
+        # anti-phase stereo: the downmix cancels, but energy/clip must
+        # be computed per channel sample — this is NOT silence
         ("cancel", encode_wav(np.stack([sq[:, 0], -sq[:, 0]], axis=1), 16000)),
+        # one channel hard-pinned, the other quiet: per-channel clip
+        # detection must see it even though the downmix never rails
+        ("halfclip", encode_wav(
+            np.stack([np.full(300, 32767, np.int16), np.zeros(300, np.int16)], axis=1),
+            8000)),
+        # 24-bit PCM pinned at ±(2^23-1): decoded dtype is int32, but
+        # full scale is the CONTAINER's rail
+        ("clip24", encode_wav(np.full((256, 1), 8388607, np.int32), 8000,
+                              fmt="pcm24")),
         ("corrupt", b"RIFF\x04\x00\x00\x00WAVE"),
     ]
     df = spark.createDataFrame(clips, "name string, content binary")
@@ -80,7 +90,12 @@ def test_decode_audio_quality_features(spark):
     assert q["rms"] == 700.0 and q["peak"] == 700.0
     assert q["n_zero_cross"] == (1000 - 1) // 4 and q["clip_rate"] == 0.0
     x = rows["cancel"]
-    assert x["channels"] == 2 and x["is_silence"] and x["n_zero_cross"] == 0
+    assert x["channels"] == 2 and not x["is_silence"] and x["rms"] == 700.0
+    assert x["n_zero_cross"] == 0  # the downmix is flat
+    h = rows["halfclip"]
+    assert h["clip_rate"] == 0.5 and h["peak"] == 32767.0
+    c24 = rows["clip24"]
+    assert c24["clip_rate"] == 1.0 and c24["peak"] == 8388607.0
 
 
 def test_brute_force_topk_exclude_self(spark):

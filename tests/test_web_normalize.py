@@ -128,7 +128,7 @@ def test_extract_hrefs_and_url_host(spark):
 
     html = (
         '<html><body><!-- <a href="https://ghost.example.com/x">c</a> -->'
-        '<A class="big" href="https://A.Example.com:8080/Page">one</A>'
+        '<A class="big" HREF="https://A.Example.com:8080/Page">one</A>'
         '<a href="/relative/path">two</a>'
         '<img href="https://not-an-anchor.example.com/i">'
         '<a data-x="1" href="http://b.example.com/q?z=1">three</a></body></html>'
@@ -156,3 +156,12 @@ def test_extract_hrefs_and_url_host(spark):
         "",  # relative: no host
         "b.example.com",
     ]
+    # userinfo must be consumed before the host capture — the
+    # trusted.com@evil.com open-redirect trap attributes to evil.com
+    tricky = spark.createDataFrame(
+        [("https://user:pw@evil.com/p",), ("https://trusted.com@evil.com/",),
+         ("ftp://bob@site.com:21/x",)],
+        "u string",
+    )
+    got = [r["d"] for r in tricky.select(url_host(F.col("u")).alias("d")).collect()]
+    assert got == ["evil.com", "evil.com", "site.com"]
