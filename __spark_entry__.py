@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # three r6 ADVICE items; q182/q183/q184 are NEW (outlink extraction →
 # domain link graph, IR retrieval metrics MRR/recall@k/nDCG@k, and the
 # audio silence/clipping hygiene filter over real decoded WAV bytes,
-# and blocked entity resolution over synthesized dirty records).
+# blocked entity resolution over synthesized dirty records, and the
+# extract->link-graph->PageRank crawl-prior composition).
 _CHANGED_THIS_ROUND = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
@@ -57,6 +58,7 @@ _CHANGED_THIS_ROUND = [
     "q183_retrieval_metrics",
     "q184_audio_quality_filter",
     "q185_entity_resolution",
+    "q186_domain_pagerank",
 ]
 
 # (b) never rowed: none — round 6 caught the record up; every
@@ -115,8 +117,8 @@ _PRIORITY = [
     "q65_stream_stream_join",
     "q64_stream_dedup",
     "q68_stream_stateful_stats",
-    "q69_stream_foreachbatch_upsert",
     # ---- 50-row driver cutoff lands here ----
+    "q69_stream_foreachbatch_upsert",
     "q90_stream_quality_dedup",
     "q83_zorder_key",
     "q84_zorder_skipping",

@@ -81,9 +81,18 @@ def extract_hrefs(html: Column) -> Column:
     link-graph feed: RefinedWeb §3.1 collects outlinks at extraction
     time). Native ``regexp_extract_all`` — codegen, no UDF; attribute
     order inside the tag doesn't matter because the match anchors on
-    ``href="..."`` itself; fully case-insensitive (legacy pages write
-    ``<A HREF=...>``)."""
-    return F.regexp_extract_all(html, F.lit(r'(?i)<a\s[^>]*href="([^"]*)"'), 1)
+    the ``href`` attribute itself; fully case-insensitive (legacy pages
+    write ``<A HREF=...>``) and quote-tolerant (double-quoted,
+    single-quoted, and bare attribute values all appear in real crawl
+    HTML — bare values end at whitespace or ``>``). The quotes are part
+    of the single capture (alternation can't share a group index), so a
+    transform strips them after extraction — still pure codegen."""
+    raw = F.regexp_extract_all(
+        html,
+        F.lit(r"""(?i)<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""),
+        1,
+    )
+    return F.transform(raw, lambda v: F.regexp_replace(v, """^["']|["']$""", ""))
 
 
 def url_host(url: Column) -> Column:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.operators.web import extract_hrefs, url_host
 from anime_data_pipeline_spark.registry import register
 
@@ -113,3 +114,61 @@ def q182_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_links"),
         F.countDistinct("doc_id").cast("long").alias("n_pages"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — crawl-prior composition: the q182 extraction pipeline's edge
+# list (REAL href scan + host parse, self-loops dropped, distinct)
+# feeds operators/graph.pagerank — extract → link graph → host-quality
+# prior, the full RefinedWeb-style frontier-prioritization chain in
+# one oracle-checked plan (q154 gates PageRank on synthetic integer
+# edges; this gates it on string domain nodes reached THROUGH the
+# extraction operators). Oracle: closed-form edges + the same unrolled
+# power iteration (pagerank_oracle_sql).
+# ---------------------------------------------------------------------------
+_Q186_EDGES_SQL = """
+  SELECT DISTINCT
+         'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src,
+         'd' || CAST(((doc_id * 31 + j * 17) % 500) % 20 AS VARCHAR)
+           || '.example.org' AS dst
+  FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS j FROM documents)
+  WHERE doc_id % 20 <> ((doc_id * 31 + j * 17) % 500) % 20
+"""
+
+
+def _q186_oracle() -> str:
+    from anime_data_pipeline_spark.operators.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(_Q186_EDGES_SQL, damping=0.85, n_iter=5)
+    return f"""
+    SELECT node AS domain, {dround_sql("pr", 6)} AS pr
+    FROM ({inner})
+    """
+
+
+@register("q186_domain_pagerank", oracle=_q186_oracle())
+def q186_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    src_url = F.concat(
+        F.lit("https://d"),
+        (i % 20).cast("string"),
+        F.lit(".example.org/page/"),
+        i.cast("string"),
+    )
+    pages = docs.select(
+        "doc_id",
+        url_host(src_url).alias("src"),
+        _page_html(i).alias("raw_html"),
+    )
+    edges = (
+        pages.select("src", F.explode(extract_hrefs(F.col("raw_html"))).alias("url"))
+        .withColumn("dst", url_host(F.col("url")))
+        .filter((F.col("dst") != "") & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=5)
+    return pr.select(F.col("node").alias("domain"), dround(F.col("pr"), 6).alias("pr"))

@@ -131,7 +131,9 @@ def test_extract_hrefs_and_url_host(spark):
         '<A class="big" HREF="https://A.Example.com:8080/Page">one</A>'
         '<a href="/relative/path">two</a>'
         '<img href="https://not-an-anchor.example.com/i">'
-        '<a data-x="1" href="http://b.example.com/q?z=1">three</a></body></html>'
+        '<a data-x="1" href="http://b.example.com/q?z=1">three</a>'
+        "<a href='https://sq.example.com/s'>four</a>"
+        "<a href=https://bare.example.com/b>five</a></body></html>"
     )
     df = spark.createDataFrame([(html,)], "h string")
     row = df.select(
@@ -144,6 +146,8 @@ def test_extract_hrefs_and_url_host(spark):
         "https://A.Example.com:8080/Page",
         "/relative/path",
         "http://b.example.com/q?z=1",
+        "https://sq.example.com/s",  # single-quoted
+        "https://bare.example.com/b",  # unquoted legacy attribute
     ]
     hosts = (
         df.select(F.explode(extract_hrefs(F.col("h"))).alias("u"))
@@ -155,6 +159,8 @@ def test_extract_hrefs_and_url_host(spark):
         "a.example.com",  # lowercased, port dropped
         "",  # relative: no host
         "b.example.com",
+        "sq.example.com",
+        "bare.example.com",
     ]
     # userinfo must be consumed before the host capture — the
     # trusted.com@evil.com open-redirect trap attributes to evil.com
