@@ -48,13 +48,6 @@ def test_audio_quality_square_wave_closed_form(n, half, a, ch):
 # from random (scheme, userinfo?, host, port?, path) parts must be
 # exactly the lowercased host. One Spark job for the whole batch.
 # ---------------------------------------------------------------------------
-_label = st.text(
-    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
-    min_size=1,
-    max_size=8,
-).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
-
-
 def test_url_host_inverse_property(spark):
     from pyspark.sql import functions as F
 
