@@ -13,15 +13,17 @@ At 100 TB the binary column dominates I/O, so every stage here:
 - is map-only (partition-parallel, no shuffle), with per-batch
   vectorized decode.
 
-Codec status: **every modality decodes for real** — seven pure-stdlib
+Codec status: **every modality decodes for real** — eight pure-stdlib
 codecs, no PIL/cv2/soundfile/ffmpeg needed. Images: PNG (full spec
 matrix: 1/2/4/8/16-bit, Adam7 — png_codec.py), GIF (LZW + interlace —
 gif_codec.py), JPEG (baseline + progressive Huffman — jpeg_codec.py),
 BMP (uncompressed 1/4/8/24/32-bit + RLE4/RLE8 — bmp_codec.py),
 baseline TIFF (both byte orders, none/LZW/Deflate/PackBits, predictor, 8- and
 16-bit samples, strip- AND tile-organized, gray/RGB/RGBA/palette —
-tiff_codec.py): header meta AND full pixels for the inference
-preprocessing chain. Audio: WAV RIFF (wav_codec.py) — PCM
+tiff_codec.py), and WebP (VP8L lossless full decode: prefix codes,
+color cache, LZ77 plane-mapped references, all four transforms —
+webp_codec.py; header meta also parses lossy VP8 and VP8X canvases):
+header meta AND full pixels for the inference preprocessing chain. Audio: WAV RIFF (wav_codec.py) — PCM
 8/16/24/32-bit, IEEE float32, G.711 µ-law/A-law companding, and IMA
 ADPCM 4-bit blocks — with a header-only fast path for chunk planning
 and a full-sample stats gate. Video: MJPEG-AVI (avi_codec.py) —
@@ -29,8 +31,8 @@ header-only frame-offset walk, only sampled frames' byte ranges
 JPEG-decode — AND animated GIF (gif_codec.decode_gif_frames, real
 GIF89a compositing; frames are deltas so one compositor pass serves a
 sampling lattice). Only the exotic tails — arithmetic/lossless JPEG
-(header meta still parses), WEBP, MP3-in-WAV, non-MJPEG/GIF video —
-fall through to the PIL/ffmpeg seams (absent in this container); the
+and lossy-VP8 WebP pixels (header meta still parses both), MP3-in-WAV,
+non-MJPEG/GIF video — fall through to the PIL/ffmpeg seams (absent in this container); the
 deterministic FIMG/FAUD/FVID fake containers remain for
 oracle-checkable synthetic corpora. The Spark plumbing — schemas,
 batch iteration, null-for-corrupt, partitioning — is identical across
@@ -79,10 +81,11 @@ def _decode_real(content: bytes) -> tuple[int, int, str] | None:
     """Real codec dispatch by magic bytes. PNG (every spec-valid
     depth/color/interlace combination), GIF (87a/89a), JPEG (any SOFn
     for header meta), BMP (uncompressed + RLE4/RLE8, any palette
-    depth), and baseline TIFF (both byte orders, none/LZW/PackBits)
-    decode NATIVELY via the stdlib codecs: header meta here, full
-    pixels via ``image_pixel_decoder_loader``. Only
-    non-{PNG,GIF,JPEG,BMP,TIFF} formats still need PIL (reference
+    depth), baseline TIFF (both byte orders, none/LZW/PackBits), and
+    WebP (VP8L lossless; meta-only for lossy VP8/VP8X) decode NATIVELY
+    via the stdlib codecs: header meta here, full pixels via
+    ``image_pixel_decoder_loader``. Only formats outside
+    {PNG,GIF,JPEG,BMP,TIFF,WEBP} still need PIL (reference
     dbimutils.py:6-26) — unavailable in this container, so they
     raise; corrupt bytes behind a valid magic return None
     (dropped-with-count row, reference bucket_manager.py:187-189)."""
@@ -91,6 +94,11 @@ def _decode_real(content: bytes) -> tuple[int, int, str] | None:
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
     from anime_data_pipeline_spark.operators.png_codec import PNG_MAGIC, png_meta
     from anime_data_pipeline_spark.operators.tiff_codec import TIFF_MAGICS, tiff_meta
+    from anime_data_pipeline_spark.operators.webp_codec import (
+        RIFF_MAGIC,
+        WEBP_FOURCC,
+        webp_meta,
+    )
 
     if content[:8] == PNG_MAGIC:
         return png_meta(content)
@@ -102,15 +110,17 @@ def _decode_real(content: bytes) -> tuple[int, int, str] | None:
         return bmp_meta(content)
     if content[:4] in TIFF_MAGICS:
         return tiff_meta(content)
+    if content[:4] == RIFF_MAGIC and content[8:12] == WEBP_FOURCC:
+        return webp_meta(content)  # meta covers VP8L, lossy VP8, and VP8X
     raise NotImplementedError(
-        "non-{PNG,GIF,JPEG,BMP,TIFF} codecs not available in this environment"
+        "non-{PNG,GIF,JPEG,BMP,TIFF,WEBP} codecs not available in this environment"
     )
 
 
 def _decode_default(content: bytes) -> tuple[int, int, str] | None:
     """Default per-blob decode: FIMG stub container OR a real PNG /
-    GIF / JPEG / BMP / TIFF; None for anything else (corrupt/foreign
-    bytes)."""
+    GIF / JPEG / BMP / TIFF / WebP; None for anything else
+    (corrupt/foreign bytes)."""
     from anime_data_pipeline_spark.operators.bmp_codec import BMP_MAGIC, bmp_meta
     from anime_data_pipeline_spark.operators.gif_codec import GIF_MAGICS, gif_meta
     from anime_data_pipeline_spark.operators.jpeg_codec import JPEG_MAGIC, jpeg_meta
@@ -129,6 +139,10 @@ def _decode_default(content: bytes) -> tuple[int, int, str] | None:
         return bmp_meta(content)
     if content[:4] in TIFF_MAGICS:
         return tiff_meta(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from anime_data_pipeline_spark.operators.webp_codec import webp_meta
+
+        return webp_meta(content)
     return None
 
 
@@ -187,6 +201,11 @@ def image_pixel_decoder_loader() -> "Callable[[], Callable]":
             TIFF_MAGICS,
             decode_tiff,
         )
+        from anime_data_pipeline_spark.operators.webp_codec import (
+            RIFF_MAGIC,
+            WEBP_FOURCC,
+            decode_webp,
+        )
 
         png_decode = png_pixel_decoder_loader()()
 
@@ -204,6 +223,11 @@ def image_pixel_decoder_loader() -> "Callable[[], Callable]":
                 return decode_bmp(content)
             if content[:4] in TIFF_MAGICS:
                 return decode_tiff(content)
+            if content[:4] == RIFF_MAGIC and content[8:12] == WEBP_FOURCC:
+                try:
+                    return decode_webp(content)  # VP8L lossless
+                except NotImplementedError:
+                    return None  # lossy VP8 pixels: the PIL seam
             return None
 
         return decode
