@@ -49,7 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # domain link graph, IR retrieval metrics MRR/recall@k/nDCG@k, and the
 # audio silence/clipping hygiene filter over real decoded WAV bytes,
 # blocked entity resolution over synthesized dirty records, and the
-# extract->link-graph->PageRank crawl-prior composition).
+# extract->link-graph->PageRank crawl-prior composition); q187 is NEW
+# (stdlib VP8L WebP decode -> bucket e2e, closing the WEBP codec tail).
 _CHANGED_THIS_ROUND = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
@@ -59,6 +60,7 @@ _CHANGED_THIS_ROUND = [
     "q184_audio_quality_filter",
     "q185_entity_resolution",
     "q186_domain_pagerank",
+    "q187_webp_decode_bucket",
 ]
 
 # (b) never rowed: none — round 6 caught the record up; every
@@ -116,8 +118,8 @@ _PRIORITY = [
     "q63_stream_sessions",
     "q65_stream_stream_join",
     "q64_stream_dedup",
-    "q68_stream_stateful_stats",
     # ---- 50-row driver cutoff lands here ----
+    "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
     "q90_stream_quality_dedup",
     "q83_zorder_key",

@@ -1595,3 +1595,171 @@ def q184_audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~qc["is_silence"] & (qc["clip_rate"] < 0.1)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — REAL WebP (VP8L lossless) decode e2e (round 7: SURVEY S7
+# extended to the most common crawl format that previously sat on the
+# PIL seam): a synthetic corpus of genuine RIFF/WEBP files (stdlib
+# encoder, operators/webp_codec.py) cycling doc_id % 8 through literal
+# RGB, literal RGBA (alpha < 255 → the header alpha hint), BUNDLED
+# 16-color palette (2 px/byte), unbundled 17-color palette,
+# subtract-green, single-mode predictor, LZ77 runs + color cache, and
+# replicated-gray input; every 33rd row corrupt-after-magic. Decoded
+# by the DEFAULT dispatch twice: header meta → aspect-ratio bucket
+# assignment, and FULL pixels via decode_image_pixel_stats — uniform
+# fills / the q115 closed-form palette give closed-form min/max/mean,
+# so a bit-order, canonical-code, transform-inverse, bundling, or
+# cache bug that leaves the header intact still breaks the hash. The
+# oracle recomputes everything from doc_id and pins pixel_ok TRUE
+# (palette is an internal VP8L transform — the container reports
+# RGB/RGBA, never 'P').
+# ---------------------------------------------------------------------------
+_Q187_IMGS = """
+  SELECT doc_id AS image_key,
+         CAST(16 + (doc_id * 67) % 97 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 89) % 89 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 33 <> 0
+"""
+
+
+def _q187_oracle() -> str:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        bucket_oracle_sql,
+    )
+
+    return f"""
+    WITH assigned AS ({bucket_oracle_sql(_Q187_IMGS, BucketConfig())})
+    SELECT image_key AS doc_id,
+           CAST(16 + (image_key * 67) % 97 AS INTEGER) AS width,
+           CAST(16 + (image_key * 89) % 89 AS INTEGER) AS height,
+           CASE WHEN CAST(image_key % 8 AS INTEGER) = 1 THEN 'RGBA'
+                ELSE 'RGB' END AS mode,
+           bucket_w, bucket_h,
+           TRUE AS pixel_ok
+    FROM assigned
+    """
+
+
+def _webp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 11 = 0) → (doc_id, content: binary) of real
+    VP8L bytes per the q187 variant lattice."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.webp_codec import encode_webp
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    plte = _q115_palette()
+    plte17 = np.vstack([plte, np.array([[1, 2, 3]], dtype=np.uint8)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 33 == 0:
+                    blobs.append(b"RIFF\x0c\x00\x00\x00WEBPVP8Lxxxx")
+                    continue
+                w = 16 + (i * 67) % 97
+                h = 16 + (i * 89) % 89
+                f = 40 + i % 160
+                j = i % 16
+                v = i % 8
+                if v == 0:
+                    blob = encode_webp(np.full((h, w, 3), f, dtype=np.uint8))
+                elif v == 1:  # f < 255 always → alpha hint set
+                    blob = encode_webp(np.full((h, w, 4), f, dtype=np.uint8))
+                elif v == 2:  # 16 colors → bundled, 2 px/byte
+                    blob = encode_webp(
+                        np.full((h, w, 1), j, dtype=np.uint8), palette=plte
+                    )
+                elif v == 3:  # 17 colors → unbundled indices
+                    blob = encode_webp(
+                        np.full((h, w, 1), j, dtype=np.uint8), palette=plte17
+                    )
+                elif v == 4:
+                    blob = encode_webp(
+                        np.full((h, w, 3), f, dtype=np.uint8), subtract_green=True
+                    )
+                elif v == 5:
+                    blob = encode_webp(
+                        np.full((h, w, 3), f, dtype=np.uint8), predictor_mode=1
+                    )
+                elif v == 6:
+                    blob = encode_webp(
+                        np.full((h, w, 3), f, dtype=np.uint8),
+                        use_lz77=True,
+                        cache_bits=4,
+                    )
+                else:  # gray input → replicated channels
+                    blob = encode_webp(np.full((h, w), f, dtype=np.uint8))
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q187_webp_decode_bucket", oracle=_q187_oracle())
+def q187_webp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.bucketing import (
+        BucketConfig,
+        assign_bucket_columns,
+    )
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
+
+    decoded = decode_image_pixel_stats(decode_image_meta(_webp_corpus(spark, sf_dir)))
+    i = F.col("doc_id")
+    f = (F.lit(40) + (i % 160)).cast("int")
+    v = (i % 8).cast("int")
+    j = (i % 16).cast("int")
+    st = F.col("pixel_stats")
+    pr, pg, pb = j * 17, 255 - j * 17, (j * 37) % 256
+    pal_ok = (
+        (st["px_min"] == F.least(pr, pg, pb))
+        & (st["px_max"] == F.greatest(pr, pg, pb))
+        & (st["px_mean"] == (pr + pg + pb).cast("double") / F.lit(3.0))
+        & (st["channels"] == 3)
+    )
+    uniform = (st["px_min"] == st["px_max"]) & (st["px_min"] == f)
+    expected = (
+        F.when(v == 1, uniform & (st["channels"] == 4))
+        .when(v.isin(2, 3), pal_ok)
+        .otherwise(uniform & (st["channels"] == 3))
+    )
+    decoded = decoded.withColumn(
+        "pixel_ok",
+        st.isNotNull()
+        & (st["width"] == F.col("image_meta.width"))
+        & (st["height"] == F.col("image_meta.height"))
+        & expected,
+    )
+    ok = decoded.filter(F.col("image_meta").isNotNull()).select(
+        F.col("doc_id").alias("image_key"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mode").alias("mode"),
+        "pixel_ok",
+    )
+    assigned = assign_bucket_columns(ok, cfg=BucketConfig())
+    return assigned.select(
+        F.col("image_key").alias("doc_id"),
+        "width",
+        "height",
+        "mode",
+        "bucket_w",
+        "bucket_h",
+        "pixel_ok",
+    )
