@@ -398,68 +398,114 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _inv_predictor(img: np.ndarray, size_bits: int, modes: np.ndarray) -> np.ndarray:
     """img (h, w, 4) residuals → pixels, per-block mode from the green
-    channel of the sub-image. Sequential rows; numpy per pixel-group.
+    channel of the sub-image. The left-pixel dependency makes this a
+    sequential scan; it runs on plain Python ints (≈20× faster per
+    pixel than small-ndarray ops), bounded by the 64 MP canvas cap.
     TR at the last column is the CURRENT row's first pixel (spec quirk:
     the flat-array top[x+1] address)."""
     h, w, _ = img.shape
-    out = img.astype(np.uint16)  # accumulate then mask
-    flat = out.reshape(-1, 4)
+    res = img.reshape(-1, 4).tolist()
+    out: list[tuple[int, int, int, int]] = [None] * (h * w)  # type: ignore[list-item]
+    mode_rows = modes[:, :, 1].tolist()
     for y in range(h):
+        mrow = mode_rows[y >> size_bits]
         for x in range(w):
             i = y * w + x
+            r0, g0, b0, a0 = res[i]
             if x == 0 and y == 0:
-                pred = np.array([0, 0, 0, 255], dtype=np.uint16)
+                pr = pg = pb = 0
+                pa = 255
             elif y == 0:
-                pred = flat[i - 1]
+                pr, pg, pb, pa = out[i - 1]
             elif x == 0:
-                pred = flat[i - w]
+                pr, pg, pb, pa = out[i - w]
             else:
-                mode = int(modes[y >> size_bits, x >> size_bits, 1])
-                L = flat[i - 1]
-                T = flat[i - w]
-                TL = flat[i - w - 1]
-                TR = flat[i - w + 1]  # x == w-1 → current row's first pixel
-                if mode == 0:
-                    pred = np.array([0, 0, 0, 255], dtype=np.uint16)
-                elif mode == 1:
-                    pred = L
+                mode = mrow[x >> size_bits]
+                L = out[i - 1]
+                T = out[i - w]
+                if mode == 1:
+                    pr, pg, pb, pa = L
                 elif mode == 2:
-                    pred = T
+                    pr, pg, pb, pa = T
+                elif mode == 0:
+                    pr = pg = pb = 0
+                    pa = 255
                 elif mode == 3:
-                    pred = TR
+                    pr, pg, pb, pa = out[i - w + 1]
                 elif mode == 4:
-                    pred = TL
+                    pr, pg, pb, pa = out[i - w - 1]
                 elif mode == 5:
-                    pred = _avg2(_avg2(L, TR), T)
+                    TR = out[i - w + 1]
+                    pr = ((L[0] + TR[0]) >> 1) + T[0] >> 1
+                    pg = ((L[1] + TR[1]) >> 1) + T[1] >> 1
+                    pb = ((L[2] + TR[2]) >> 1) + T[2] >> 1
+                    pa = ((L[3] + TR[3]) >> 1) + T[3] >> 1
                 elif mode == 6:
-                    pred = _avg2(L, TL)
+                    TL = out[i - w - 1]
+                    pr = (L[0] + TL[0]) >> 1
+                    pg = (L[1] + TL[1]) >> 1
+                    pb = (L[2] + TL[2]) >> 1
+                    pa = (L[3] + TL[3]) >> 1
                 elif mode == 7:
-                    pred = _avg2(L, T)
+                    pr = (L[0] + T[0]) >> 1
+                    pg = (L[1] + T[1]) >> 1
+                    pb = (L[2] + T[2]) >> 1
+                    pa = (L[3] + T[3]) >> 1
                 elif mode == 8:
-                    pred = _avg2(TL, T)
+                    TL = out[i - w - 1]
+                    pr = (TL[0] + T[0]) >> 1
+                    pg = (TL[1] + T[1]) >> 1
+                    pb = (TL[2] + T[2]) >> 1
+                    pa = (TL[3] + T[3]) >> 1
                 elif mode == 9:
-                    pred = _avg2(T, TR)
+                    TR = out[i - w + 1]
+                    pr = (T[0] + TR[0]) >> 1
+                    pg = (T[1] + TR[1]) >> 1
+                    pb = (T[2] + TR[2]) >> 1
+                    pa = (T[3] + TR[3]) >> 1
                 elif mode == 10:
-                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                    TL = out[i - w - 1]
+                    TR = out[i - w + 1]
+                    pr = ((L[0] + TL[0]) >> 1) + ((T[0] + TR[0]) >> 1) >> 1
+                    pg = ((L[1] + TL[1]) >> 1) + ((T[1] + TR[1]) >> 1) >> 1
+                    pb = ((L[2] + TL[2]) >> 1) + ((T[2] + TR[2]) >> 1) >> 1
+                    pa = ((L[3] + TL[3]) >> 1) + ((T[3] + TR[3]) >> 1) >> 1
                 elif mode == 11:
-                    pl = int(np.abs(L.astype(np.int32) - TL).sum())
-                    pt = int(np.abs(T.astype(np.int32) - TL).sum())
-                    pred = T if pl <= pt else L
-                elif mode == 12:
-                    pred = np.clip(
-                        L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32),
-                        0,
-                        255,
-                    ).astype(np.uint16)
-                elif mode == 13:
-                    ave = _avg2(L, T).astype(np.int32)
-                    pred = np.clip(ave + ((ave - TL.astype(np.int32)) >> 1), 0, 255).astype(
-                        np.uint16
+                    TL = out[i - w - 1]
+                    pl = (
+                        abs(L[0] - TL[0]) + abs(L[1] - TL[1])
+                        + abs(L[2] - TL[2]) + abs(L[3] - TL[3])
                     )
+                    pt = (
+                        abs(T[0] - TL[0]) + abs(T[1] - TL[1])
+                        + abs(T[2] - TL[2]) + abs(T[3] - TL[3])
+                    )
+                    pr, pg, pb, pa = T if pl <= pt else L
+                elif mode == 12:
+                    TL = out[i - w - 1]
+                    pr = min(max(L[0] + T[0] - TL[0], 0), 255)
+                    pg = min(max(L[1] + T[1] - TL[1], 0), 255)
+                    pb = min(max(L[2] + T[2] - TL[2], 0), 255)
+                    pa = min(max(L[3] + T[3] - TL[3], 0), 255)
+                elif mode == 13:
+                    TL = out[i - w - 1]
+                    a1 = (L[0] + T[0]) >> 1
+                    a2 = (L[1] + T[1]) >> 1
+                    a3 = (L[2] + T[2]) >> 1
+                    a4 = (L[3] + T[3]) >> 1
+                    pr = min(max(a1 + ((a1 - TL[0]) >> 1), 0), 255)
+                    pg = min(max(a2 + ((a2 - TL[1]) >> 1), 0), 255)
+                    pb = min(max(a3 + ((a3 - TL[2]) >> 1), 0), 255)
+                    pa = min(max(a4 + ((a4 - TL[3]) >> 1), 0), 255)
                 else:
                     raise ValueError("bad predictor mode")
-            flat[i] = (flat[i] + pred) & 0xFF
-    return out.astype(np.uint8)
+            out[i] = (
+                (r0 + pr) & 0xFF,
+                (g0 + pg) & 0xFF,
+                (b0 + pb) & 0xFF,
+                (a0 + pa) & 0xFF,
+            )
+    return np.asarray(out, dtype=np.uint8).reshape(h, w, 4)
 
 
 def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -806,42 +852,63 @@ def encode_webp(
 
 def _forward_predict(img: np.ndarray, mode: int) -> np.ndarray:
     """Residuals for a single image-wide predictor mode (encoder side:
-    run the inverse's addressing in forward direction)."""
+    the inverse's addressing run forward; implemented with numpy row
+    vectors — structurally independent of the scalar-int inverse, so a
+    matched misreading of the spec formulas is unlikely to survive the
+    roundtrip tests)."""
     h, w, _ = img.shape
     src = img.astype(np.int32)
     out = np.zeros_like(src)
-    flat = src.reshape(-1, 4)
+
+    def avg2(a, b):
+        return (a + b) >> 1
+
     for y in range(h):
-        for x in range(w):
-            i = y * w + x
-            if x == 0 and y == 0:
-                pred = np.array([0, 0, 0, 255], dtype=np.int32)
-            elif y == 0:
-                pred = flat[i - 1]
-            elif x == 0:
-                pred = flat[i - w]
+        row = src[y]
+        if y == 0:
+            pred = np.zeros((w, 4), dtype=np.int32)
+            pred[0] = (0, 0, 0, 255)
+            pred[1:] = row[:-1]
+        else:
+            T = src[y - 1]
+            TL = np.vstack([src[y - 1, :1], src[y - 1, :-1]])  # TL[0] unused
+            TR = np.vstack([src[y - 1, 1:], src[y, :1]])  # last col wraps to row start
+            L = np.vstack([src[y, :1], src[y, :-1]])  # L[0] unused
+            if mode == 0:
+                pred = np.tile(np.array([0, 0, 0, 255], dtype=np.int32), (w, 1))
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:
+                pl = np.abs(L - TL).sum(axis=1)
+                pt = np.abs(T - TL).sum(axis=1)
+                pred = np.where((pl <= pt)[:, None], T, L)
+            elif mode == 12:
+                pred = np.clip(L + T - TL, 0, 255)
+            elif mode == 13:
+                ave = avg2(L, T)
+                pred = np.clip(ave + ((ave - TL) >> 1), 0, 255)
             else:
-                L, T, TL = flat[i - 1], flat[i - w], flat[i - w - 1]
-                TR = flat[i - w + 1]
-                if mode == 1:
-                    pred = L
-                elif mode == 2:
-                    pred = T
-                elif mode == 7:
-                    pred = (L + T) >> 1
-                elif mode == 11:
-                    pl = int(np.abs(L - TL).sum())
-                    pt = int(np.abs(T - TL).sum())
-                    pred = T if pl <= pt else L
-                elif mode == 12:
-                    pred = np.clip(L + T - TL, 0, 255)
-                elif mode == 0:
-                    pred = np.array([0, 0, 0, 255], dtype=np.int32)
-                elif mode == 3:
-                    pred = TR
-                else:
-                    raise ValueError("fixture encoder supports modes 0-3,7,11,12")
-            out.reshape(-1, 4)[i] = (flat[i] - pred) % 256
+                raise ValueError("bad predictor mode")
+            pred[0] = T[0]  # left column always predicts from T
+        out[y] = (row - pred) % 256
     return out.astype(np.uint8)
 
 

@@ -65,15 +65,19 @@ def test_subtract_green_roundtrip():
     assert (out == arr).all()
 
 
-@pytest.mark.parametrize("mode", [0, 1, 2, 3, 7, 11, 12])
+@pytest.mark.parametrize("mode", list(range(14)))
 def test_predictor_roundtrip(mode):
-    # smooth-ish content exercises the residual math beyond noise
+    """All 14 modes: the forward (numpy row-vector) and inverse
+    (scalar-int) implementations are structurally independent, so a
+    matched spec misreading is unlikely to survive this."""
     y, x = np.mgrid[0:14, 0:19]
-    arr = np.stack(
+    smooth = np.stack(
         [(y * 11 + x * 7) % 256, (y * 3) % 256, (x * 5 + 100) % 256], axis=2
     ).astype(np.uint8)
-    out = decode_webp(encode_webp(arr, predictor_mode=mode))
-    assert out is not None and (out == arr).all(), f"mode {mode}"
+    noise = _rng(mode).integers(0, 256, size=(10, 13, 4), dtype=np.uint8)
+    for arr in (smooth, noise):
+        out = decode_webp(encode_webp(arr, predictor_mode=mode))
+        assert out is not None and (out == arr).all(), f"mode {mode}"
 
 
 @pytest.mark.parametrize("n_colors", [2, 4, 13, 16, 17, 200])
