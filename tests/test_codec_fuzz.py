@@ -1,4 +1,4 @@
-"""Crash-safety fuzz for all seven stdlib codecs: ANY bytes behind a
+"""Crash-safety fuzz for all eight stdlib codecs: ANY bytes behind a
 valid magic must decode to a value or None — never raise. One corrupt
 blob crashing a Spark task kills the whole stage at 100 TB scale; the
 contract (corrupt → dropped-with-count row) only holds if every
@@ -33,6 +33,21 @@ from anime_data_pipeline_spark.operators.tiff_codec import (
     tiff_meta,
 )
 from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav, wav_meta
+from anime_data_pipeline_spark.operators.webp_codec import (
+    decode_webp,
+    encode_webp,
+    webp_meta,
+)
+
+
+def _decode_webp_total(b: bytes):
+    """Lossy-VP8 bytes raise NotImplementedError by CONTRACT (the PIL
+    seam); for crash-safety purposes that is a defined outcome, not a
+    crash — everything else must be a value or None."""
+    try:
+        return decode_webp(b)
+    except NotImplementedError:
+        return None
 
 
 def _valid_blobs():
@@ -84,6 +99,19 @@ def _valid_blobs():
             encode_avi_mjpeg([img, img], fps=24),
             [avi_meta, avi_frame_offsets, decode_avi_frames],
         ),
+        "webp": (encode_webp(img), [webp_meta, _decode_webp_total]),
+        "webp_pred": (
+            encode_webp(img, predictor_mode=12),
+            [webp_meta, _decode_webp_total],
+        ),
+        "webp_pal": (
+            encode_webp(idx[:, :, None], palette=pal),
+            [webp_meta, _decode_webp_total],
+        ),
+        "webp_lz": (
+            encode_webp(np.repeat(img[:, :4], 3, axis=1), use_lz77=True, cache_bits=3),
+            [webp_meta, _decode_webp_total],
+        ),
     }
 
 
@@ -102,6 +130,10 @@ _MAGICS = {
     "wav_ulaw": b"RIFF\x80\x00\x00\x00WAVE",
     "wav_ima": b"RIFF\x80\x00\x00\x00WAVE",
     "avi": b"RIFF\x80\x00\x00\x00AVI ",
+    "webp": b"RIFF\x80\x00\x00\x00WEBP",
+    "webp_pred": b"RIFF\x80\x00\x00\x00WEBPVP8L",
+    "webp_pal": b"RIFF\x80\x00\x00\x00WEBP",
+    "webp_lz": b"RIFF\x80\x00\x00\x00WEBPVP8L",
 }
 
 

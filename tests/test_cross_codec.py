@@ -14,6 +14,7 @@ from anime_data_pipeline_spark.operators.gif_codec import encode_gif
 from anime_data_pipeline_spark.operators.multimodal import image_pixel_decoder_loader
 from anime_data_pipeline_spark.operators.png_codec import encode_png
 from anime_data_pipeline_spark.operators.tiff_codec import encode_tiff
+from anime_data_pipeline_spark.operators.webp_codec import encode_webp
 from anime_data_pipeline_spark.operators.wav_codec import (
     _ULAW_TABLE,
     decode_wav,
@@ -31,6 +32,9 @@ def test_rgb_pixels_identical_across_containers():
         "tiff_lzw": encode_tiff(arr, compression=5, predictor=2),
         "tiff_be_packbits": encode_tiff(arr, byte_order=">", compression=32773),
         "tiff_deflate_tiled": encode_tiff(arr, compression=8, tile_size=(16, 16)),
+        "webp": encode_webp(arr),
+        "webp_sg": encode_webp(arr, subtract_green=True),
+        "webp_pred12": encode_webp(arr, predictor_mode=12),
     }
     for name, blob in blobs.items():
         out = decode(blob)
@@ -48,6 +52,7 @@ def test_palette_pixels_identical_across_containers():
         "bmp_pal8": encode_bmp(idx, palette=plte),
         "bmp_rle8": encode_bmp(idx, palette=plte, rle=True),
         "tiff_pal": encode_tiff(idx, palette=plte, compression=5),
+        "webp_pal": encode_webp(idx[:, :, None], palette=plte),
     }
     for name, blob in blobs.items():
         out = decode(blob)
