@@ -629,6 +629,27 @@ def _wav_full_scale(data: bytes) -> float:
     )
 
 
+def audio_quality_features(samples: np.ndarray, full_scale: float) -> dict:
+    """The per-clip feature math (shared by the operator and its
+    property tests so a regression here can't hide behind a duplicated
+    formula): peak/RMS/clip over every channel sample, zero crossings
+    on the mono downmix."""
+    center = 128.0 if samples.dtype == np.uint8 else 0.0
+    centered = samples.astype(np.float64) - center
+    amag = np.abs(centered)
+    rms = float(np.sqrt(np.mean(np.square(centered))))
+    mono = centered.mean(axis=1)
+    return {
+        "n_samples": int(samples.shape[0]),
+        "channels": int(samples.shape[1]),
+        "peak": float(amag.max()),
+        "rms": rms,
+        "n_zero_cross": int(np.sum(mono[1:] * mono[:-1] < 0.0)),
+        "clip_rate": float(np.mean(amag >= full_scale)),
+        "is_silence": bool(rms < 1e-12),
+    }
+
+
 def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas FULL decode → the audio-hygiene features a speech
     training pipeline filters on BEFORE expensive transcription:
@@ -662,28 +683,8 @@ def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFra
                 if samples.dtype.kind == "f" and not np.isfinite(samples).all():
                     rows.append(None)
                     continue
-                center = 128.0 if samples.dtype == np.uint8 else 0.0
-                # peak / clip / RMS over EVERY channel sample — a downmix
-                # would hide one hard-pinned channel behind a quiet one
-                # (and anti-phase stereo would read as silence)
-                centered = samples.astype(np.float64) - center
-                amag = np.abs(centered)
-                full = _wav_full_scale(bytes(content))
-                rms = float(np.sqrt(np.mean(np.square(centered))))
-                # temporal structure on the mono downmix (standard VAD)
-                mono = centered.mean(axis=1)
                 rows.append(
-                    {
-                        "n_samples": int(samples.shape[0]),
-                        "channels": int(samples.shape[1]),
-                        "peak": float(amag.max()),
-                        "rms": rms,
-                        "n_zero_cross": int(
-                            np.sum(mono[1:] * mono[:-1] < 0.0)
-                        ),
-                        "clip_rate": float(np.mean(amag >= full)),
-                        "is_silence": bool(rms < 1e-12),
-                    }
+                    audio_quality_features(samples, _wav_full_scale(bytes(content)))
                 )
             pdf = pdf.copy()
             pdf["audio_quality"] = rows

@@ -84,15 +84,25 @@ def extract_hrefs(html: Column) -> Column:
     the ``href`` attribute itself; fully case-insensitive (legacy pages
     write ``<A HREF=...>``) and quote-tolerant (double-quoted,
     single-quoted, and bare attribute values all appear in real crawl
-    HTML — bare values end at whitespace or ``>``). The quotes are part
-    of the single capture (alternation can't share a group index), so a
-    transform strips them after extraction — still pure codegen."""
+    HTML — bare values end at whitespace, ``>``, or a quote). The
+    pre-``href`` scan consumes OTHER quoted attribute values atomically
+    so ``title="see href=http://spam/x"`` can't fabricate a link, and
+    the post-extraction strip removes only a MATCHED quote pair. The
+    quotes ride in the single capture because a regex alternation can't
+    share a group index — still pure codegen."""
     raw = F.regexp_extract_all(
         html,
-        F.lit(r"""(?i)<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""),
+        F.lit(
+            r"""(?i)<a\s(?:[^>"']|"[^"]*"|'[^']*')*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>"']+)"""
+        ),
         1,
     )
-    return F.transform(raw, lambda v: F.regexp_replace(v, """^["']|["']$""", ""))
+    return F.transform(
+        raw,
+        lambda v: F.regexp_replace(
+            F.regexp_replace(v, '^"(.*)"$', "$1"), "^'(.*)'$", "$1"
+        ),
+    )
 
 
 def url_host(url: Column) -> Column:

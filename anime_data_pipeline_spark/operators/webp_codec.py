@@ -342,12 +342,16 @@ def _decode_spatial(
             g.append(_read_code(br, alpha))
         groups.append(g)
     n_px = xsize * h
-    out = np.zeros((n_px, 4), dtype=np.uint8)  # [r, g, b, a]
+    # plain int tuples in a Python list: per-pixel ndarray writes cost
+    # ~20x more (same reasoning as _inv_predictor); one np.asarray at
+    # the end materializes the image
+    out: list[tuple[int, int, int, int]] = [None] * n_px  # type: ignore[list-item]
+    meta_rows = meta.tolist() if meta is not None else None
     pos = 0
     while pos < n_px:
-        if meta is not None:
+        if meta_rows is not None:
             y, x = divmod(pos, xsize)
-            grp = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+            grp = groups[meta_rows[y >> meta_bits][x >> meta_bits]]
         else:
             grp = groups[0]
         s = grp[_GREEN].read(br)
@@ -372,11 +376,15 @@ def _decode_spatial(
                     dist = 1
             if dist > pos or pos + length > n_px:
                 raise ValueError("bad backward reference")
-            for i in range(length):  # may overlap (run coding) — loop, not slice
-                out[pos + i] = out[pos - dist + i]
+            src_i = pos - dist
+            if dist >= length:  # non-overlapping: one slice copy
+                out[pos : pos + length] = out[src_i : src_i + length]
+            else:  # overlapping run coding: element loop
+                for i in range(length):
+                    out[pos + i] = out[src_i + i]
             if cache is not None:
                 for i in range(pos, pos + length):
-                    r, g_, b, a = (int(v) for v in out[i])
+                    r, g_, b, a = out[i]
                     argb = (a << 24) | (r << 16) | (g_ << 8) | b
                     cache[((argb * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
             pos += length
@@ -386,7 +394,8 @@ def _decode_spatial(
             argb = cache[s - 280]
             out[pos] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF, argb >> 24)
             pos += 1
-    return out, transforms
+    out_arr = np.asarray(out, dtype=np.uint8).reshape(-1, 4)
+    return out_arr, transforms
 
 
 # ---------------------------------------------------------------------------
@@ -488,15 +497,20 @@ def _inv_predictor(img: np.ndarray, size_bits: int, modes: np.ndarray) -> np.nda
                     pb = min(max(L[2] + T[2] - TL[2], 0), 255)
                     pa = min(max(L[3] + T[3] - TL[3], 0), 255)
                 elif mode == 13:
+                    # ClampAddSubtractHalf divides with C semantics:
+                    # truncation toward zero, NOT a floor shift — they
+                    # differ on negative odd (ave - TL)
                     TL = out[i - w - 1]
                     a1 = (L[0] + T[0]) >> 1
                     a2 = (L[1] + T[1]) >> 1
                     a3 = (L[2] + T[2]) >> 1
                     a4 = (L[3] + T[3]) >> 1
-                    pr = min(max(a1 + ((a1 - TL[0]) >> 1), 0), 255)
-                    pg = min(max(a2 + ((a2 - TL[1]) >> 1), 0), 255)
-                    pb = min(max(a3 + ((a3 - TL[2]) >> 1), 0), 255)
-                    pa = min(max(a4 + ((a4 - TL[3]) >> 1), 0), 255)
+                    d1, d2 = a1 - TL[0], a2 - TL[1]
+                    d3, d4 = a3 - TL[2], a4 - TL[3]
+                    pr = min(max(a1 + (d1 // 2 if d1 >= 0 else -(-d1 // 2)), 0), 255)
+                    pg = min(max(a2 + (d2 // 2 if d2 >= 0 else -(-d2 // 2)), 0), 255)
+                    pb = min(max(a3 + (d3 // 2 if d3 >= 0 else -(-d3 // 2)), 0), 255)
+                    pa = min(max(a4 + (d4 // 2 if d4 >= 0 else -(-d4 // 2)), 0), 255)
                 else:
                     raise ValueError("bad predictor mode")
             out[i] = (
@@ -720,11 +734,26 @@ def _write_code(bw: _BitWriter, lengths: list[int]) -> dict[int, tuple[int, int]
             bw.write(nz[1], 8)
             return {nz[0]: (0, 1), nz[1]: (1, 1)}
         return {nz[0]: (0, 0)}
-    bw.write(0, 1)  # normal: flat 5-bit code-length code (19 symbols)
+    bw.write(0, 1)  # normal: Huffman-coded code-length code
+    # the CL code must be COMPLETE (Kraft sum exactly 1): spec-enforcing
+    # decoders (libwebp BuildHuffmanTable) reject incomplete codes, so a
+    # flat under-full code would make fixtures unreadable outside this
+    # repo. Huffman over the actual CL-symbol frequencies is complete by
+    # construction; the single-symbol case pads a 1-bit sibling.
+    cl_freqs: dict[int, int] = {}
+    for ln in lengths:
+        cl_freqs[ln] = cl_freqs.get(ln, 0) + 1
+    if len(cl_freqs) == 1:
+        only = next(iter(cl_freqs))
+        cl_lengths = [0] * 19
+        cl_lengths[only] = 1
+        cl_lengths[0 if only != 0 else 1] = 1  # complete 2-leaf tree
+    else:
+        cl_lengths = _huff_lengths(cl_freqs, 19, max_len=7)
     bw.write(19 - 4, 4)
-    for _ in _CL_ORDER:
-        bw.write(5, 3)
-    cl_codes = _canonical_codes([5] * 19)
+    for sym in _CL_ORDER:
+        bw.write(cl_lengths[sym], 3)
+    cl_codes = _canonical_codes(cl_lengths)
     bw.write(0, 1)  # no max_symbol cap
     for ln in lengths:
         c, k = cl_codes[ln]
@@ -904,7 +933,8 @@ def _forward_predict(img: np.ndarray, mode: int) -> np.ndarray:
                 pred = np.clip(L + T - TL, 0, 255)
             elif mode == 13:
                 ave = avg2(L, T)
-                pred = np.clip(ave + ((ave - TL) >> 1), 0, 255)
+                d = ave - TL  # C division truncates toward zero
+                pred = np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
             else:
                 raise ValueError("bad predictor mode")
             pred[0] = T[0]  # left column always predicts from T

@@ -1618,7 +1618,7 @@ def q184_audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q187_IMGS = """
   SELECT doc_id AS image_key,
          CAST(16 + (doc_id * 67) % 97 AS INTEGER) AS width,
-         CAST(16 + (doc_id * 89) % 89 AS INTEGER) AS height
+         CAST(16 + (doc_id * 97) % 89 AS INTEGER) AS height
   FROM documents WHERE doc_id % 11 = 0 AND doc_id % 33 <> 0
 """
 
@@ -1633,7 +1633,7 @@ def _q187_oracle() -> str:
     WITH assigned AS ({bucket_oracle_sql(_Q187_IMGS, BucketConfig())})
     SELECT image_key AS doc_id,
            CAST(16 + (image_key * 67) % 97 AS INTEGER) AS width,
-           CAST(16 + (image_key * 89) % 89 AS INTEGER) AS height,
+           CAST(16 + (image_key * 97) % 89 AS INTEGER) AS height,
            CASE WHEN CAST(image_key % 8 AS INTEGER) = 1 THEN 'RGBA'
                 ELSE 'RGB' END AS mode,
            bucket_w, bucket_h,
@@ -1672,7 +1672,7 @@ def _webp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(b"RIFF\x0c\x00\x00\x00WEBPVP8Lxxxx")
                     continue
                 w = 16 + (i * 67) % 97
-                h = 16 + (i * 89) % 89
+                h = 16 + (i * 97) % 89
                 f = 40 + i % 160
                 j = i % 16
                 v = i % 8

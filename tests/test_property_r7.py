@@ -1,8 +1,8 @@
-"""Hypothesis property tests for the round-7 operators: audio quality
-features against pure-numpy closed forms, and URL host parsing against
-a URL constructed from its parts (inverse-function property). Pure
-Python/numpy mirrors where possible; the single Spark regex check runs
-one job over the whole generated batch."""
+"""Hypothesis property tests for the round-7 operators: the SHARED
+audio-quality feature core (the same function decode_audio_quality
+calls per clip) against integer closed forms on encoded-then-decoded
+square waves, and URL host parsing against a URL constructed from its
+parts (inverse-function property)."""
 
 from __future__ import annotations
 
@@ -24,6 +24,7 @@ from hypothesis import strategies as st
     ch=st.integers(min_value=1, max_value=2),
 )
 def test_audio_quality_square_wave_closed_form(n, half, a, ch):
+    from anime_data_pipeline_spark.operators.multimodal import audio_quality_features
     from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav
 
     t = np.arange(n, dtype=np.int64)
@@ -31,16 +32,13 @@ def test_audio_quality_square_wave_closed_form(n, half, a, ch):
     samples = np.stack([s] * ch, axis=1)
     decoded, rate = decode_wav(encode_wav(samples, 16000))
     assert rate == 16000 and (decoded == samples).all()
-    # the feature math decode_audio_quality applies (same-phase
-    # channels → downmix == channel 0)
-    centered = decoded.astype(np.float64)
-    rms = float(np.sqrt(np.mean(np.square(centered))))
-    mono = centered.mean(axis=1)
-    zcr = int(np.sum(mono[1:] * mono[:-1] < 0.0))
-    clip = float(np.mean(np.abs(centered) >= 32767.0))
-    assert rms == float(a)
-    assert zcr == (0 if a == 0 else (n - 1) // half)
-    assert clip == (1.0 if a >= 32767 else 0.0)
+    # the REAL shared feature core (the operator calls this function)
+    feat = audio_quality_features(decoded, 32767.0)
+    assert feat["rms"] == float(a) and feat["peak"] == float(a)
+    assert feat["n_zero_cross"] == (0 if a == 0 else (n - 1) // half)
+    assert feat["clip_rate"] == (1.0 if a >= 32767 else 0.0)
+    assert feat["is_silence"] == (a == 0)
+    assert feat["n_samples"] == n and feat["channels"] == ch
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,11 @@ def test_extract_hrefs_and_url_host(spark):
         '<img href="https://not-an-anchor.example.com/i">'
         '<a data-x="1" href="http://b.example.com/q?z=1">three</a>'
         "<a href='https://sq.example.com/s'>four</a>"
-        "<a href=https://bare.example.com/b>five</a></body></html>"
+        "<a href=https://bare.example.com/b>five</a>"
+        # href-shaped text INSIDE another quoted attribute must not
+        # fabricate a link (the pre-href scan consumes quoted values)
+        '<a title="see href=http://spam.example/x" href="https://real.example.com/r">six</a>'
+        '<span title="href=http://nolink.example/y">text</span></body></html>'
     )
     df = spark.createDataFrame([(html,)], "h string")
     row = df.select(
@@ -148,6 +152,7 @@ def test_extract_hrefs_and_url_host(spark):
         "http://b.example.com/q?z=1",
         "https://sq.example.com/s",  # single-quoted
         "https://bare.example.com/b",  # unquoted legacy attribute
+        "https://real.example.com/r",  # spam-in-title skipped, real href kept
     ]
     hosts = (
         df.select(F.explode(extract_hrefs(F.col("h"))).alias("u"))
@@ -161,6 +166,7 @@ def test_extract_hrefs_and_url_host(spark):
         "b.example.com",
         "sq.example.com",
         "bare.example.com",
+        "real.example.com",
     ]
     # userinfo must be consumed before the host capture — the
     # trusted.com@evil.com open-redirect trap attributes to evil.com

@@ -206,3 +206,22 @@ def test_single_color_image():
     assert (out == arr).all()
     out2 = decode_webp(encode_webp(arr, use_lz77=True, cache_bits=2))
     assert (out2 == arr).all()
+
+
+def test_predictor13_truncates_toward_zero():
+    """ClampAddSubtractHalf uses C division (toward zero): with
+    L=T=10, TL=13 the prediction is 10 + trunc(-3/2) = 9 — a floor
+    shift would give 8. Hand-built residuals, no encoder involved."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.webp_codec import _inv_predictor
+
+    res = np.zeros((2, 2, 4), dtype=np.uint8)
+    res[0, 0] = (13, 13, 13, (13 - 255) % 256)
+    res[0, 1] = ((10 - 13) % 256,) * 4
+    res[1, 0] = ((10 - 13) % 256,) * 4
+    res[1, 1] = (0, 0, 0, 0)
+    modes = np.zeros((1, 1, 4), dtype=np.uint8)
+    modes[0, 0, 1] = 13
+    out = _inv_predictor(res, size_bits=9, modes=modes)
+    assert out[1, 1].tolist() == [9, 9, 9, 9]
