@@ -767,15 +767,21 @@ def encode_webp(
     palette: np.ndarray | None = None,
     subtract_green: bool = False,
     predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
     cache_bits: int = 0,
     use_lz77: bool = False,
+    meta_groups: int = 1,
 ) -> bytes:
     """(h, w) or (h, w, ch) uint8 → VP8L lossless WebP. ``palette``
     ((n, 3|4) uint8) switches to COLOR_INDEXING (indices in ``arr``,
     bundled when n <= 16); ``predictor_mode`` applies one PREDICTOR
     mode image-wide (block size 512 → a 1x1 mode image for fixtures up
-    to 512px); ``use_lz77`` emits distance-1 run references (exercises
-    the plane map's (1,0) entry and raw codes)."""
+    to 512px); ``color_transform`` = (g2r, g2b, r2b) int8 multipliers
+    applies one CROSS-COLOR element image-wide; ``use_lz77`` emits
+    distance-1 run references (exercises the plane map's (1,0) entry);
+    ``meta_groups=2`` splits the image into left/right meta prefix-code
+    groups (4-px blocks) so the entropy-image decode path is exercised
+    by real fixtures."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
@@ -848,6 +854,33 @@ def encode_webp(
             level0=False,
         )
         body = _forward_predict(body.reshape(h, w, 4), predictor_mode).reshape(-1, 4)
+    if color_transform is not None:
+        if palette is not None or subtract_green or predictor_mode is not None:
+            raise ValueError("fixture color transform composes alone")
+        if max(h, w) > 512:
+            raise ValueError("fixture color transform limited to 512px (1x1 CTE image)")
+        g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR
+        bw.write(9 - 2, 3)  # size_bits = 9 → one block
+        # CTE pixel channel layout (rgba): red=r2b, green=g2b, blue=g2r
+        _encode_spatial(
+            bw,
+            np.array([[r2b, g2b, g2r, 255]], dtype=np.uint8),
+            1,
+            1,
+            level0=False,
+        )
+        gch = body[:, 1]
+        red_true = body[:, 0]
+        body = body.copy()
+        body[:, 0] = (red_true.astype(np.int32) - _ct_delta(np.full_like(gch, g2r), gch)) & 0xFF
+        body[:, 2] = (
+            body[:, 2].astype(np.int32)
+            - _ct_delta(np.full_like(gch, g2b), gch)
+            - _ct_delta(np.full_like(gch, r2b), red_true)
+        ) & 0xFF
+        body = body.astype(np.uint8)
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)
@@ -871,6 +904,7 @@ def encode_webp(
         cache_bits=cache_bits,
         use_lz77=use_lz77,
         level0=True,
+        meta_groups=meta_groups,
     )
     payload = bw.done()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -951,12 +985,16 @@ def _encode_spatial(
     cache_bits: int = 0,
     use_lz77: bool = False,
     level0: bool = False,
+    meta_groups: int = 1,
 ) -> None:
-    """Emit one spatially-coded image for (n, 4) [r,g,b,a] pixels."""
+    """Emit one spatially-coded image for (n, 4) [r,g,b,a] pixels.
+    ``meta_groups=2`` (level 0 only) splits the image into left/right
+    prefix-code groups on a 4-px block lattice via an entropy image —
+    the decode path real multi-group files take."""
     n = px.shape[0]
     assert n == w * h
-    # token stream: (kind, payload) — literal / cache / backref
-    tokens: list[tuple[str, object]] = []
+    # token stream: (kind, payload, start_pos)
+    tokens: list[tuple[str, object, int]] = []
     cache = [None] * (1 << cache_bits) if cache_bits else None
 
     def _key(i: int) -> int:
@@ -969,7 +1007,7 @@ def _encode_spatial(
             run = 1
             while i + run < n and _key(i + run) == _key(i - 1 + run) and run < 4096:
                 run += 1
-            tokens.append(("ref", (run, 1)))
+            tokens.append(("ref", (run, 1), i))
             if cache is not None:
                 for j in range(i, i + run):
                     argb = _key(j)
@@ -980,67 +1018,100 @@ def _encode_spatial(
         if cache is not None:
             slot = ((argb * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)
             if cache[slot] == argb:
-                tokens.append(("cache", slot))
+                tokens.append(("cache", slot, i))
                 i += 1
                 continue
             cache[slot] = argb
-        tokens.append(("lit", i))
+        tokens.append(("lit", i, i))
         i += 1
-    # frequencies
-    freqs = [dict() for _ in range(5)]
 
-    def bump(ci: int, s: int) -> None:
-        freqs[ci][s] = freqs[ci].get(s, 0) + 1
-
-    for kind, payload in tokens:
-        if kind == "lit":
-            r, g, b, a = (int(v) for v in px[payload])
-            bump(_GREEN, g)
-            bump(_RED, r)
-            bump(_BLUE, b)
-            bump(_ALPHA, a)
-        elif kind == "cache":
-            bump(_GREEN, 280 + payload)
-        else:
-            length, dist = payload
-            lp, _, _ = _prefix_encode(length)
-            bump(_GREEN, 256 + lp)
-            # distance 1 ↔ plane (1, 0) — code 2 in the generated map
-            dp, _, _ = _prefix_encode(_PLANE_CODE[(1, 0)])
-            bump(_DIST, dp)
-    if not freqs[_DIST]:
-        bump(_DIST, 0)
-    for ci in (_RED, _BLUE, _ALPHA):
-        if not freqs[ci]:
-            bump(ci, 0)
     bw.write(1 if cache_bits else 0, 1)
     if cache_bits:
         bw.write(cache_bits, 4)
+    n_groups = 1
+    meta_bits = 2  # 4-px blocks
+    mw = (w + 3) >> 2
+
+    def grp_of(pos: int) -> int:
+        if n_groups == 1:
+            return 0
+        y, x = divmod(pos, w)
+        return 1 if (x >> meta_bits) >= mw // 2 else 0
+
     if level0:
-        bw.write(0, 1)  # no meta prefix codes from the fixture encoder
-    codes = []
-    for ci in range(5):
-        alpha = _ALPHABETS[ci] + ((1 << cache_bits) if (ci == 0 and cache_bits) else 0)
-        lengths = _huff_lengths(freqs[ci], alpha)
-        codes.append(_write_code(bw, lengths))
-    for kind, payload in tokens:
+        if meta_groups == 2:
+            if use_lz77 or cache_bits:
+                raise ValueError("fixture meta groups compose with literals only")
+            if mw < 2:
+                raise ValueError("image too narrow for a left/right split")
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            mh = (h + 3) >> 2
+            mpx = np.zeros((mh * mw, 4), dtype=np.uint8)
+            # group index rides (red << 8 | green); left blocks 0, right 1
+            cols = np.tile(np.arange(mw), mh)
+            mpx[:, 1] = (cols >= mw // 2).astype(np.uint8)
+            mpx[:, 3] = 255
+            _encode_spatial(bw, mpx, mw, mh, level0=False)
+            n_groups = 2
+        else:
+            bw.write(0, 1)  # no meta prefix codes
+    # per-group frequencies
+    freqs = [[dict() for _ in range(5)] for _ in range(n_groups)]
+
+    def bump(g: int, ci: int, s: int) -> None:
+        freqs[g][ci][s] = freqs[g][ci].get(s, 0) + 1
+
+    for kind, payload, pos in tokens:
+        g = grp_of(pos)
         if kind == "lit":
-            r, g, b, a = (int(v) for v in px[payload])
-            for ci, s in ((_GREEN, g), (_RED, r), (_BLUE, b), (_ALPHA, a)):
-                c, k = codes[ci][s]
+            r, gg, b, a = (int(v) for v in px[payload])
+            bump(g, _GREEN, gg)
+            bump(g, _RED, r)
+            bump(g, _BLUE, b)
+            bump(g, _ALPHA, a)
+        elif kind == "cache":
+            bump(g, _GREEN, 280 + payload)
+        else:
+            length, dist = payload
+            lp, _, _ = _prefix_encode(length)
+            bump(g, _GREEN, 256 + lp)
+            # distance 1 ↔ plane (1, 0) — code 2 in the generated map
+            dp, _, _ = _prefix_encode(_PLANE_CODE[(1, 0)])
+            bump(g, _DIST, dp)
+    for g in range(n_groups):
+        if not freqs[g][_DIST]:
+            bump(g, _DIST, 0)
+        for ci in (_GREEN, _RED, _BLUE, _ALPHA):
+            if not freqs[g][ci]:
+                bump(g, ci, 0)
+    codes = []
+    for g in range(n_groups):
+        gcodes = []
+        for ci in range(5):
+            alpha = _ALPHABETS[ci] + ((1 << cache_bits) if (ci == 0 and cache_bits) else 0)
+            lengths = _huff_lengths(freqs[g][ci], alpha)
+            gcodes.append(_write_code(bw, lengths))
+        codes.append(gcodes)
+    for kind, payload, pos in tokens:
+        gc = codes[grp_of(pos)]
+        if kind == "lit":
+            r, gg, b, a = (int(v) for v in px[payload])
+            for ci, sym in ((_GREEN, gg), (_RED, r), (_BLUE, b), (_ALPHA, a)):
+                c, k = gc[ci][sym]
                 bw.write_code(c, k)
         elif kind == "cache":
-            c, k = codes[_GREEN][280 + payload]
+            c, k = gc[_GREEN][280 + payload]
             bw.write_code(c, k)
         else:
             length, dist = payload
             lp, lx, ln = _prefix_encode(length)
-            c, k = codes[_GREEN][256 + lp]
+            c, k = gc[_GREEN][256 + lp]
             bw.write_code(c, k)
             if ln:
                 bw.write(lx, ln)  # extra bits stay LSB-first
             dp, dx, dn = _prefix_encode(_PLANE_CODE[(1, 0)])
-            c, k = codes[_DIST][dp]
+            c, k = gc[_DIST][dp]
             bw.write_code(c, k)
             if dn:
                 bw.write(dx, dn)

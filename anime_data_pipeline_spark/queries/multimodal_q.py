@@ -1601,11 +1601,12 @@ def q184_audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q187 — REAL WebP (VP8L lossless) decode e2e (round 7: SURVEY S7
 # extended to the most common crawl format that previously sat on the
 # PIL seam): a synthetic corpus of genuine RIFF/WEBP files (stdlib
-# encoder, operators/webp_codec.py) cycling doc_id % 8 through literal
+# encoder, operators/webp_codec.py) cycling doc_id % 10 through literal
 # RGB, literal RGBA (alpha < 255 → the header alpha hint), BUNDLED
 # 16-color palette (2 px/byte), unbundled 17-color palette,
-# subtract-green, single-mode predictor, LZ77 runs + color cache, and
-# replicated-gray input; every 33rd row corrupt-after-magic. Decoded
+# subtract-green, single-mode predictor, LZ77 runs + color cache,
+# replicated-gray input, CROSS-COLOR transform, and two meta
+# prefix-code groups; every 33rd row corrupt-after-magic. Decoded
 # by the DEFAULT dispatch twice: header meta → aspect-ratio bucket
 # assignment, and FULL pixels via decode_image_pixel_stats — uniform
 # fills / the q115 closed-form palette give closed-form min/max/mean,
@@ -1634,7 +1635,7 @@ def _q187_oracle() -> str:
     SELECT image_key AS doc_id,
            CAST(16 + (image_key * 67) % 97 AS INTEGER) AS width,
            CAST(16 + (image_key * 97) % 89 AS INTEGER) AS height,
-           CASE WHEN CAST(image_key % 8 AS INTEGER) = 1 THEN 'RGBA'
+           CASE WHEN CAST(image_key % 10 AS INTEGER) = 1 THEN 'RGBA'
                 ELSE 'RGB' END AS mode,
            bucket_w, bucket_h,
            TRUE AS pixel_ok
@@ -1675,7 +1676,7 @@ def _webp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 16 + (i * 97) % 89
                 f = 40 + i % 160
                 j = i % 16
-                v = i % 8
+                v = i % 10
                 if v == 0:
                     blob = encode_webp(np.full((h, w, 3), f, dtype=np.uint8))
                 elif v == 1:  # f < 255 always → alpha hint set
@@ -1702,8 +1703,17 @@ def _webp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         use_lz77=True,
                         cache_bits=4,
                     )
-                else:  # gray input → replicated channels
+                elif v == 7:  # gray input → replicated channels
                     blob = encode_webp(np.full((h, w), f, dtype=np.uint8))
+                elif v == 8:  # cross-color transform (negative + positive int8)
+                    blob = encode_webp(
+                        np.full((h, w, 3), f, dtype=np.uint8),
+                        color_transform=(38, 250, 7),
+                    )
+                else:  # two meta prefix-code groups (left/right split)
+                    blob = encode_webp(
+                        np.full((h, w, 3), f, dtype=np.uint8), meta_groups=2
+                    )
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
@@ -1723,7 +1733,7 @@ def q187_webp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_image_pixel_stats(decode_image_meta(_webp_corpus(spark, sf_dir)))
     i = F.col("doc_id")
     f = (F.lit(40) + (i % 160)).cast("int")
-    v = (i % 8).cast("int")
+    v = (i % 10).cast("int")
     j = (i % 16).cast("int")
     st = F.col("pixel_stats")
     pr, pg, pb = j * 17, 255 - j * 17, (j * 37) % 256

@@ -225,3 +225,29 @@ def test_predictor13_truncates_toward_zero():
     modes[0, 0, 1] = 13
     out = _inv_predictor(res, size_bits=9, modes=modes)
     assert out[1, 1].tolist() == [9, 9, 9, 9]
+
+
+def test_color_transform_roundtrip():
+    """Cross-color inverse: negative and positive int8 multipliers,
+    incl. the red→blue chained term that must use the RESTORED red."""
+    rng = _rng(41)
+    arr = rng.integers(0, 256, size=(15, 22, 3), dtype=np.uint8)
+    for cte in ((38, 250, 7), (255, 1, 128), (0, 0, 0), (127, 129, 200)):
+        out = decode_webp(encode_webp(arr, color_transform=cte))
+        assert out is not None and (out == arr).all(), f"cte {cte}"
+
+
+def test_meta_prefix_groups_roundtrip():
+    """Two entropy-image groups (left/right on a 4-px block lattice):
+    the decoder must switch code groups mid-row."""
+    rng = _rng(43)
+    # left half low values, right half high — group-specific codes differ
+    arr = np.concatenate(
+        [
+            rng.integers(0, 32, size=(17, 13, 3), dtype=np.uint8),
+            rng.integers(224, 256, size=(17, 13, 3), dtype=np.uint8),
+        ],
+        axis=1,
+    )
+    out = decode_webp(encode_webp(arr, meta_groups=2))
+    assert out is not None and (out == arr).all()
