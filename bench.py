@@ -85,6 +85,10 @@ EXTRA_QUERIES = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
     "q179_video_frame_sample",
+    # round-7: the WebP VP8L decode gate and the heaviest new
+    # relational shape (blocked entity resolution)
+    "q187_webp_decode_bucket",
+    "q185_entity_resolution",
 ]
 
 
