@@ -50,7 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # audio silence/clipping hygiene filter over real decoded WAV bytes,
 # blocked entity resolution over synthesized dirty records, and the
 # extract->link-graph->PageRank crawl-prior composition); q187 is NEW
-# (stdlib VP8L WebP decode -> bucket e2e, closing the WEBP codec tail).
+# (stdlib VP8L WebP decode -> bucket e2e, closing the WEBP codec tail);
+# q188 is NEW (animated-WebP VP8X/ANMF frame sampling, the third video
+# container) and q179 rides the same extended sampling operator.
 _CHANGED_THIS_ROUND = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
@@ -61,6 +63,8 @@ _CHANGED_THIS_ROUND = [
     "q185_entity_resolution",
     "q186_domain_pagerank",
     "q187_webp_decode_bucket",
+    "q188_webp_anim_sample",
+    "q179_video_frame_sample",
 ]
 
 # (b) never rowed: none — round 6 caught the record up; every
@@ -117,8 +121,8 @@ _PRIORITY = [
     "q62_stream_sliding",
     "q63_stream_sessions",
     "q65_stream_stream_join",
-    "q64_stream_dedup",
     # ---- 50-row driver cutoff lands here ----
+    "q64_stream_dedup",
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
     "q90_stream_quality_dedup",

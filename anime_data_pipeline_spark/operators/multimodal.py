@@ -840,8 +840,9 @@ AVI_FRAME_FIELDS = [
 def sample_video_frame_stats(
     df: DataFrame, content_col: str = "content", every_k: int = 4
 ) -> DataFrame:
-    """REAL video frame sampling (round 6): MJPEG-AVI or animated-GIF
-    binary → one row per sampled frame with FULL-decode pixel stats —
+    """REAL video frame sampling: MJPEG-AVI, animated-GIF, or
+    animated-WebP (VP8X/ANMF, VP8L frames — round 7) binary → one row
+    per sampled frame with FULL-decode pixel stats —
     the ``sample_video_frames`` plumbing running actual container
     parses (operators/avi_codec.py, gif_codec.py) instead of the FVID
     stub. Corrupt containers → zero rows (dropped, countable upstream
@@ -868,6 +869,10 @@ def sample_video_frame_stats(
             GIF_MAGICS,
             decode_gif_lattice,
             gif_meta,
+        )
+        from anime_data_pipeline_spark.operators.webp_codec import (
+            decode_webp_lattice,
+            webp_anim_meta,
         )
 
         for pdf in batches:
@@ -897,6 +902,17 @@ def sample_video_frame_stats(
                         continue
                     w, h, _mode = meta
                     count, frames = res
+                    for fi in sorted(frames):
+                        emit(i, w, h, count, 0, fi, frames[fi])
+                    continue
+                if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    meta = webp_anim_meta(b)
+                    res = decode_webp_lattice(b, every_k)
+                    if meta is None or res is None:
+                        continue
+                    w, h, _n = meta
+                    count, frames = res
+                    # per-frame delays like GIF → fps 0
                     for fi in sorted(frames):
                         emit(i, w, h, count, 0, fi, frames[fi])
                     continue

@@ -657,6 +657,20 @@ def decode_webp(data: bytes) -> np.ndarray | None:
         return None
 
 
+def _decode_vp8l(payload: bytes) -> np.ndarray | None:
+    """One VP8L chunk payload → (h, w, 4) RGBA, or None."""
+    d = _vp8l_dims(payload)
+    if d is None:
+        return None
+    w, h, _alpha = d
+    if w * h > _MAX_CANVAS_PX:  # bounds BEFORE allocation: header is untrusted
+        return None
+    br = _BitReader(payload[1:])
+    br.read(14 + 14 + 1 + 3)  # skip the header bits already parsed
+    px, transforms = _decode_spatial(br, w, h, True)
+    return _inv_transforms(px, w, h, transforms)
+
+
 def _decode_webp_inner(data: bytes) -> np.ndarray | None:
     if len(data) < 16 or data[:4] != RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
         return None
@@ -672,14 +686,179 @@ def _decode_webp_inner(data: bytes) -> np.ndarray | None:
     d = _vp8l_dims(vp8l)
     if d is None:
         return None
-    w, h, alpha = d
-    if w * h > _MAX_CANVAS_PX:  # bounds BEFORE allocation: header is untrusted
+    img = _decode_vp8l(vp8l)
+    if img is None:
         return None
-    br = _BitReader(vp8l[1:])
-    br.read(14 + 14 + 1 + 3)  # skip the header bits already parsed
-    px, transforms = _decode_spatial(br, w, h, True)
-    img = _inv_transforms(px, w, h, transforms)
-    return img if alpha else img[:, :, :3].copy()
+    return img if d[2] else img[:, :, :3].copy()
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF, VP8L-coded frames) — the third
+# container in the video-sampling family (q179: MJPEG-AVI + animated
+# GIF; q188 gates this one). Same lattice contract as
+# gif_codec.decode_gif_lattice: frames are deltas over a composited
+# canvas, so one compositor pass 0..max(sampled) serves the whole
+# sampling lattice.
+# ---------------------------------------------------------------------------
+def _u24(b: bytes) -> int:
+    return b[0] | (b[1] << 8) | (b[2] << 16)
+
+
+def _anmf_frames(data: bytes):
+    """Yield (x, y, w, h, duration_ms, blend_none, dispose_bg,
+    payload_start, payload_end) per ANMF chunk."""
+    for fourcc, start, size in _chunks(data):
+        if fourcc != b"ANMF" or size < 16:
+            continue
+        hdr = data[start : start + 16]
+        x = _u24(hdr[0:3]) * 2
+        y = _u24(hdr[3:6]) * 2
+        w = _u24(hdr[6:9]) + 1
+        h = _u24(hdr[9:12]) + 1
+        dur = _u24(hdr[12:15])
+        flags = hdr[15]
+        yield (
+            x, y, w, h, dur,
+            bool(flags & 0x02),  # blending method: 1 = do NOT blend
+            bool(flags & 0x01),  # disposal: 1 = dispose to background
+            start + 16,
+            start + size,
+        )
+
+
+def webp_anim_meta(data: bytes) -> tuple[int, int, int] | None:
+    """(canvas_w, canvas_h, n_frames) for an animated WebP; None when
+    the container isn't a VP8X animation."""
+    if len(data) < 16 or data[:4] != RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
+        return None
+    canvas = None
+    for fourcc, start, size in _chunks(data):
+        if fourcc == b"VP8X" and size >= 10:
+            flags = data[start]
+            if not flags & 0x02:
+                return None  # not an animation
+            w = 1 + int.from_bytes(data[start + 4 : start + 7], "little")
+            h = 1 + int.from_bytes(data[start + 7 : start + 10], "little")
+            canvas = (w, h)
+    if canvas is None:
+        return None
+    n = sum(1 for _ in _anmf_frames(data))
+    return (canvas[0], canvas[1], n) if n else None
+
+
+def decode_webp_lattice(
+    data: bytes, every_k: int
+) -> tuple[int, dict[int, np.ndarray]] | None:
+    """(n_frames, {sampled_idx: canvas RGBA}) — composite frames
+    0..max(sampled) once (ANMF frames are deltas: sub-rect placement,
+    optional alpha blend, dispose-to-background), keep every k-th.
+    None for corrupt/non-animated; a frame whose VP8L data fails to
+    decode drops the whole clip (consistent with the GIF lattice)."""
+    try:
+        meta = webp_anim_meta(data)
+        if meta is None:
+            return None
+        cw, ch, n = meta
+        if cw * ch > _MAX_CANVAS_PX:
+            return None
+        bg = (0, 0, 0, 0)
+        for fourcc, start, size in _chunks(data):
+            if fourcc == b"ANIM" and size >= 6:
+                b_, g_, r_, a_ = data[start : start + 4]  # BGRA order
+                bg = (r_, g_, b_, a_)
+        wanted = set(range(0, n, max(1, every_k)))
+        canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        canvas[:, :] = bg
+        out: dict[int, np.ndarray] = {}
+        hi = max(wanted)
+        for fi, (x, y, fw, fh, _dur, no_blend, dispose_bg, ps, pe) in enumerate(
+            _anmf_frames(data)
+        ):
+            if fi > hi:
+                break
+            if x + fw > cw or y + fh > ch:
+                return None
+            payload = data[ps:pe]
+            vp8l = None
+            pos = 0
+            while pos + 8 <= len(payload):  # sub-chunks: ALPH? then VP8/VP8L
+                fcc = payload[pos : pos + 4]
+                (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                if pos + 8 + sz > len(payload):
+                    return None
+                if fcc == b"VP8L":
+                    vp8l = payload[pos + 8 : pos + 8 + sz]
+                    break
+                if fcc == b"VP8 ":
+                    raise NotImplementedError("lossy VP8 frames require PIL (seam)")
+                pos += 8 + sz + (sz & 1)
+            if vp8l is None:
+                return None
+            frame = _decode_vp8l(vp8l)
+            if frame is None or frame.shape[:2] != (fh, fw):
+                return None
+            region = canvas[y : y + fh, x : x + fw]
+            if no_blend:
+                region[:] = frame
+            else:  # src-over with integer rounding
+                sa = frame[:, :, 3:4].astype(np.uint32)
+                da = region[:, :, 3:4].astype(np.uint32)
+                oa = sa * 255 + da * (255 - sa)  # alpha * 255^2 scale
+                rgb = (
+                    frame[:, :, :3].astype(np.uint32) * sa * 255
+                    + region[:, :, :3].astype(np.uint32) * da * (255 - sa)
+                )
+                safe = np.maximum(oa, 1)
+                region[:, :, :3] = ((rgb + safe // 2) // safe).astype(np.uint8)
+                region[:, :, 3:4] = ((oa + 127) // 255).astype(np.uint8)
+            if fi in wanted:
+                out[fi] = canvas.copy()
+            if dispose_bg:
+                canvas[y : y + fh, x : x + fw] = bg
+        return n, out
+    except NotImplementedError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError):
+        return None
+
+
+def encode_webp_anim(
+    frames: list[tuple[np.ndarray, int, int, int]],
+    canvas: tuple[int, int],
+    *,
+    bg: tuple[int, int, int, int] = (0, 0, 0, 0),
+    dispose_bg: bool = False,
+) -> bytes:
+    """Fixture animation writer: frames as (rgba_or_rgb, x, y,
+    duration_ms) placed on a (w, h) canvas, VP8L-coded, no-blend."""
+    cw, chh = canvas
+    body = bytearray()
+    flags = 0x02  # animation
+    if any(f[0].shape[2] == 4 for f in frames):
+        flags |= 0x10
+    body += b"VP8X" + struct.pack("<I", 10) + bytes([flags, 0, 0, 0])
+    body += (cw - 1).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little")
+    anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", 0)
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for arr, x, y, dur in frames:
+        still = encode_webp(arr)
+        vp8l_at = still.index(b"VP8L")
+        (sz,) = struct.unpack("<I", still[vp8l_at + 4 : vp8l_at + 8])
+        chunk = still[vp8l_at : vp8l_at + 8 + sz + (sz & 1)]
+        fh, fw = arr.shape[:2]
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([0x02 | (0x01 if dispose_bg else 0)])  # no-blend
+        )
+        payload = hdr + chunk
+        body += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + bytes(body)
 
 
 # ---------------------------------------------------------------------------

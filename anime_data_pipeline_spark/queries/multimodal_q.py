@@ -1773,3 +1773,121 @@ def q187_webp_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_h",
         "pixel_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — animated-WebP frame sampling e2e (round 7: the THIRD video
+# container, after q179's MJPEG-AVI and animated GIF): a synthetic
+# corpus of real VP8X/ANIM/ANMF files with VP8L-coded frames,
+# j = doc_id/17 deriving canvas dims, frame count, and a per-frame
+# uniform fill 40 + (j*7 + fi*5) % 180 (q179's fill law — exact
+# through VP8L, which is lossless); odd j places every frame as a
+# SUB-RECT over a background-colored canvas with dispose-to-background
+# (the compositor path), even j uses full-canvas frames; every 4th
+# selected row corrupt-after-magic. The every-3rd sampling lattice
+# decodes through ONE compositor pass; frame_ok pins the sampled
+# canvas stats against the closed form: the background (250) sits
+# ABOVE the fill range [40, 219] and the RGBA alpha plane is 255
+# everywhere, so f_min == fill for both frame shapes and f_max == 255.
+# The oracle recomputes lattice + metadata from doc_id and pins
+# frame_ok.
+# ---------------------------------------------------------------------------
+_Q188_ORACLE = """
+    WITH vids AS (
+      SELECT doc_id, doc_id // 17 AS j
+      FROM documents WHERE doc_id % 17 = 0 AND doc_id % 68 <> 0
+    ),
+    meta AS (
+      SELECT doc_id, j,
+             CAST(18 + (j * 13) % 46 AS INTEGER) AS width,
+             CAST(18 + (j * 7) % 38 AS INTEGER) AS height,
+             CAST(1 + j % 9 AS INTEGER) AS n_frames
+      FROM vids
+    )
+    SELECT doc_id, width, height, n_frames,
+           CAST(0 AS INTEGER) AS fps,
+           CAST(unnest(range(0, n_frames, 3)) AS INTEGER) AS frame_idx,
+           TRUE AS frame_ok
+    FROM meta
+"""
+
+
+def _webp_anim_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 17 = 0) → real animated-WebP bytes per the
+    q188 lattice; every 4th j corrupt-after-magic."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.webp_codec import encode_webp_anim
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 68 == 0:
+                    blobs.append(b"RIFF\x0c\x00\x00\x00WEBPVP8Xjunk")
+                    continue
+                j = i // 17
+                w = 18 + (j * 13) % 46
+                h = 18 + (j * 7) % 38
+                n = 1 + j % 9
+                frames = []
+                for fi in range(n):
+                    fill = 40 + (j * 7 + fi * 5) % 180
+                    if j % 2 == 1 and n > 1:
+                        # sub-rect placement over a bg-colored canvas
+                        fw, fh = w - 8, h - 8
+                        frames.append(
+                            (np.full((fh, fw, 3), fill, np.uint8), 4, 4, 40)
+                        )
+                    else:
+                        frames.append((np.full((h, w, 3), fill, np.uint8), 0, 0, 40))
+                blobs.append(
+                    encode_webp_anim(
+                        frames,
+                        (w, h),
+                        bg=(250, 250, 250, 255),
+                        dispose_bg=bool(j % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register("q188_webp_anim_sample", oracle=_Q188_ORACLE)
+def q188_webp_anim_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.multimodal import (
+        sample_video_frame_stats,
+    )
+
+    sampled = sample_video_frame_stats(_webp_anim_corpus(spark, sf_dir), every_k=3)
+    j = (F.col("doc_id") / 17).cast("long")
+    fill = (40 + (j * 7 + F.col("frame_idx") * 5) % 180).cast("int")
+    frame_ok = (
+        (F.col("f_w") == F.col("width"))
+        & (F.col("f_h") == F.col("height"))
+        & (F.col("f_min") == fill)  # fill < bg(250) < alpha(255)
+        & (F.col("f_max") == 255)  # the opaque alpha plane
+    )
+    return sampled.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "frame_idx",
+        frame_ok.alias("frame_ok"),
+    )

@@ -251,3 +251,78 @@ def test_meta_prefix_groups_roundtrip():
     )
     out = decode_webp(encode_webp(arr, meta_groups=2))
     assert out is not None and (out == arr).all()
+
+
+def test_animated_webp_lattice_and_compositing():
+    from anime_data_pipeline_spark.operators.webp_codec import (
+        decode_webp_lattice,
+        encode_webp_anim,
+        webp_anim_meta,
+    )
+
+    f0 = np.full((20, 30, 3), 60, np.uint8)
+    sub = _rng(8).integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    f2 = np.full((20, 30, 3), 200, np.uint8)
+    blob = encode_webp_anim([(f0, 0, 0, 40), (sub, 4, 6, 40), (f2, 0, 0, 40)], (30, 20))
+    assert webp_anim_meta(blob) == (30, 20, 3)
+    n, frames = decode_webp_lattice(blob, 1)
+    assert n == 3 and sorted(frames) == [0, 1, 2]
+    assert (frames[0][:, :, :3] == 60).all()
+    exp1 = frames[0].copy()
+    exp1[6:16, 4:16, :3] = sub
+    exp1[6:16, 4:16, 3] = 255
+    assert (frames[1] == exp1).all()
+    assert (frames[2][:, :, :3] == 200).all()
+    # every-2 sampling still composites through frame 1
+    n2, f2s = decode_webp_lattice(blob, 2)
+    assert sorted(f2s) == [0, 2] and (f2s[2] == frames[2]).all()
+    # dispose-to-background: frame 1's rect reverts before frame 2
+    blob_d = encode_webp_anim(
+        [(f0, 0, 0, 40), (sub, 4, 6, 40), (sub, 0, 0, 40)],
+        (30, 20),
+        bg=(9, 9, 9, 255),
+        dispose_bg=True,
+    )
+    _, fd = decode_webp_lattice(blob_d, 1)
+    assert (fd[1][6:16, 4:16, :3] == sub).all()
+    assert (fd[2][0:10, 0:12, :3] == sub).all()
+    assert (fd[2][12:, 20:, :3] == 9).all()  # disposed area back to bg
+
+
+def test_animated_webp_alpha_blend():
+    """A 50%-alpha red frame over an opaque green canvas: src-over with
+    integer rounding (no-blend flag OFF)."""
+    import struct as _struct
+
+    from anime_data_pipeline_spark.operators.webp_codec import (
+        decode_webp_lattice,
+        encode_webp_anim,
+    )
+
+    base = np.zeros((8, 8, 4), np.uint8)
+    base[:, :] = (0, 200, 0, 255)
+    overlay = np.zeros((8, 8, 4), np.uint8)
+    overlay[:, :] = (100, 0, 0, 128)
+    blob = bytearray(encode_webp_anim([(base, 0, 0, 10), (overlay, 0, 0, 10)], (8, 8)))
+    # clear the no-blend bit on the SECOND ANMF frame header
+    second = blob.index(b"ANMF", blob.index(b"ANMF") + 4)
+    flag_at = second + 8 + 15
+    blob[flag_at] = blob[flag_at] & ~0x02
+    _, frames = decode_webp_lattice(bytes(blob), 1)
+    out = frames[1][0, 0]
+    # over: a = 128 + 255*(127)/255 = 255; rgb = (src*128 + dst*127)/255
+    assert out[3] == 255
+    assert out[0] == round((100 * 128 * 255 + 0) / (255 * 255))
+    assert out[1] == round((0 + 200 * 255 * 127) / (255 * 255))
+
+
+def test_animated_webp_corrupt_and_nonanim():
+    from anime_data_pipeline_spark.operators.webp_codec import (
+        decode_webp_lattice,
+        webp_anim_meta,
+    )
+
+    still = encode_webp(np.full((4, 4, 3), 7, np.uint8))
+    assert webp_anim_meta(still) is None  # no VP8X/ANMF
+    assert decode_webp_lattice(still, 1) is None
+    assert decode_webp_lattice(b"RIFF\x04\x00\x00\x00WEBP", 1) is None
