@@ -120,8 +120,8 @@ _PRIORITY = [
     "q61_stream_tumbling",
     "q62_stream_sliding",
     "q63_stream_sessions",
-    "q65_stream_stream_join",
     # ---- 50-row driver cutoff lands here ----
+    "q65_stream_stream_join",
     "q64_stream_dedup",
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",

@@ -872,7 +872,6 @@ def sample_video_frame_stats(
         )
         from anime_data_pipeline_spark.operators.webp_codec import (
             decode_webp_lattice,
-            webp_anim_meta,
         )
 
         for pdf in batches:
@@ -906,15 +905,17 @@ def sample_video_frame_stats(
                         emit(i, w, h, count, 0, fi, frames[fi])
                     continue
                 if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-                    meta = webp_anim_meta(b)
-                    res = decode_webp_lattice(b, every_k)
-                    if meta is None or res is None:
+                    try:
+                        res = decode_webp_lattice(b, every_k)
+                    except NotImplementedError:
+                        res = None  # lossy-VP8 frames: the PIL seam → drop clip
+                    if res is None:
                         continue
-                    w, h, _n = meta
                     count, frames = res
+                    first = frames[min(frames)]  # canvas dims ride the frames
                     # per-frame delays like GIF → fps 0
                     for fi in sorted(frames):
-                        emit(i, w, h, count, 0, fi, frames[fi])
+                        emit(i, first.shape[1], first.shape[0], count, 0, fi, frames[fi])
                     continue
                 meta = avi_meta(b)
                 if meta is None:

@@ -657,18 +657,20 @@ def decode_webp(data: bytes) -> np.ndarray | None:
         return None
 
 
-def _decode_vp8l(payload: bytes) -> np.ndarray | None:
-    """One VP8L chunk payload → (h, w, 4) RGBA, or None."""
+def _decode_vp8l(payload: bytes) -> tuple[np.ndarray, bool] | None:
+    """One VP8L chunk payload → ((h, w, 4) RGBA, alpha_hint), or None —
+    a single header parse serves both the dims check and the caller's
+    alpha decision."""
     d = _vp8l_dims(payload)
     if d is None:
         return None
-    w, h, _alpha = d
+    w, h, alpha = d
     if w * h > _MAX_CANVAS_PX:  # bounds BEFORE allocation: header is untrusted
         return None
     br = _BitReader(payload[1:])
     br.read(14 + 14 + 1 + 3)  # skip the header bits already parsed
     px, transforms = _decode_spatial(br, w, h, True)
-    return _inv_transforms(px, w, h, transforms)
+    return _inv_transforms(px, w, h, transforms), alpha
 
 
 def _decode_webp_inner(data: bytes) -> np.ndarray | None:
@@ -683,13 +685,11 @@ def _decode_webp_inner(data: bytes) -> np.ndarray | None:
             raise NotImplementedError("lossy VP8 decode requires PIL (seam)")
     if vp8l is None:
         return None
-    d = _vp8l_dims(vp8l)
-    if d is None:
+    res = _decode_vp8l(vp8l)
+    if res is None:
         return None
-    img = _decode_vp8l(vp8l)
-    if img is None:
-        return None
-    return img if d[2] else img[:, :, :3].copy()
+    img, alpha = res
+    return img if alpha else img[:, :, :3].copy()
 
 
 # ---------------------------------------------------------------------------
@@ -794,9 +794,10 @@ def decode_webp_lattice(
                 pos += 8 + sz + (sz & 1)
             if vp8l is None:
                 return None
-            frame = _decode_vp8l(vp8l)
-            if frame is None or frame.shape[:2] != (fh, fw):
+            res = _decode_vp8l(vp8l)
+            if res is None or res[0].shape[:2] != (fh, fw):
                 return None
+            frame = res[0]
             region = canvas[y : y + fh, x : x + fw]
             if no_blend:
                 region[:] = frame
@@ -841,6 +842,8 @@ def encode_webp_anim(
     anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", 0)
     body += b"ANIM" + struct.pack("<I", len(anim)) + anim
     for arr, x, y, dur in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF stores offsets in 2-px units — use even x/y")
         still = encode_webp(arr)
         vp8l_at = still.index(b"VP8L")
         (sz,) = struct.unpack("<I", still[vp8l_at + 4 : vp8l_at + 8])

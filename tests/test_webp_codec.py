@@ -326,3 +326,50 @@ def test_animated_webp_corrupt_and_nonanim():
     assert webp_anim_meta(still) is None  # no VP8X/ANMF
     assert decode_webp_lattice(still, 1) is None
     assert decode_webp_lattice(b"RIFF\x04\x00\x00\x00WEBP", 1) is None
+
+
+def test_lossy_anim_frames_drop_not_crash(spark):
+    """An animated WebP whose ANMF frames carry lossy 'VP8 ' data must
+    DROP the clip in sample_video_frame_stats (zero rows), never kill
+    the Spark task with NotImplementedError."""
+    import struct as _struct
+
+    from anime_data_pipeline_spark.operators.multimodal import (
+        sample_video_frame_stats,
+    )
+
+    vp8 = b"VP8 " + _struct.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a\x08\x00\x08\x00"
+    hdr = (
+        (0).to_bytes(3, "little") * 2
+        + (7).to_bytes(3, "little")
+        + (7).to_bytes(3, "little")
+        + (40).to_bytes(3, "little")
+        + bytes([0x02])
+    )
+    anmf = b"ANMF" + _struct.pack("<I", len(hdr) + len(vp8)) + hdr + vp8
+    vp8x = b"VP8X" + _struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + (7).to_bytes(
+        3, "little"
+    ) + (7).to_bytes(3, "little")
+    body = vp8x + anmf
+    blob = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    good = encode_webp_anim_ok()
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(good))], "doc_id long, content binary"
+    )
+    rows = sample_video_frame_stats(df, every_k=1).collect()
+    assert {r["doc_id"] for r in rows} == {2}  # lossy clip dropped, good one kept
+
+
+def encode_webp_anim_ok():
+    from anime_data_pipeline_spark.operators.webp_codec import encode_webp_anim
+
+    f = np.full((6, 6, 3), 50, np.uint8)
+    return encode_webp_anim([(f, 0, 0, 10)], (6, 6))
+
+
+def test_odd_anim_offsets_rejected():
+    from anime_data_pipeline_spark.operators.webp_codec import encode_webp_anim
+
+    f = np.full((4, 4, 3), 9, np.uint8)
+    with pytest.raises(ValueError):
+        encode_webp_anim([(f, 3, 0, 10)], (10, 10))
