@@ -684,7 +684,14 @@ def _decode_webp_inner(data: bytes) -> np.ndarray | None:
         if fourcc == b"VP8 ":
             raise NotImplementedError("lossy VP8 decode requires PIL (seam)")
     if vp8l is None:
-        return None
+        # animated container: the still-image contract is "first frame,
+        # composited" — the same handling PIL gives animated GIFs
+        # (reference dbimutils.py:6-26), and what decode_gif does here
+        res = decode_webp_lattice(data, 1 << 30)  # sample only frame 0
+        if res is None:
+            return None
+        _n, frames = res
+        return frames.get(0)
     res = _decode_vp8l(vp8l)
     if res is None:
         return None

@@ -373,3 +373,17 @@ def test_odd_anim_offsets_rejected():
     f = np.full((4, 4, 3), 9, np.uint8)
     with pytest.raises(ValueError):
         encode_webp_anim([(f, 3, 0, 10)], (10, 10))
+
+
+def test_still_decode_of_animation_returns_first_frame():
+    """decode_webp on an animated container composites frame 0 — the
+    same first-frame contract decode_gif gives animated GIFs."""
+    from anime_data_pipeline_spark.operators.webp_codec import encode_webp_anim
+
+    f0 = np.full((12, 10, 3), 80, np.uint8)
+    f1 = np.full((12, 10, 3), 160, np.uint8)
+    blob = encode_webp_anim([(f0, 0, 0, 10), (f1, 0, 0, 10)], (10, 12))
+    assert webp_meta(blob)[:2] == (10, 12)
+    out = decode_webp(blob)
+    assert out is not None and out.shape == (12, 10, 4)
+    assert (out[:, :, :3] == 80).all()  # frame 0, not frame 1
