@@ -8,6 +8,13 @@ Scope, mirroring how the other six codecs split header vs pixels:
 - ``webp_meta``: header-only (width, height, mode) for ALL THREE
   container flavors — VP8L (lossless), VP8 (lossy keyframe header),
   and VP8X (extended: canvas dims; animations report the canvas).
+- Animation: ``webp_anim_meta`` + ``decode_webp_lattice`` walk
+  VP8X/ANIM/ANMF and composite VP8L frames (sub-rect placement,
+  integer src-over alpha blend, dispose-to-background) — one
+  compositor pass per sampling lattice, the contract
+  gif_codec.decode_gif_lattice set; ``encode_webp_anim`` writes
+  fixtures. ``decode_webp`` on an animated container returns the
+  composited FIRST frame (PIL's animated-still behavior).
 - ``decode_webp``: FULL pixel decode for **VP8L lossless** — the
   complete bitstream spec (RFC 9649 §3): LSB-first bit packing,
   DEFLATE-convention canonical prefix codes (simple 1-2-symbol and
@@ -24,8 +31,9 @@ Scope, mirroring how the other six codecs split header vs pixels:
 - ``encode_webp``: spec-conformant VP8L writer for fixtures/synthetic
   corpora: literal or simple-LZ77 (run) coding, optional color cache,
   optional SUBTRACT_GREEN, optional single-mode PREDICTOR, optional
-  palette (with bundling), canonical prefix codes with a flat 5-bit
-  code-length code.
+  single-element CROSS-COLOR transform, optional palette (with
+  bundling), optional two meta prefix-code groups, canonical prefix
+  codes with a complete Huffman-coded code-length code.
 
 The 2D distance-plane map is generated, not transcribed: the spec's
 120-entry table is exactly the (dx, dy) neighborhood sorted by
