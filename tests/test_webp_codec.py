@@ -387,3 +387,43 @@ def test_still_decode_of_animation_returns_first_frame():
     out = decode_webp(blob)
     assert out is not None and out.shape == (12, 10, 4)
     assert (out[:, :, :3] == 80).all()  # frame 0, not frame 1
+
+
+def test_handassembled_anmf_layout():
+    """A 2-frame animation written byte-by-byte from the ANMF spec (not
+    via encode_webp_anim): pins the 3-byte little-endian field order
+    (x/2, y/2, w-1, h-1, duration) and the flag bits independently of
+    the fixture writer — the matched-bug trap for the animation path."""
+    from anime_data_pipeline_spark.operators.webp_codec import (
+        decode_webp_lattice,
+        webp_anim_meta,
+    )
+
+    def u24(v):
+        return int(v).to_bytes(3, "little")
+
+    def vp8l_chunk(fill, w, h):
+        still = encode_webp(np.full((h, w, 3), fill, np.uint8))
+        at = still.index(b"VP8L")
+        (sz,) = struct.unpack("<I", still[at + 4 : at + 8])
+        return still[at : at + 8 + sz + (sz & 1)]
+
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + u24(11) + u24(9)
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes([5, 6, 7, 255]) + struct.pack("<H", 0)
+    # frame 0: full canvas 12x10 at (0,0), no-blend (bit1), keep (bit0=0)
+    f0 = vp8l_chunk(100, 12, 10)
+    h0 = u24(0) + u24(0) + u24(11) + u24(9) + u24(40) + bytes([0x02])
+    anmf0 = b"ANMF" + struct.pack("<I", len(h0) + len(f0)) + h0 + f0
+    # frame 1: 4x6 sub-rect at (6, 2) → stored as x/2=3, y/2=1
+    f1 = vp8l_chunk(220, 4, 6)
+    h1 = u24(3) + u24(1) + u24(3) + u24(5) + u24(40) + bytes([0x02])
+    anmf1 = b"ANMF" + struct.pack("<I", len(h1) + len(f1)) + h1 + f1
+    body = vp8x + anim + anmf0 + anmf1
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert webp_anim_meta(blob) == (12, 10, 2)
+    n, frames = decode_webp_lattice(blob, 1)
+    assert n == 2
+    assert (frames[0][:, :, :3] == 100).all()
+    c1 = frames[1]
+    assert (c1[2:8, 6:10, :3] == 220).all()  # sub-rect at (x=6, y=2)
+    assert (c1[0:2, :, :3] == 100).all()  # rest keeps frame 0
