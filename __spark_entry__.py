@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # extract->link-graph->PageRank crawl-prior composition); q187 is NEW
 # (stdlib VP8L WebP decode -> bucket e2e, closing the WEBP codec tail);
 # q188 is NEW (animated-WebP VP8X/ANMF frame sampling, the third video
-# container) and q179 rides the same extended sampling operator.
+# container), q179 rides the same extended sampling operator, and q189
+# is NEW (gap-filled time series: LOCF + linear interpolation).
 _CHANGED_THIS_ROUND = [
     "q177_raster_decode_bucket",
     "q178_wav_decode_chunk",
@@ -65,6 +66,7 @@ _CHANGED_THIS_ROUND = [
     "q187_webp_decode_bucket",
     "q188_webp_anim_sample",
     "q179_video_frame_sample",
+    "q189_gapfill_interpolate",
 ]
 
 # (b) never rowed: none — round 6 caught the record up; every
@@ -119,8 +121,8 @@ _PRIORITY = [
     "q77_label_centroid_cohesion",
     "q61_stream_tumbling",
     "q62_stream_sliding",
-    "q63_stream_sessions",
     # ---- 50-row driver cutoff lands here ----
+    "q63_stream_sessions",
     "q65_stream_stream_join",
     "q64_stream_dedup",
     "q68_stream_stateful_stats",

@@ -930,3 +930,124 @@ def q176_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataF
         "p50_latency_us",
         "p90_latency_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — gap-filled time series with LOCF + linear interpolation (round
+# 7: the resample/gapfill operator every time-series engine ships —
+# TimescaleDB time_bucket_gapfill + locf/interpolate — absent from the
+# family until now). Per user: aggregate events to a sparse DAILY
+# series (avg value, dround-12'd per day BEFORE any further math — the
+# repo's sum-order rule), generate the dense day grid over the user's
+# OBSERVED span (sequence/generate_series), left-join, then fill two
+# ways: last-observation-carried-forward, and linear interpolation
+# between the surrounding observed days. Both engines run the same
+# window plan: partitioned by user (bounded partitions — the span is
+# ≤31 days), unbounded-preceding for the prev observation,
+# unbounded-following for the next. Scale: the grid explode is
+# bounded by span/bucket per entity, windows are per-entity, and the
+# one shuffle keys on user_id — the standard gapfill shape at any
+# corpus size (hot entities bound by their time span, not row count).
+# ---------------------------------------------------------------------------
+_Q189_ORACLE = f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             {dround_sql("avg(value)", 12)} AS v,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, d.v, coalesce(d.n_events, 0) AS n_events,
+             d.v IS NOT NULL AS is_observed
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    filled AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+             last_value(CASE WHEN is_observed THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN is_observed THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM joined
+    )
+    SELECT user_id, day, is_observed, n_events,
+           {dround_sql("locf", 6)} AS locf,
+           {dround_sql(
+             "CASE WHEN is_observed THEN v "
+             "ELSE locf + (next_v - locf) * "
+             "CAST(datediff('day', prev_day, day) AS DOUBLE) / "
+             "CAST(datediff('day', prev_day, next_day) AS DOUBLE) END", 6)} AS interp
+    FROM filled
+"""
+
+
+@register("q189_gapfill_interpolate", oracle=_Q189_ORACLE)
+def q189_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        dround(F.avg("value"), 12).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "v",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("is_observed"), F.col("day"))
+    filled = (
+        joined.withColumn("locf", F.last("v", ignorenulls=True).over(back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    gap_frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    interp = F.when(F.col("is_observed"), F.col("v")).otherwise(
+        F.col("locf") + (F.col("next_v") - F.col("locf")) * gap_frac
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        "is_observed",
+        "n_events",
+        dround(F.col("locf"), 6).alias("locf"),
+        dround(interp, 6).alias("interp"),
+    )
