@@ -954,7 +954,8 @@ _Q189_ORACLE = f"""
       SELECT user_id, CAST(ts AS DATE) AS day,
              {dround_sql("avg(value)", 12)} AS v,
              CAST(count(*) AS BIGINT) AS n_events
-      FROM events GROUP BY user_id, CAST(ts AS DATE)
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
     ),
     spans AS (
       SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
@@ -1001,11 +1002,18 @@ def q189_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(
-        dround(F.avg("value"), 12).alias("v"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    # null measurements are not observations: a day of NULL values must
+    # not anchor the span or appear observed-with-no-value
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            dround(F.avg("value"), 12).alias("v"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        # consumed twice (spans + the grid join): persist or the events
+        # scan and the per-day aggregation shuffle run twice
+        .persist()
     )
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -1037,11 +1045,13 @@ def q189_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_v", F.first("v", ignorenulls=True).over(fwd))
         .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(fwd))
     )
-    gap_frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
-        "next_day", "prev_day"
-    ).cast("double")
+    # association mirrors the oracle exactly: ((next-prev) * dd1) / dd2 —
+    # a * (dd1/dd2) differs by 1 ulp on ~6% of gap rows
     interp = F.when(F.col("is_observed"), F.col("v")).otherwise(
-        F.col("locf") + (F.col("next_v") - F.col("locf")) * gap_frac
+        F.col("locf")
+        + (F.col("next_v") - F.col("locf"))
+        * F.datediff("day", "prev_day").cast("double")
+        / F.datediff("next_day", "prev_day").cast("double")
     )
     return filled.select(
         "user_id",
