@@ -675,7 +675,8 @@ def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFra
         for pdf in batches:
             rows = []
             for content in pdf[content_col]:
-                out = decode_wav(bytes(content)) if content is not None else None
+                content_b = bytes(content) if content is not None else None
+                out = decode_wav(content_b) if content_b is not None else None
                 if out is None or out[0].size == 0:
                     rows.append(None)
                     continue
@@ -683,8 +684,10 @@ def decode_audio_quality(df: DataFrame, content_col: str = "content") -> DataFra
                 if samples.dtype.kind == "f" and not np.isfinite(samples).all():
                     rows.append(None)
                     continue
+                # reuse the one materialized copy — the full-scale lookup
+                # only re-reads the header
                 rows.append(
-                    audio_quality_features(samples, _wav_full_scale(bytes(content)))
+                    audio_quality_features(samples, _wav_full_scale(content_b))
                 )
             pdf = pdf.copy()
             pdf["audio_quality"] = rows

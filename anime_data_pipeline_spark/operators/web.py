@@ -92,8 +92,11 @@ def extract_hrefs(html: Column) -> Column:
     share a group index — still pure codegen."""
     raw = F.regexp_extract_all(
         html,
+        # \shref requires a whitespace ATTRIBUTE-NAME boundary, so
+        # data-href=/xlink:href= can't mask the tag's real href; the
+        # lookahead keeps <a's own space available to that \s
         F.lit(
-            r"""(?i)<a\s(?:[^>"']|"[^"]*"|'[^']*')*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>"']+)"""
+            r"""(?i)<a(?=\s)(?:[^>"']|"[^"]*"|'[^']*')*?\shref\s*=\s*("[^"]*"|'[^']*'|[^\s>"']+)"""
         ),
         1,
     )

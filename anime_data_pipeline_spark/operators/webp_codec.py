@@ -350,10 +350,11 @@ def _decode_spatial(
             g.append(_read_code(br, alpha))
         groups.append(g)
     n_px = xsize * h
-    # plain int tuples in a Python list: per-pixel ndarray writes cost
-    # ~20x more (same reasoning as _inv_predictor); one np.asarray at
-    # the end materializes the image
-    out: list[tuple[int, int, int, int]] = [None] * n_px  # type: ignore[list-item]
+    # flat bytearray, 4 bytes/pixel: per-pixel Python tuples amplified
+    # memory ~50-200x over this, so a few-KB crafted run-coded blob
+    # under the 64 MP cap could OOM a worker before MemoryError was
+    # catchable — the crafted-header class the caps exist to stop
+    out = bytearray(n_px * 4)
     meta_rows = meta.tolist() if meta is not None else None
     pos = 0
     while pos < n_px:
@@ -367,7 +368,11 @@ def _decode_spatial(
             r = grp[_RED].read(br)
             b = grp[_BLUE].read(br)
             a = grp[_ALPHA].read(br)
-            out[pos] = (r, s, b, a)
+            p4 = pos * 4
+            out[p4] = r
+            out[p4 + 1] = s
+            out[p4 + 2] = b
+            out[p4 + 3] = a
             if cache is not None:
                 argb = (a << 24) | (r << 16) | (s << 8) | b
                 cache[((argb * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
@@ -384,25 +389,36 @@ def _decode_spatial(
                     dist = 1
             if dist > pos or pos + length > n_px:
                 raise ValueError("bad backward reference")
-            src_i = pos - dist
+            p4 = pos * 4
+            src4 = (pos - dist) * 4
+            ln4 = length * 4
             if dist >= length:  # non-overlapping: one slice copy
-                out[pos : pos + length] = out[src_i : src_i + length]
-            else:  # overlapping run coding: element loop
-                for i in range(length):
-                    out[pos + i] = out[src_i + i]
+                out[p4 : p4 + ln4] = out[src4 : src4 + ln4]
+            else:  # overlapping run coding: tile the dist-pixel pattern
+                pat = bytes(out[src4 : src4 + dist * 4])
+                reps = -(-length // dist)
+                out[p4 : p4 + ln4] = (pat * reps)[:ln4]
             if cache is not None:
-                for i in range(pos, pos + length):
-                    r, g_, b, a = out[i]
-                    argb = (a << 24) | (r << 16) | (g_ << 8) | b
+                for i4 in range(p4, p4 + ln4, 4):
+                    argb = (
+                        (out[i4 + 3] << 24)
+                        | (out[i4] << 16)
+                        | (out[i4 + 1] << 8)
+                        | out[i4 + 2]
+                    )
                     cache[((argb * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
             pos += length
         else:  # color-cache hit
             if cache is None:
                 raise ValueError("cache symbol without cache")
             argb = cache[s - 280]
-            out[pos] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF, argb >> 24)
+            p4 = pos * 4
+            out[p4] = (argb >> 16) & 0xFF
+            out[p4 + 1] = (argb >> 8) & 0xFF
+            out[p4 + 2] = argb & 0xFF
+            out[p4 + 3] = argb >> 24
             pos += 1
-    out_arr = np.asarray(out, dtype=np.uint8).reshape(-1, 4)
+    out_arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(-1, 4).copy()
     return out_arr, transforms
 
 
@@ -416,118 +432,131 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _inv_predictor(img: np.ndarray, size_bits: int, modes: np.ndarray) -> np.ndarray:
     """img (h, w, 4) residuals → pixels, per-block mode from the green
     channel of the sub-image. The left-pixel dependency makes this a
-    sequential scan; it runs on plain Python ints (≈20× faster per
-    pixel than small-ndarray ops), bounded by the 64 MP canvas cap.
-    TR at the last column is the CURRENT row's first pixel (spec quirk:
-    the flat-array top[x+1] address)."""
+    sequential scan; it runs over flat bytearrays (plain ints — a list
+    of per-pixel tuples amplified memory ~50x, enough for a crafted
+    blob under the 64 MP cap to OOM a worker). TR at the last column is
+    the CURRENT row's first pixel (spec quirk: the flat-array top[x+1]
+    address)."""
     h, w, _ = img.shape
-    res = img.reshape(-1, 4).tolist()
-    out: list[tuple[int, int, int, int]] = [None] * (h * w)  # type: ignore[list-item]
+    res = img.astype(np.uint8).tobytes()
+    out = bytearray(h * w * 4)
     mode_rows = modes[:, :, 1].tolist()
     for y in range(h):
         mrow = mode_rows[y >> size_bits]
+        row4 = y * w * 4
         for x in range(w):
-            i = y * w + x
-            r0, g0, b0, a0 = res[i]
+            i4 = row4 + x * 4
             if x == 0 and y == 0:
                 pr = pg = pb = 0
                 pa = 255
             elif y == 0:
-                pr, pg, pb, pa = out[i - 1]
+                pr, pg, pb, pa = out[i4 - 4], out[i4 - 3], out[i4 - 2], out[i4 - 1]
             elif x == 0:
-                pr, pg, pb, pa = out[i - w]
+                t4 = i4 - w * 4
+                pr, pg, pb, pa = out[t4], out[t4 + 1], out[t4 + 2], out[t4 + 3]
             else:
                 mode = mrow[x >> size_bits]
-                L = out[i - 1]
-                T = out[i - w]
+                l4 = i4 - 4
+                t4 = i4 - w * 4
                 if mode == 1:
-                    pr, pg, pb, pa = L
+                    pr, pg, pb, pa = out[l4], out[l4 + 1], out[l4 + 2], out[l4 + 3]
                 elif mode == 2:
-                    pr, pg, pb, pa = T
+                    pr, pg, pb, pa = out[t4], out[t4 + 1], out[t4 + 2], out[t4 + 3]
                 elif mode == 0:
                     pr = pg = pb = 0
                     pa = 255
                 elif mode == 3:
-                    pr, pg, pb, pa = out[i - w + 1]
+                    r4 = t4 + 4
+                    pr, pg, pb, pa = out[r4], out[r4 + 1], out[r4 + 2], out[r4 + 3]
                 elif mode == 4:
-                    pr, pg, pb, pa = out[i - w - 1]
+                    c4 = t4 - 4
+                    pr, pg, pb, pa = out[c4], out[c4 + 1], out[c4 + 2], out[c4 + 3]
                 elif mode == 5:
-                    TR = out[i - w + 1]
-                    pr = ((L[0] + TR[0]) >> 1) + T[0] >> 1
-                    pg = ((L[1] + TR[1]) >> 1) + T[1] >> 1
-                    pb = ((L[2] + TR[2]) >> 1) + T[2] >> 1
-                    pa = ((L[3] + TR[3]) >> 1) + T[3] >> 1
+                    r4 = t4 + 4
+                    pr = ((out[l4] + out[r4]) >> 1) + out[t4] >> 1
+                    pg = ((out[l4 + 1] + out[r4 + 1]) >> 1) + out[t4 + 1] >> 1
+                    pb = ((out[l4 + 2] + out[r4 + 2]) >> 1) + out[t4 + 2] >> 1
+                    pa = ((out[l4 + 3] + out[r4 + 3]) >> 1) + out[t4 + 3] >> 1
                 elif mode == 6:
-                    TL = out[i - w - 1]
-                    pr = (L[0] + TL[0]) >> 1
-                    pg = (L[1] + TL[1]) >> 1
-                    pb = (L[2] + TL[2]) >> 1
-                    pa = (L[3] + TL[3]) >> 1
+                    c4 = t4 - 4
+                    pr = (out[l4] + out[c4]) >> 1
+                    pg = (out[l4 + 1] + out[c4 + 1]) >> 1
+                    pb = (out[l4 + 2] + out[c4 + 2]) >> 1
+                    pa = (out[l4 + 3] + out[c4 + 3]) >> 1
                 elif mode == 7:
-                    pr = (L[0] + T[0]) >> 1
-                    pg = (L[1] + T[1]) >> 1
-                    pb = (L[2] + T[2]) >> 1
-                    pa = (L[3] + T[3]) >> 1
+                    pr = (out[l4] + out[t4]) >> 1
+                    pg = (out[l4 + 1] + out[t4 + 1]) >> 1
+                    pb = (out[l4 + 2] + out[t4 + 2]) >> 1
+                    pa = (out[l4 + 3] + out[t4 + 3]) >> 1
                 elif mode == 8:
-                    TL = out[i - w - 1]
-                    pr = (TL[0] + T[0]) >> 1
-                    pg = (TL[1] + T[1]) >> 1
-                    pb = (TL[2] + T[2]) >> 1
-                    pa = (TL[3] + T[3]) >> 1
+                    c4 = t4 - 4
+                    pr = (out[c4] + out[t4]) >> 1
+                    pg = (out[c4 + 1] + out[t4 + 1]) >> 1
+                    pb = (out[c4 + 2] + out[t4 + 2]) >> 1
+                    pa = (out[c4 + 3] + out[t4 + 3]) >> 1
                 elif mode == 9:
-                    TR = out[i - w + 1]
-                    pr = (T[0] + TR[0]) >> 1
-                    pg = (T[1] + TR[1]) >> 1
-                    pb = (T[2] + TR[2]) >> 1
-                    pa = (T[3] + TR[3]) >> 1
+                    r4 = t4 + 4
+                    pr = (out[t4] + out[r4]) >> 1
+                    pg = (out[t4 + 1] + out[r4 + 1]) >> 1
+                    pb = (out[t4 + 2] + out[r4 + 2]) >> 1
+                    pa = (out[t4 + 3] + out[r4 + 3]) >> 1
                 elif mode == 10:
-                    TL = out[i - w - 1]
-                    TR = out[i - w + 1]
-                    pr = ((L[0] + TL[0]) >> 1) + ((T[0] + TR[0]) >> 1) >> 1
-                    pg = ((L[1] + TL[1]) >> 1) + ((T[1] + TR[1]) >> 1) >> 1
-                    pb = ((L[2] + TL[2]) >> 1) + ((T[2] + TR[2]) >> 1) >> 1
-                    pa = ((L[3] + TL[3]) >> 1) + ((T[3] + TR[3]) >> 1) >> 1
+                    c4 = t4 - 4
+                    r4 = t4 + 4
+                    pr = ((out[l4] + out[c4]) >> 1) + ((out[t4] + out[r4]) >> 1) >> 1
+                    pg = ((out[l4 + 1] + out[c4 + 1]) >> 1) + (
+                        (out[t4 + 1] + out[r4 + 1]) >> 1
+                    ) >> 1
+                    pb = ((out[l4 + 2] + out[c4 + 2]) >> 1) + (
+                        (out[t4 + 2] + out[r4 + 2]) >> 1
+                    ) >> 1
+                    pa = ((out[l4 + 3] + out[c4 + 3]) >> 1) + (
+                        (out[t4 + 3] + out[r4 + 3]) >> 1
+                    ) >> 1
                 elif mode == 11:
-                    TL = out[i - w - 1]
+                    c4 = t4 - 4
                     pl = (
-                        abs(L[0] - TL[0]) + abs(L[1] - TL[1])
-                        + abs(L[2] - TL[2]) + abs(L[3] - TL[3])
+                        abs(out[l4] - out[c4])
+                        + abs(out[l4 + 1] - out[c4 + 1])
+                        + abs(out[l4 + 2] - out[c4 + 2])
+                        + abs(out[l4 + 3] - out[c4 + 3])
                     )
                     pt = (
-                        abs(T[0] - TL[0]) + abs(T[1] - TL[1])
-                        + abs(T[2] - TL[2]) + abs(T[3] - TL[3])
+                        abs(out[t4] - out[c4])
+                        + abs(out[t4 + 1] - out[c4 + 1])
+                        + abs(out[t4 + 2] - out[c4 + 2])
+                        + abs(out[t4 + 3] - out[c4 + 3])
                     )
-                    pr, pg, pb, pa = T if pl <= pt else L
+                    b4 = t4 if pl <= pt else l4
+                    pr, pg, pb, pa = out[b4], out[b4 + 1], out[b4 + 2], out[b4 + 3]
                 elif mode == 12:
-                    TL = out[i - w - 1]
-                    pr = min(max(L[0] + T[0] - TL[0], 0), 255)
-                    pg = min(max(L[1] + T[1] - TL[1], 0), 255)
-                    pb = min(max(L[2] + T[2] - TL[2], 0), 255)
-                    pa = min(max(L[3] + T[3] - TL[3], 0), 255)
+                    c4 = t4 - 4
+                    pr = min(max(out[l4] + out[t4] - out[c4], 0), 255)
+                    pg = min(max(out[l4 + 1] + out[t4 + 1] - out[c4 + 1], 0), 255)
+                    pb = min(max(out[l4 + 2] + out[t4 + 2] - out[c4 + 2], 0), 255)
+                    pa = min(max(out[l4 + 3] + out[t4 + 3] - out[c4 + 3], 0), 255)
                 elif mode == 13:
                     # ClampAddSubtractHalf divides with C semantics:
                     # truncation toward zero, NOT a floor shift — they
                     # differ on negative odd (ave - TL)
-                    TL = out[i - w - 1]
-                    a1 = (L[0] + T[0]) >> 1
-                    a2 = (L[1] + T[1]) >> 1
-                    a3 = (L[2] + T[2]) >> 1
-                    a4 = (L[3] + T[3]) >> 1
-                    d1, d2 = a1 - TL[0], a2 - TL[1]
-                    d3, d4 = a3 - TL[2], a4 - TL[3]
+                    c4 = t4 - 4
+                    a1 = (out[l4] + out[t4]) >> 1
+                    a2 = (out[l4 + 1] + out[t4 + 1]) >> 1
+                    a3 = (out[l4 + 2] + out[t4 + 2]) >> 1
+                    a4 = (out[l4 + 3] + out[t4 + 3]) >> 1
+                    d1, d2 = a1 - out[c4], a2 - out[c4 + 1]
+                    d3, d4 = a3 - out[c4 + 2], a4 - out[c4 + 3]
                     pr = min(max(a1 + (d1 // 2 if d1 >= 0 else -(-d1 // 2)), 0), 255)
                     pg = min(max(a2 + (d2 // 2 if d2 >= 0 else -(-d2 // 2)), 0), 255)
                     pb = min(max(a3 + (d3 // 2 if d3 >= 0 else -(-d3 // 2)), 0), 255)
                     pa = min(max(a4 + (d4 // 2 if d4 >= 0 else -(-d4 // 2)), 0), 255)
                 else:
                     raise ValueError("bad predictor mode")
-            out[i] = (
-                (r0 + pr) & 0xFF,
-                (g0 + pg) & 0xFF,
-                (b0 + pb) & 0xFF,
-                (a0 + pa) & 0xFF,
-            )
-    return np.asarray(out, dtype=np.uint8).reshape(h, w, 4)
+            out[i4] = (res[i4] + pr) & 0xFF
+            out[i4 + 1] = (res[i4 + 1] + pg) & 0xFF
+            out[i4 + 2] = (res[i4 + 2] + pb) & 0xFF
+            out[i4 + 3] = (res[i4 + 3] + pa) & 0xFF
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 4).copy()
 
 
 def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:

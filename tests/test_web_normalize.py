@@ -137,6 +137,9 @@ def test_extract_hrefs_and_url_host(spark):
         # href-shaped text INSIDE another quoted attribute must not
         # fabricate a link (the pre-href scan consumes quoted values)
         '<a title="see href=http://spam.example/x" href="https://real.example.com/r">six</a>'
+        # attribute NAMES ending in href (data-href, xlink:href) must
+        # not mask the tag's real href
+        '<a data-href="https://tracker.example/t" href="https://seven.example.com/s">7</a>'
         '<span title="href=http://nolink.example/y">text</span></body></html>'
     )
     df = spark.createDataFrame([(html,)], "h string")
@@ -153,6 +156,7 @@ def test_extract_hrefs_and_url_host(spark):
         "https://sq.example.com/s",  # single-quoted
         "https://bare.example.com/b",  # unquoted legacy attribute
         "https://real.example.com/r",  # spam-in-title skipped, real href kept
+        "https://seven.example.com/s",  # data-href skipped, real href kept
     ]
     hosts = (
         df.select(F.explode(extract_hrefs(F.col("h"))).alias("u"))
@@ -167,6 +171,7 @@ def test_extract_hrefs_and_url_host(spark):
         "sq.example.com",
         "bare.example.com",
         "real.example.com",
+        "seven.example.com",
     ]
     # userinfo must be consumed before the host capture — the
     # trusted.com@evil.com open-redirect trap attributes to evil.com
