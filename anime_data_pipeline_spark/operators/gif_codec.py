@@ -261,6 +261,7 @@ def gif_frame_count(data: bytes) -> int | None:
 
 
 _MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP
+_MAX_SAMPLED_PX = 1 << 27  # 128 MP across ALL retained lattice canvases (≤384 MB RGB)
 
 
 def _background_rgb(data: bytes, gct, frames) -> np.ndarray:
@@ -283,6 +284,12 @@ def _composite(data: bytes, frames, want_set: set[int]):
     sw, sh, _ = gif_meta(data)
     if sw * sh > _MAX_CANVAS_PX:
         return None  # crafted LSD dims: refuse before allocating
+    # total retained set bounded too: thousands of tiny frames on a
+    # max-size canvas would otherwise copy len(want) full canvases —
+    # the OOM kill lands before MemoryError raises (same guard as the
+    # WebP lattice).
+    if len(want_set) * sw * sh > _MAX_SAMPLED_PX:
+        return None
     gct, _ = _parse_gct(data)
     bg = _background_rgb(data, gct, frames)
     canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()

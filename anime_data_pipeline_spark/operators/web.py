@@ -100,11 +100,13 @@ def extract_hrefs(html: Column) -> Column:
         ),
         1,
     )
+    # one matched pair, stripped ONCE: the alternation can't double-fire
+    # (a sequential "-then-' strip turned href="'x'" into x), and the
+    # negated classes match newlines without (?s) — Java substitutes ""
+    # for the branch's non-participating group.
     return F.transform(
         raw,
-        lambda v: F.regexp_replace(
-            F.regexp_replace(v, '^"(.*)"$', "$1"), "^'(.*)'$", "$1"
-        ),
+        lambda v: F.regexp_replace(v, "^\"([^\"]*)\"$|^'([^']*)'$", "$1$2"),
     )
 
 

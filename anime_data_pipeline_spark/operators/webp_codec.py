@@ -58,6 +58,7 @@ RIFF_MAGIC = b"RIFF"
 WEBP_FOURCC = b"WEBP"
 
 _MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP/GIF/TIFF
+_MAX_SAMPLED_PX = 1 << 27  # 128 MP across ALL retained lattice canvases (≤512 MB RGBA)
 
 # ---------------------------------------------------------------------------
 # Distance-plane map (spec §4.2.2): 120 (dx, dy) short-distance codes.
@@ -65,16 +66,20 @@ _MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP/GIF/
 
 
 def _build_plane_map() -> list[tuple[int, int]]:
+    # The spec packs each entry as (dy << 4) | (8 - dx), one byte with
+    # the high bit clear — so dy ∈ [0, 7] and dx ∈ [-7, 8] exactly
+    # (dx = -8 is unrepresentable: 8 - (-8) = 16 overflows the nibble).
+    # That neighborhood is exactly 8 + 7*16 = 120 entries, no cut.
     cands = []
-    for dy in range(9):
-        for dx in range(-8, 9):
+    for dy in range(8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue  # dy=0 needs dx>0 (strictly-backward reference)
-            if dy > 0 or dx > 0:
-                cands.append((dx, dy))
+            cands.append((dx, dy))
     # order: closest first; ties broken by larger dy, then +dx before -dx
-    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0, abs(p[0])))
-    return cands[:120]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    assert len(cands) == 120
+    return cands
 
 
 _PLANE_MAP = _build_plane_map()
@@ -728,7 +733,17 @@ def _decode_webp_inner(data: bytes) -> np.ndarray | None:
         if res is None:
             return None
         _n, frames = res
-        return frames.get(0)
+        frame0 = frames.get(0)
+        if frame0 is None:
+            return None
+        # Honor the VP8X alpha hint like the still path does, so the
+        # decoded channel count agrees with webp_meta's mode.
+        for fourcc, start, size in _chunks(data):
+            if fourcc == b"VP8X" and size >= 10:
+                if not data[start] & 0x10:
+                    return frame0[:, :, :3].copy()
+                break
+        return frame0
     res = _decode_vp8l(vp8l)
     if res is None:
         return None
@@ -811,6 +826,13 @@ def decode_webp_lattice(
                 b_, g_, r_, a_ = data[start : start + 4]  # BGRA order
                 bg = (r_, g_, b_, a_)
         wanted = set(range(0, n, max(1, every_k)))
+        # bounds BEFORE allocation, for the TOTAL retained set too: a
+        # crafted animation with thousands of tiny ANMF frames on a
+        # max-size canvas would otherwise allocate len(wanted) full
+        # canvas copies (n × ~256 MB) — the per-canvas cap alone can't
+        # bound that, and the OOM kill lands before MemoryError raises.
+        if len(wanted) * cw * ch > _MAX_SAMPLED_PX:
+            return None
         canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
         canvas[:, :] = bg
         out: dict[int, np.ndarray] = {}

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: run representative queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL
+stdout line is a compact JSON record {"metric", "value" (total sec),
+"unit", "median_total", "extra_total", "queries", "sf"} sized under the
+driver's 2000-byte stdout-tail capture; the full per-query detail
+(medians, extras, cold runs) goes to BENCH_LOCAL.json and an earlier
+stdout line.
 
 Each query is materialized through the noop sink (``format("noop")``) —
 full computation of every output column, no driver-side collect, no
@@ -135,6 +139,14 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+            # Timestamped per-query stderr line so any executor warning
+            # burst in the log is attributable to the query that ran.
+            print(
+                f"[bench {time.strftime('%H:%M:%S')}] {name}: "
+                + " ".join(f"{r:.3f}" for r in runs),
+                file=sys.stderr,
+                flush=True,
+            )
             best_t[name] = round(min(runs), 3)
             med_t[name] = round(statistics.median(runs), 3)
             cold_t[name] = round(runs[0], 3)
@@ -143,7 +155,7 @@ def main() -> None:
     timings, medians, _ = run(BENCH_QUERIES, reps=3)
     extra, extra_med, extra_cold = run(EXTRA_QUERIES, reps=2)
 
-    out = {
+    verbose = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -156,7 +168,29 @@ def main() -> None:
         "extra_total": round(sum(extra.values()), 3),
         "sf": sf,
     }
-    print(json.dumps(out))
+    # The driver keeps only the LAST 2000 bytes of stdout, and the
+    # verbose dict (~3.3 KB by round 7) overflowed that tail two rounds
+    # running (BENCH_r06/r07 were parsed:null). Write the full record
+    # to BENCH_LOCAL.json for the repo history, print it on an EARLY
+    # stdout line for human eyes, and keep the FINAL line — the one the
+    # driver parses — compact: headline per-query times only.
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_path, "w") as fh:
+        json.dump(verbose, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(verbose))
+    compact = {
+        "metric": "headline_queries_total",
+        "value": verbose["value"],
+        "unit": "sec",
+        "median_total": verbose["median_total"],
+        "extra_total": verbose["extra_total"],
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1500, f"final bench line {len(line)}B > 1500B driver budget"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -22,3 +22,22 @@ def test_headline_query_runs(spark, name):
     qs = all_queries()
     assert name in qs, f"bench names unregistered query {name}"
     qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+
+def test_final_bench_line_fits_driver_tail():
+    """The driver keeps only the last 2000 bytes of bench stdout;
+    BENCH_r06/r07 went parsed:null when the verbose record outgrew it.
+    Pin the compact final line (worst-case 8-char timings) under 1500B
+    so headline growth can't silently blind the regression gate again."""
+    import json
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "median_total": 99999.999,
+        "extra_total": 99999.999,
+        "queries": {q: 9999.999 for q in bench.BENCH_QUERIES},
+        "sf": 0.1,
+    }
+    assert len(json.dumps(compact)) <= 1500

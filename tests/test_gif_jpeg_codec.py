@@ -669,3 +669,19 @@ def test_gif_compositor_matches_reference_simulator():
                 canvas[ty : ty + fh, lx : lx + fw] = saved
 
     check()
+
+
+def test_gif_lattice_total_sampled_bytes_cap():
+    """Same guard as the WebP lattice: n retained canvas copies on a
+    near-cap logical screen must be refused before compositing."""
+    from anime_data_pipeline_spark.operators.gif_codec import (
+        decode_gif_lattice,
+        encode_gif_animation,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    frames = [np.zeros((2, 2), dtype=np.uint8)] * 3
+    blob = encode_gif_animation(frames, pal, screen=(8192, 8192))
+    assert decode_gif_lattice(blob, 1) is None
+    res = decode_gif_lattice(blob, 3)
+    assert res is not None and res[0] == 3 and set(res[1]) == {0}

@@ -24,20 +24,39 @@ def _rng(seed=3):
     return np.random.default_rng(seed)
 
 
+# RFC 9649 §4.2.2's literal code→plane table: entry i is the byte
+# (dy << 4) | (8 - dx) for 1-based distance code i+1. Transcribed from
+# the spec so the generated map is pinned against ALL 120 entries —
+# the r7 generator admitted dx = -8 (unrepresentable: 8-(-8) overflows
+# the nibble) and silently corrupted codes ~97-120.
+_SPEC_CODE_TO_PLANE = [
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+]
+
+
 def test_plane_map_spec_entries():
-    """The generated 120-entry map must reproduce the spec's listed
-    order (RFC 9649 §4.2.2): closest first, larger dy first on ties,
-    positive dx before negative."""
+    """The generated 120-entry map must reproduce the spec's literal
+    table (RFC 9649 §4.2.2) byte for byte — all 120 entries, not just
+    a prefix (the r6 test pinned only the first 24 and missed the
+    dx=-8 tail corruption)."""
     assert len(_PLANE_MAP) == 120
-    assert _PLANE_MAP[:24] == [
-        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    ]
-    # every entry unique, dy in [0, 8], dx in [-8, 8], backward-only
+    spec = [(8 - (b & 0xF), b >> 4) for b in _SPEC_CODE_TO_PLANE]
+    assert _PLANE_MAP == spec
+    # packing invariants: every entry fits (dy<<4)|(8-dx), backward-only
     assert len(set(_PLANE_MAP)) == 120
     for dx, dy in _PLANE_MAP:
-        assert 0 <= dy <= 8 and -8 <= dx <= 8
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
         assert dy > 0 or dx > 0
 
 
@@ -383,10 +402,20 @@ def test_still_decode_of_animation_returns_first_frame():
     f0 = np.full((12, 10, 3), 80, np.uint8)
     f1 = np.full((12, 10, 3), 160, np.uint8)
     blob = encode_webp_anim([(f0, 0, 0, 10), (f1, 0, 0, 10)], (10, 12))
-    assert webp_meta(blob)[:2] == (10, 12)
+    assert webp_meta(blob) == (10, 12, "RGB")
     out = decode_webp(blob)
-    assert out is not None and out.shape == (12, 10, 4)
-    assert (out[:, :, :3] == 80).all()  # frame 0, not frame 1
+    # RGB frames → VP8X alpha flag unset → 3 channels, agreeing with
+    # webp_meta's mode (the r7 path always returned the RGBA canvas)
+    assert out is not None and out.shape == (12, 10, 3)
+    assert (out == 80).all()  # frame 0, not frame 1
+    # and the alpha animation keeps its 4th channel
+    fa = np.full((12, 10, 4), 80, np.uint8)
+    fa[:, :, 3] = 200
+    blob_a = encode_webp_anim([(fa, 0, 0, 10), (f1, 0, 0, 10)], (10, 12))
+    assert webp_meta(blob_a) == (10, 12, "RGBA")
+    out_a = decode_webp(blob_a)
+    assert out_a is not None and out_a.shape == (12, 10, 4)
+    assert (out_a[:, :, 3] == 200).all()
 
 
 def test_handassembled_anmf_layout():
@@ -427,3 +456,25 @@ def test_handassembled_anmf_layout():
     c1 = frames[1]
     assert (c1[2:8, 6:10, :3] == 220).all()  # sub-rect at (x=6, y=2)
     assert (c1[0:2, :, :3] == 100).all()  # rest keeps frame 0
+
+
+def test_lattice_total_sampled_bytes_cap():
+    """A crafted animation of tiny frames on a near-cap canvas must be
+    refused BEFORE compositing: per-canvas 64MP is fine for one copy,
+    but retaining n copies multiplies it (an OOM kill lands before
+    MemoryError raises) — total retained pixels cap at 128MP."""
+    from anime_data_pipeline_spark.operators.webp_codec import (
+        decode_webp_lattice,
+        encode_webp_anim,
+    )
+
+    tiny = np.full((2, 2, 3), 9, np.uint8)
+    # 8192x8192 = 64MP canvas (per-canvas cap allows ONE); 3 retained
+    # canvases = 192MP > the 128MP total cap
+    blob = encode_webp_anim(
+        [(tiny, 0, 0, 10)] * 3, (8192, 8192)
+    )
+    assert decode_webp_lattice(blob, 1) is None
+    # sampling every 3rd keeps one canvas → within budget, decodes
+    res = decode_webp_lattice(blob, 3)
+    assert res is not None and res[0] == 3 and set(res[1]) == {0}
