@@ -40,113 +40,99 @@ def entry(spark: SparkSession) -> DataFrame:
 # any prior round, (c) queries reworked in the previous round whose
 # only green rows predate the rework, then (d) the stalest remaining
 # rows. Never newer-before-never-rowed.
+#
+# Since round 8, (a) and (c) are COMPUTED, not hand-maintained:
+# scripts/fingerprints.py hashes each query's function slice plus its
+# operator-module closure against QUERY_FINGERPRINTS.json (the
+# fingerprint at the query's newest verified row), and
+# tests/test_cli.py::test_changed_this_round_matches_fingerprint_diff
+# fails if any drifted query is missing below. Round-start ritual:
+#   python scripts/fingerprints.py refresh <prev-round-end-rev> <N>
+#   python scripts/fingerprints.py diff   # → this list
+# (Round 6's q90 rework slipped through the old hand list — shared-
+# source changes are exactly what hand lists miss.)
 
-# (a) changed in round 7: q177/q178 go through the hardened TIFF/WAV
-# header handling (64MP bounds-before-allocation cap, tile-canvas cap,
-# bounded Deflate inflate, ADPCM fact clamped to the data chunk's
-# decodable maximum) and q181 through the gray+alpha dHash fix — the
-# three r6 ADVICE items; q182/q183/q184 are NEW (outlink extraction →
-# domain link graph, IR retrieval metrics MRR/recall@k/nDCG@k, and the
-# audio silence/clipping hygiene filter over real decoded WAV bytes,
-# blocked entity resolution over synthesized dirty records, and the
-# extract->link-graph->PageRank crawl-prior composition); q187 is NEW
-# (stdlib VP8L WebP decode -> bucket e2e, closing the WEBP codec tail);
-# q188 is NEW (animated-WebP VP8X/ANMF frame sampling, the third video
-# container), q179 rides the same extended sampling operator, and q189
-# is NEW (gap-filled time series: LOCF + linear interpolation).
+# (a) changed in round 8 (fingerprint diff vs the r7-end snapshot):
+# q115/q151/q177/q179/q181/q187/q188 ride the VP8L distance-plane-map
+# spec fix + the animation lattice retained-bytes cap + the animated
+# still alpha-hint fix; q182/q186 ride the href single-quote-pair
+# strip.
 _CHANGED_THIS_ROUND = [
-    "q177_raster_decode_bucket",
-    "q178_wav_decode_chunk",
-    "q181_image_dedup",
-    "q182_link_graph",
-    "q183_retrieval_metrics",
-    "q184_audio_quality_filter",
-    "q185_entity_resolution",
-    "q186_domain_pagerank",
     "q187_webp_decode_bucket",
     "q188_webp_anim_sample",
+    "q115_png_decode_bucket",
+    "q151_gif_jpeg_decode_bucket",
+    "q177_raster_decode_bucket",
     "q179_video_frame_sample",
-    "q189_gapfill_interpolate",
+    "q181_image_dedup",
+    "q182_link_graph",
+    "q186_domain_pagerank",
 ]
 
-# (b) never rowed: none — round 6 caught the record up; every
-# registered query has at least one green driver row.
-_NEVER_ROWED: list[str] = []
+# (b) never rowed: new queries land here until their first driver row.
+# q190 is NEW in round 8: lossy-VP8 decode through the system-libwebp
+# ctypes binding (operators/webp_system.py) — the r7 "PIL seam" closed
+# with the same C library PIL wraps.
+_NEVER_ROWED: list[str] = [
+    "q190_webp_lossy_decode",
+]
 
-# (c) reworked last round with only pre-rework rows: none — the round-6
-# reworks (q172/q173/q152/q153/q151/q71/q115) all got green r6 rows.
+# (c) reworked last round with only pre-rework rows: none — all 12
+# round-7 changed/new queries got green r7 rows.
 _REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first: newest driver row from round 2 ...
-    "q70_webdataset_roundtrip",
-    "q73_tag_inference",
-    "q74_snapshot_diff",
-    "q75_mix_rebalance",
-    "q76_salted_join_hot_key",
-    "q78_contamination_check",
-    "q80_video_frame_sample",
-    "q81_line_dedup",
-    # ... then newest row from round 3
-    "q87_audio_chunk_plan",
-    "q66_stream_static_enrich",
-    "q15_rollup",
-    "q16_pivot_status",
-    "q17_tokenize_normalize",
-    "q18_regex_extract",
-    "q19_sessionize",
-    "q20_tumbling_window",
-    "q24_novelai_order",
-    "q25_clean_caption",
-    "q26_clean_tags",
-    "q38_asof_join",
-    "q39_range_join",
-    "q47_running_window",
-    "q51_token_counts",
-    "q52_quality_score",
-    "q53_language_id",
-    "q54_winnow_fingerprints",
-    "q55_quality_rollup",
-    "q58_pack_chunks",
-    "q91_leakage_safe_split",
-    "q67_pack_greedy",
-    "q79_unigram_logprob",
-    "q89_temperature_mix",
-    "q92_pack_barriered",
-    "q82_gopher_rules",
-    "q94_rag_chunking",
-    "q77_label_centroid_cohesion",
-    "q61_stream_tumbling",
-    "q62_stream_sliding",
-    # ---- 50-row driver cutoff lands here ----
+    # (d) stalest first — newest driver row from round 3 (q90 leads:
+    # its r6 rework made its r3 row pre-rework evidence, the rule-(c)
+    # violation the r7 verdict flagged)
+    "q90_stream_quality_dedup",
     "q63_stream_sessions",
-    "q65_stream_stream_join",
     "q64_stream_dedup",
+    "q65_stream_stream_join",
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
-    "q90_stream_quality_dedup",
     "q83_zorder_key",
     "q84_zorder_skipping",
-    # newest row from round 4 (refresh continues next round)
+    # newest row from round 4: ANN/dedup first (they share the most
+    # frequently-touched operator modules), then bucketing, then the
+    # pure-SQL relational family (most stable, so last in line)
+    "q32_minhash_lsh_neardup",
+    "q36_neardup_clusters",
+    "q41_ann_bruteforce_topk",
+    "q42_ann_srp_lsh_topk",
+    "q43_embedding_neardup",
+    "q44_ann_ivf_topk",
+    "q48_ann_multiprobe_topk",
+    "q60_cluster_resolve",
+    "q85_ann_ivf_kmeans",
+    "q86_semantic_dedup",
+    "q93_ann_ivf_multiprobe",
+    "q95_dsir_logweights",
+    "q96_editdist_verify",
+    "q97_knn_graph",
+    "q98_embedding_quantize",
+    "q99_adaptive_quality_filter",
+    "q101_span_dedup",
+    "q103_perplexity_band",
+    "q105_quality_drift",
+    "q106_image_neardup",
+    "q72_multimodal_features",
+    "q111_stream_window_drift",
+    "q112_funnel",
+    "q113_cohort_retention",
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",
     "q23_bucket_stats",
-    "q32_minhash_lsh_neardup",
-    "q96_editdist_verify",
-    "q101_span_dedup",
-    "q36_neardup_clusters",
-    "q60_cluster_resolve",
-    "q72_multimodal_features",
-    "q106_image_neardup",
     "q01_pricing_summary",
     "q02_threshold_filter",
     "q03_inner_join_agg",
     "q04_left_join_nulls",
     "q05_semi_join",
     "q06_anti_join_count",
+    # ---- 50-row driver cutoff lands here ----
     "q07_union_dedup_last_wins",
     "q08_conditional_audit",
     "q09_distinct_pairs",

@@ -158,3 +158,33 @@ def test_every_query_has_oracle_or_documented_exception():
 
     no_oracle = set(all_queries()) - set(all_oracles())
     assert no_oracle == {"q49_corpus_profile_approx"}, no_oracle
+
+
+def test_changed_this_round_matches_fingerprint_diff():
+    """The rework list must be COMPUTED, not hand-maintained: round 6
+    rewrote q90's plan through a shared-source change and the hand
+    list missed it, leaving its only green driver row pre-rework
+    (r7 verdict, What's wrong #2). scripts/fingerprints.py hashes each
+    query's function slice + operator-module closure against the
+    snapshot taken at its newest verified row; any fingerprint drift
+    must be declared in the entry file's front-of-queue lists."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import __spark_entry__ as ent
+    from fingerprints import reworked_since_snapshot
+
+    computed = set(reworked_since_snapshot())
+    declared = (
+        set(ent._CHANGED_THIS_ROUND)
+        | set(ent._REWORKED_LAST_ROUND)
+        | set(ent._NEVER_ROWED)
+    )
+    missing = sorted(computed - declared)
+    assert not missing, (
+        f"queries reworked since their newest verified row but not "
+        f"front-loaded for fresh rows: {missing} — add them to "
+        f"_CHANGED_THIS_ROUND (and run scripts/fingerprints.py diff)"
+    )
