@@ -55,8 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) changed in round 8 (fingerprint diff vs the r7-end snapshot):
 # q115/q151/q177/q179/q181/q187/q188 ride the VP8L distance-plane-map
 # spec fix + the animation lattice retained-bytes cap + the animated
-# still alpha-hint fix; q182/q186 ride the href single-quote-pair
-# strip.
+# still alpha-hint fix + the lossy-frame system-binding path;
+# q182/q186 ride the href single-quote-pair strip; q183's metric fold
+# was extracted into the helper q191 shares (results unchanged).
 _CHANGED_THIS_ROUND = [
     "q187_webp_decode_bucket",
     "q188_webp_anim_sample",
@@ -67,14 +68,19 @@ _CHANGED_THIS_ROUND = [
     "q181_image_dedup",
     "q182_link_graph",
     "q186_domain_pagerank",
+    "q183_retrieval_metrics",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
 # q190 is NEW in round 8: lossy-VP8 decode through the system-libwebp
 # ctypes binding (operators/webp_system.py) — the r7 "PIL seam" closed
-# with the same C library PIL wraps.
+# with the same C library PIL wraps. q191 is NEW: the indexed
+# (SRP-LSH multi-probe) retrieval-metrics eval with recall delta vs
+# the exact run (the r7 verdict's "promote q183 to the ANN scale
+# path").
 _NEVER_ROWED: list[str] = [
     "q190_webp_lossy_decode",
+    "q191_index_retrieval_metrics",
 ]
 
 # (c) reworked last round with only pre-rework rows: none — all 12

@@ -25,9 +25,14 @@ Scope, mirroring how the other six codecs split header vs pixels:
   spec's top-right-wraps-to-row-start quirk at the last column), COLOR
   (cross-color delta multipliers), SUBTRACT_GREEN, and COLOR_INDEXING
   (delta-coded palette, incl. sub-byte pixel bundling for palettes of
-  at most 16 colors). VP8 lossy pixels raise NotImplementedError (the
-  PIL seam, same contract as arithmetic JPEG); corrupt bytes behind a
-  valid magic return None (dropped-with-count row).
+  at most 16 colors). VP8 lossy pixels (stills and ANMF frames) decode
+  through the system libwebp binding (operators/webp_system.py — the
+  same C library PIL wraps; present in this environment); when the .so
+  is absent they raise NotImplementedError (the pre-r8 seam contract,
+  same as arithmetic JPEG). Corrupt bytes behind a valid magic return
+  None (dropped-with-count row). The native VP8L decoder is
+  cross-validated bit-exactly against libwebp on REAL libwebp-encoded
+  streams (tests/test_webp_system_crossval.py).
 - ``encode_webp``: spec-conformant VP8L writer for fixtures/synthetic
   corpora: literal or simple-LZ77 (run) coding, optional color cache,
   optional SUBTRACT_GREEN, optional single-mode PREDICTOR, optional
@@ -715,6 +720,63 @@ def _decode_vp8l(payload: bytes) -> tuple[np.ndarray, bool] | None:
     return _inv_transforms(px, w, h, transforms), alpha
 
 
+def _decode_lossy_via_system(data: bytes) -> np.ndarray | None:
+    """Lossy-VP8 pixels through the system libwebp binding (the same C
+    library PIL wraps — operators/webp_system.py); NotImplementedError
+    when the .so is absent (the pre-r8 seam contract, now environment-
+    gated instead of unconditional)."""
+    from anime_data_pipeline_spark.operators.webp_system import (
+        decode_rgba,
+        load_libwebp,
+    )
+
+    if load_libwebp() is None:
+        raise NotImplementedError("lossy VP8 decode requires libwebp.so (seam)")
+    arr = decode_rgba(data)
+    if arr is None:
+        return None
+    meta = webp_meta(data)
+    if meta is not None and meta[2] == "RGB":
+        return arr[:, :, :3].copy()
+    return arr
+
+
+def _decode_lossy_frame_chunks(chunks: bytes, fw: int, fh: int) -> np.ndarray | None:
+    """An ANMF frame's ALPH?+VP8 chunk run → (fh, fw, 4) RGBA via the
+    system binding, re-wrapped as a standalone still (VP8X-wrapped when
+    an ALPH plane rides along, since bare containers can't carry one)."""
+    from anime_data_pipeline_spark.operators.webp_system import (
+        decode_rgba,
+        load_libwebp,
+    )
+
+    if load_libwebp() is None:
+        raise NotImplementedError("lossy VP8 frames require libwebp.so (seam)")
+    has_alpha = False
+    pos = 0
+    while pos + 8 <= len(chunks):
+        if chunks[pos : pos + 4] == b"ALPH":
+            has_alpha = True
+            break
+        (sz,) = struct.unpack("<I", chunks[pos + 4 : pos + 8])
+        pos += 8 + sz + (sz & 1)
+    body = chunks
+    if has_alpha:
+        vp8x = (
+            b"VP8X"
+            + struct.pack("<I", 10)
+            + bytes([0x10, 0, 0, 0])
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+        )
+        body = vp8x + body
+    blob = RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body
+    arr = decode_rgba(blob)
+    if arr is None or arr.shape[:2] != (fh, fw):
+        return None
+    return arr
+
+
 def _decode_webp_inner(data: bytes) -> np.ndarray | None:
     if len(data) < 16 or data[:4] != RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
         return None
@@ -724,7 +786,7 @@ def _decode_webp_inner(data: bytes) -> np.ndarray | None:
             vp8l = data[start : start + size]
             break
         if fourcc == b"VP8 ":
-            raise NotImplementedError("lossy VP8 decode requires PIL (seam)")
+            return _decode_lossy_via_system(data)
     if vp8l is None:
         # animated container: the still-image contract is "first frame,
         # composited" — the same handling PIL gives animated GIFs
@@ -846,6 +908,7 @@ def decode_webp_lattice(
                 return None
             payload = data[ps:pe]
             vp8l = None
+            lossy_chunks = None
             pos = 0
             while pos + 8 <= len(payload):  # sub-chunks: ALPH? then VP8/VP8L
                 fcc = payload[pos : pos + 4]
@@ -856,14 +919,23 @@ def decode_webp_lattice(
                     vp8l = payload[pos + 8 : pos + 8 + sz]
                     break
                 if fcc == b"VP8 ":
-                    raise NotImplementedError("lossy VP8 frames require PIL (seam)")
+                    # lossy frame: re-wrap the ALPH?+VP8 chunk run as a
+                    # STILL container and decode through the system
+                    # binding (the simple API has no frame entry point)
+                    lossy_chunks = payload[:pos] + payload[pos : pos + 8 + sz + (sz & 1)]
+                    break
                 pos += 8 + sz + (sz & 1)
-            if vp8l is None:
+            if vp8l is not None:
+                res = _decode_vp8l(vp8l)
+                if res is None or res[0].shape[:2] != (fh, fw):
+                    return None
+                frame = res[0]
+            elif lossy_chunks is not None:
+                frame = _decode_lossy_frame_chunks(lossy_chunks, fw, fh)
+                if frame is None:
+                    return None
+            else:
                 return None
-            res = _decode_vp8l(vp8l)
-            if res is None or res[0].shape[:2] != (fh, fw):
-                return None
-            frame = res[0]
             region = canvas[y : y + fh, x : x + fw]
             if no_blend:
                 region[:] = frame

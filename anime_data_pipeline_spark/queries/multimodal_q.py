@@ -1891,3 +1891,138 @@ def q188_webp_anim_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         frame_ok.alias("frame_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — REAL lossy-VP8 WebP decode e2e (round 8: the last common
+# format whose PIXELS sat on an environment seam — the reference
+# decodes it via PIL → libwebp, dbimutils.py:6-13; this environment
+# has libwebp.so itself, bound through operators/webp_system.py with
+# ctypes, so the seam is closed with the SAME C library PIL wraps).
+# The corpus encodes doc_id-derived frames through the real libwebp
+# encoder at query time (deterministic for a fixed lib version) and
+# decodes through the DEFAULT dispatch: v0 uniform gray q100,
+# v1 uniform gray q75, v2 horizontal gradient q90, v3 solid color
+# q100 (YUV 4:2:0 round-trip stress); every 39th row is truncated
+# after a valid VP8 header (corrupt → null → dropped-with-count).
+# Lossy reconstruction is inexact BY DESIGN, so pixel_ok pins the
+# decoded stats inside measured-worst-case ±2 margins (observed max
+# err per variant 1/1/4/2 across the whole lattice at these sizes):
+# a stride bug, channel swap, or YUV upsample break lands far outside
+# them, while codec-version jitter inside the margins cannot flake
+# the hash. The oracle recomputes membership and dims from doc_id and
+# pins pixel_ok TRUE.
+# ---------------------------------------------------------------------------
+_Q190_ORACLE = """
+    SELECT doc_id,
+           CAST(16 + (doc_id * 53) % 81 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 71) % 73 AS INTEGER) AS height,
+           'RGB' AS mode,
+           CAST(doc_id % 4 AS INTEGER) AS variant,
+           TRUE AS pixel_ok
+    FROM documents
+    WHERE doc_id % 13 = 0 AND doc_id % 39 <> 0
+"""
+
+
+def _webp_lossy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 13 = 0) → (doc_id, content: binary) of real
+    lossy-VP8 bytes encoded by the system libwebp at query time."""
+    import numpy as np
+
+    from anime_data_pipeline_spark.operators.webp_system import encode_lossy
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 + (i * 53) % 81
+                h = 16 + (i * 71) % 73
+                g = 40 + i % 160
+                v = i % 4
+                if v == 0:
+                    arr, q = np.full((h, w, 3), g, dtype=np.uint8), 100.0
+                elif v == 1:
+                    arr, q = np.full((h, w, 3), g, dtype=np.uint8), 75.0
+                elif v == 2:
+                    x = np.arange(w)
+                    row = (60 + (x * 120) // w).astype(np.uint8)
+                    arr = np.broadcast_to(row[None, :, None], (h, w, 3)).copy()
+                    q = 90.0
+                else:
+                    arr = np.zeros((h, w, 3), dtype=np.uint8)
+                    arr[:, :, 0] = g
+                    arr[:, :, 1] = (g * 2) % 256
+                    arr[:, :, 2] = 255 - g
+                    q = 100.0
+                blob = encode_lossy(arr, q)
+                if blob is None:  # lib absent: surfaces as 0 decoded rows
+                    blobs.append(None)
+                elif i % 39 == 0:
+                    blobs.append(blob[: 24 + (i % 7)])  # truncated → corrupt
+                else:
+                    blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").mapInPandas(
+        gen, schema=schema
+    )
+
+
+@register("q190_webp_lossy_decode", oracle=_Q190_ORACLE)
+def q190_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 closing tail: lossy-VP8 pixels through the system-libwebp
+    binding inside the default Arrow-batched dispatch; stats pinned
+    within measured tolerance (see the section comment), corrupt rows
+    dropped (P6). Cites /root/reference/dataruu/tagger/dbimutils.py:6-13
+    (PIL decode of arbitrary formats) for behavior parity."""
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
+
+    decoded = decode_image_pixel_stats(decode_image_meta(_webp_lossy_corpus(spark, sf_dir)))
+    i = F.col("doc_id")
+    g = (40 + i % 160).cast("int")
+    v = (i % 4).cast("int")
+    st = F.col("pixel_stats")
+    tol = F.when(v == 2, F.lit(8)).when(v == 1, F.lit(3)).otherwise(F.lit(4))
+    lo = F.when(v == 2, F.lit(60)).when(v == 3, F.least(g, (g * 2) % 256, 255 - g)).otherwise(g)
+    hi = (
+        F.when(v == 2, F.lit(60 + ((F.col("pw") - 1) * 120 / F.col("pw")).cast("int")))
+        .when(v == 3, F.greatest(g, (g * 2) % 256, 255 - g))
+        .otherwise(g)
+    )
+    decoded = decoded.withColumn("pw", st["width"].cast("long"))
+    pixel_ok = (
+        (st["channels"] == 3)
+        & (st["px_min"] >= lo - tol)
+        & (st["px_min"] <= lo + tol)
+        & (st["px_max"] >= hi - tol)
+        & (st["px_max"] <= hi + tol)
+        & (st["px_mean"] >= lo.cast("double") - tol)
+        & (st["px_mean"] <= hi.cast("double") + tol)
+    )
+    ok = decoded.filter(
+        F.col("image_meta").isNotNull() & st.isNotNull()
+    ).select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mode").alias("mode"),
+        v.alias("variant"),
+        pixel_ok.alias("pixel_ok"),
+    )
+    return ok

@@ -1238,70 +1238,100 @@ def _q183_gain_sql(rank_expr: str) -> str:
     return dround_sql(f"1.0 / log2(CAST({rank_expr} AS DOUBLE) + 1.0)", 12)
 
 
-_Q183_ORACLE = f"""
-    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
-                    FROM embeddings),
-    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
-                 label AS q_label
-          FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
-    scored AS (SELECT q.query_id, q.q_label, corpus.vec_id, corpus.label,
-                      {cosine_sql("qv", "cv")} AS cosine
-               FROM corpus JOIN q ON corpus.vec_id <> q.query_id),
-    ranked AS (SELECT *, row_number() OVER (
-                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-               FROM scored),
-    topk AS (SELECT * FROM ranked WHERE rank <= {_Q183_K}),
-    perq AS (SELECT query_id, q_label,
+# Shared per-label metric tail (q183 exact eval + q191 indexed eval):
+# CTEs from a ``{topk}`` relation carrying (query_id, q_label, label,
+# rank) to per-label (n_queries, mrr, mean_recall, mean_ndcg). Queries
+# whose candidate set came back EMPTY (possible for the bucket-pruned
+# index, never for brute force) still count, with rr/recall/ndcg = 0 —
+# the IR convention; hence the LEFT JOIN from the query set.
+def _q183_metric_ctes(topk: str, sfx: str) -> str:
+    return f"""
+    hits{sfx} AS (SELECT query_id,
                     coalesce(max(CASE WHEN label = q_label
                                       THEN 1.0 / rank END), 0.0) AS rr,
                     CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
                          AS BIGINT) AS n_hits,
                     sum(CASE WHEN label = q_label
                              THEN {_q183_gain_sql("rank")} ELSE 0.0 END) AS dcg
-             FROM topk GROUP BY query_id, q_label),
-    sizes AS (SELECT label, count(*) - 1 AS n_rel FROM corpus
-              GROUP BY label HAVING count(*) >= 2),
-    mets AS (SELECT p.query_id, p.q_label, p.rr, p.n_hits,
+             FROM {topk} GROUP BY query_id),
+    perq{sfx} AS (SELECT q.query_id, q.q_label,
+                    coalesce(h.rr, 0.0) AS rr,
+                    coalesce(h.n_hits, 0) AS n_hits,
+                    coalesce(h.dcg, 0.0) AS dcg
+             FROM q LEFT JOIN hits{sfx} h USING (query_id)),
+    mets{sfx} AS (SELECT p.query_id, p.q_label, p.rr, p.n_hits,
                     CAST(p.n_hits AS DOUBLE) / least({_Q183_K}, s.n_rel) AS recall,
                     p.dcg / list_reduce(
                       list_transform(range(1, least({_Q183_K}, s.n_rel) + 1),
                                      r -> {_q183_gain_sql("r")}),
                       (a, b) -> a + b) AS ndcg
-             FROM perq p JOIN sizes s ON p.q_label = s.label)
-    SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+             FROM perq{sfx} p JOIN sizes s ON p.q_label = s.label),
+    agg{sfx} AS (SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
            {dround_sql("avg(rr)", 6)} AS mrr,
            {dround_sql("avg(recall)", 6)} AS mean_recall,
            {dround_sql("avg(ndcg)", 6)} AS mean_ndcg
-    FROM mets GROUP BY q_label
+    FROM mets{sfx} GROUP BY q_label)"""
+
+
+_Q183_SHARED_HEAD = f"""
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                 label AS q_label
+          FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    sizes AS (SELECT label, count(*) - 1 AS n_rel FROM corpus
+              GROUP BY label HAVING count(*) >= 2)"""
+
+_Q183_EXACT_TOPK = f"""
+    scored AS (SELECT q.query_id, q.q_label, corpus.vec_id, corpus.label,
+                      {cosine_sql("qv", "cv")} AS cosine
+               FROM corpus JOIN q ON corpus.vec_id <> q.query_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored),
+    topk AS (SELECT * FROM ranked WHERE rank <= {_Q183_K})"""
+
+_Q183_ORACLE = f"""
+    WITH {_Q183_SHARED_HEAD},
+    {_Q183_EXACT_TOPK},
+    {_q183_metric_ctes("topk", "")}
+    SELECT label, n_queries, mrr, mean_recall, mean_ndcg FROM agg
 """
 
 
-@register("q183_retrieval_metrics", oracle=_Q183_ORACLE)
-def q183_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
-    topk = brute_force_topk(
-        corpus,
-        _queries(spark, sf_dir),
-        "vec_id",
-        "embedding",
-        k=_Q183_K,
-        exclude_self=True,
-    )
+def _perlabel_retrieval_metrics(topk: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Shared metric fold (q183 exact / q191 indexed): per-label
+    (n_queries, mrr, mean_recall@k, mean_ndcg@k) from a top-k relation
+    (query_id, vec_id, rank). Queries with an EMPTY candidate set
+    still count with all-zero metrics (left join from the broadcast
+    query set — for the bucket-pruned index a query's probed buckets
+    can contain only itself). Per the repo's libm rule every
+    1/log2(rank+1) gain is dround-12-ed in BOTH engines before any
+    sum; idcg is a left fold over the identical dround-12 terms
+    (F.aggregate ↔ list_reduce). Scale: the topk relation is
+    queries×k rows, every join against it is broadcast, the folds are
+    per-row column math — nothing here grows with the corpus."""
     labels = corpus.select("vec_id", "label")
     qlab = corpus.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
     )
     gain = dround(1.0 / F.log2(F.col("rank").cast("double") + 1.0), 12)
     hit = F.col("label") == F.col("q_label")
-    perq = (
+    hits = (
         topk.join(labels, "vec_id")
         .join(F.broadcast(qlab), "query_id")
-        .groupBy("query_id", "q_label")
+        .groupBy("query_id")
         .agg(
             F.coalesce(F.max(F.when(hit, 1.0 / F.col("rank"))), F.lit(0.0)).alias("rr"),
             F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
             F.sum(F.when(hit, gain).otherwise(0.0)).alias("dcg"),
         )
+    )
+    perq = (
+        qlab.join(F.broadcast(hits), "query_id", "left")
+        .withColumn("rr", F.coalesce(F.col("rr"), F.lit(0.0)))
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+        .withColumn("dcg", F.coalesce(F.col("dcg"), F.lit(0.0)))
     )
     # singleton labels have no relevant set: recall would be 0/0 and the
     # idcg fold would see an empty (Spark: DESCENDING [1,0]) sequence —
@@ -1322,9 +1352,121 @@ def q183_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.col("n_hits").cast("double") / m)
         .withColumn("ndcg", F.col("dcg") / idcg)
     )
-    return mets.groupBy("q_label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        dround(F.avg("rr"), 6).alias("mrr"),
-        dround(F.avg("recall"), 6).alias("mean_recall"),
-        dround(F.avg("ndcg"), 6).alias("mean_ndcg"),
-    ).withColumnRenamed("q_label", "label")
+    return (
+        mets.groupBy("q_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            dround(F.avg("rr"), 6).alias("mrr"),
+            dround(F.avg("recall"), 6).alias("mean_recall"),
+            dround(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        )
+        .withColumnRenamed("q_label", "label")
+    )
+
+
+@register("q183_retrieval_metrics", oracle=_Q183_ORACLE)
+def q183_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    topk = brute_force_topk(
+        corpus,
+        _queries(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=_Q183_K,
+        exclude_self=True,
+    )
+    return _perlabel_retrieval_metrics(topk, corpus)
+
+
+# ---------------------------------------------------------------------------
+# q191 — INDEXED retrieval metrics + recall delta (round 8: the r7
+# verdict's "promote q183's eval to the ANN scale path" — q183's
+# brute-force scoring is linear in corpus rows BY DESIGN as ground
+# truth, but the production eval scores the INDEX: SRP-LSH with
+# Hamming-1 multi-probe generates bucket-pruned candidates, the shared
+# metric folds grade them per label, and recall_delta against the
+# exact run quantifies exactly what the index costs in quality
+# (q139's audit pattern, lifted from per-query recall to the IR
+# metric suite). Scale: the corpus is bucketed ONCE (map-only int
+# key); only probed buckets are scored; everything downstream of the
+# two topk relations is queries×k-row broadcast math. This is the
+# query a 100 TB deployment runs nightly — the exact side stays
+# feasible there by sampling the query set, which is already how
+# _QUERY_MOD defines it.
+# ---------------------------------------------------------------------------
+_Q191_INDEX_TOPK = f"""
+    corpusb AS (SELECT vec_id, cv, label,
+                       {srp_bucket_sql("cv", _PLANES)} AS bucket
+                FROM corpus),
+    qb AS (SELECT query_id, qv, q_label,
+                  {srp_bucket_sql("qv", _PLANES)} AS bucket0
+           FROM q),
+    qp AS (SELECT query_id, qv, q_label,
+                  unnest(list_prepend(bucket0,
+                    list_transform(range(0, {_PLANES}),
+                                   j -> xor(bucket0, 1 << j)))) AS bucket
+           FROM qb),
+    cand AS (SELECT qp.query_id, qp.q_label, corpusb.vec_id, corpusb.label,
+                    {cosine_sql("qv", "cv")} AS cosine
+             FROM corpusb JOIN qp USING (bucket)
+             WHERE corpusb.vec_id <> qp.query_id),
+    ranked_ix AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                  FROM cand),
+    topk_ix AS (SELECT * FROM ranked_ix WHERE rank <= {_Q183_K})"""
+
+_Q191_ORACLE = f"""
+    WITH {_Q183_SHARED_HEAD},
+    {_Q183_EXACT_TOPK},
+    {_Q191_INDEX_TOPK},
+    {_q183_metric_ctes("topk", "_ex")},
+    {_q183_metric_ctes("topk_ix", "_ix")}
+    SELECT ix.label, ix.n_queries, ix.mrr, ix.mean_recall, ix.mean_ndcg,
+           {dround_sql("ix.mean_recall - ex.mean_recall", 6)} AS recall_delta
+    FROM agg_ix ix JOIN agg_ex ex USING (label)
+"""
+
+
+@register("q191_index_retrieval_metrics", oracle=_Q191_ORACLE)
+def q191_index_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark, sf_dir)
+    queries = _queries(spark, sf_dir)
+    # k+1 then self-filter then re-rank: srp_lsh_topk has no
+    # exclude_self and self (cosine 1.0) always tops its own bucket,
+    # so the re-ranked top-k equals ranking with self excluded. The
+    # re-rank window runs over ≤ queries×(k+1) rows — broadcast-scale.
+    cand = srp_lsh_topk(
+        corpus,
+        queries,
+        "vec_id",
+        "embedding",
+        k=_Q183_K + 1,
+        planes=_PLANES,
+        hamming_probes=1,
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk_ix = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q183_K)
+        .select("query_id", "vec_id", "rank")
+    )
+    exact = brute_force_topk(
+        corpus, queries, "vec_id", "embedding", k=_Q183_K, exclude_self=True
+    )
+    ix = _perlabel_retrieval_metrics(topk_ix, corpus)
+    ex = _perlabel_retrieval_metrics(exact, corpus).select(
+        F.col("label").alias("ex_label"), F.col("mean_recall").alias("ex_recall")
+    )
+    return ix.join(F.broadcast(ex), ix["label"] == ex["ex_label"]).select(
+        "label",
+        "n_queries",
+        "mrr",
+        "mean_recall",
+        "mean_ndcg",
+        dround(F.col("mean_recall") - F.col("ex_recall"), 6).alias("recall_delta"),
+    )
+

@@ -93,6 +93,8 @@ EXTRA_QUERIES = [
     # relational shape (blocked entity resolution)
     "q187_webp_decode_bucket",
     "q185_entity_resolution",
+    # round-8: lossy VP8 through the system-libwebp binding
+    "q190_webp_lossy_decode",
 ]
 
 

@@ -178,14 +178,25 @@ def test_handassembled_spec_literal_stream():
 
 
 def test_vp8_lossy_meta_and_seam():
-    """Hand-built minimal lossy header: meta parses dims; pixel decode
-    raises (the PIL seam), mirroring the arithmetic-JPEG contract."""
+    """Hand-built minimal lossy header: meta parses dims natively.
+    Pixel decode goes through the system libwebp binding since r8 —
+    a truncated body is corrupt (None), and the seam contract
+    (NotImplementedError) survives only where the .so is absent."""
+    import anime_data_pipeline_spark.operators.webp_system as ws
+
     hdr = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
     chunk = b"VP8 " + struct.pack("<I", len(hdr)) + hdr
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     assert webp_meta(blob) == (320, 240, "RGB")
-    with pytest.raises(NotImplementedError):
-        decode_webp(blob)
+    if ws.load_libwebp() is not None:
+        assert decode_webp(blob) is None  # header-only stub = corrupt body
+    orig = ws.load_libwebp
+    try:
+        ws.load_libwebp = lambda: None  # simulate the lib-absent environment
+        with pytest.raises(NotImplementedError):
+            decode_webp(blob)
+    finally:
+        ws.load_libwebp = orig
 
 
 def test_vp8x_canvas_meta():

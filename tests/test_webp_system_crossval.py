@@ -1,0 +1,233 @@
+"""Cross-validation of the from-scratch VP8L codec against the REAL
+libwebp (system .so via ctypes, operators/webp_system.py) — the
+matched-bug killer the r7 ADVICE asked for: our encoder and decoder
+could share a spec misreading that every in-repo roundtrip hides, but
+they cannot both coincidentally agree with libwebp.
+
+Both directions:
+- libwebp-ENCODED streams (whose backward references, color cache and
+  meta prefix codes are chosen by the real encoder, exercising plane
+  codes far beyond what our fixture writer emits) must decode
+  bit-exactly through OUR decoder;
+- OUR encoder's streams across every feature variant must decode
+  bit-exactly through LIBWEBP.
+
+Plus the lossy-VP8 path this binding newly opens (previously the
+unconditional NotImplementedError seam)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from anime_data_pipeline_spark.operators.webp_codec import (
+    decode_webp,
+    decode_webp_lattice,
+    encode_webp,
+    encode_webp_anim,
+    webp_meta,
+)
+from anime_data_pipeline_spark.operators.webp_system import (
+    decode_rgba,
+    encode_lossless,
+    encode_lossy,
+    libwebp_version,
+    load_libwebp,
+)
+
+pytestmark = pytest.mark.skipif(
+    load_libwebp() is None, reason="system libwebp.so not present"
+)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _fixtures():
+    rng = _rng(42)
+    y, x = np.mgrid[0:64, 0:80]
+    return {
+        "noise_rgb": rng.integers(0, 256, (40, 56, 3), np.uint8),
+        "noise_rgba": rng.integers(0, 256, (33, 47, 4), np.uint8),
+        "gradient": np.stack(
+            [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+        ).astype(np.uint8),
+        "flat": np.full((48, 64, 3), 77, np.uint8),
+        "palette_like": (rng.integers(0, 4, (52, 60, 1), np.uint8) * 80).repeat(
+            3, axis=2
+        ),
+        "photo_like": np.clip(
+            128 + 80 * np.sin(x / 9.0) * np.cos(y / 7.0) + rng.normal(0, 6, (64, 80)),
+            0,
+            255,
+        ).astype(np.uint8)[:, :, None].repeat(3, axis=2),
+        "runs": np.repeat(rng.integers(0, 9, (30, 8, 3), np.uint8) * 28, 9, axis=1),
+    }
+
+
+@pytest.mark.parametrize("name", list(_fixtures()))
+def test_libwebp_encoded_streams_decode_exactly_in_native(name):
+    """Real VP8L bitstreams → our decoder == libwebp's own decode.
+    (Comparing against libwebp's DECODE, not the source array: the
+    encoder's exact=0 default may rewrite RGB under alpha=0 — both
+    decoders must still agree bit-for-bit on what the stream says.)"""
+    arr = _fixtures()[name]
+    blob = encode_lossless(arr)
+    assert blob is not None and blob[12:16] == b"VP8L"
+    theirs = decode_rgba(blob)
+    ours = decode_webp(blob)
+    assert ours is not None
+    if ours.shape[2] == 3:
+        assert (theirs[:, :, 3] == 255).all()
+        theirs = theirs[:, :, :3]
+    assert ours.shape == theirs.shape
+    assert (ours == theirs).all()
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"use_lz77": True},
+        {"use_lz77": True, "cache_bits": 4},
+        {"subtract_green": True},
+        {"predictor_mode": 11},
+        {"predictor_mode": 13},
+        {"meta_groups": 2},
+        {"color_transform": (3, -2, 5)},
+    ],
+    ids=lambda k: "+".join(k) or "literal",
+)
+def test_our_streams_decode_exactly_in_libwebp(kwargs):
+    rng = _rng(5)
+    arr = rng.integers(0, 256, (21, 34, 3), np.uint8)
+    try:
+        blob = encode_webp(arr, **kwargs)
+    except TypeError:
+        pytest.skip(f"encoder lacks {kwargs}")
+    theirs = decode_rgba(blob)
+    assert theirs is not None, "libwebp rejected our bitstream"
+    assert (theirs[:, :, :3] == arr).all() and (theirs[:, :, 3] == 255).all()
+
+
+def test_our_palette_stream_decodes_in_libwebp():
+    rng = _rng(9)
+    pal = rng.integers(0, 256, (13, 3), np.uint8)
+    idx = rng.integers(0, 13, (18, 25, 1), np.uint8)
+    blob = encode_webp(idx, palette=pal)
+    theirs = decode_rgba(blob)
+    assert (theirs[:, :, :3] == pal[idx[:, :, 0]]).all()
+
+
+def test_our_alpha_stream_decodes_in_libwebp():
+    rng = _rng(11)
+    arr = rng.integers(0, 256, (16, 19, 4), np.uint8)
+    arr[0, 0, 3] = 200
+    theirs = decode_rgba(encode_webp(arr))
+    assert (theirs == arr).all()
+
+
+def test_lossy_vp8_still_decodes_natively():
+    """The r7 seam is closed in this environment: VP8 lossy pixels
+    decode through decode_webp (system binding), channel count agrees
+    with webp_meta's mode, and content is near the source."""
+    rng = _rng(3)
+    base = np.clip(
+        rng.normal(128, 30, (48, 64, 1)), 0, 255
+    ).astype(np.uint8).repeat(3, axis=2)
+    blob = encode_lossy(base, quality=90.0)
+    assert blob is not None and blob[12:16] == b"VP8 "
+    w, h, mode = webp_meta(blob)
+    assert (w, h, mode) == (64, 48, "RGB")
+    out = decode_webp(blob)
+    assert out is not None and out.shape == (48, 64, 3)
+    err = np.abs(out.astype(int) - base.astype(int)).mean()
+    assert err < 12.0, f"lossy reconstruction error {err:.1f} implausibly high"
+    # and it must equal the system decoder's own output exactly
+    assert (out == decode_rgba(blob)[:, :, :3]).all()
+
+
+def test_lossy_vp8_flat_is_near_exact():
+    flat = np.full((32, 32, 3), 120, np.uint8)
+    out = decode_webp(encode_lossy(flat, quality=100.0))
+    assert np.abs(out.astype(int) - 120).max() <= 2
+
+
+def test_lossy_frames_inside_animation_composite():
+    """ANMF frames carrying VP8 (not VP8L) payloads: built by swapping
+    our fixture writer's VP8L chunk for a real lossy chunk, then
+    composited by our lattice walker through the re-wrap path."""
+    import struct
+
+    f0 = np.full((24, 32, 3), 90, np.uint8)
+    f1 = np.full((24, 32, 3), 180, np.uint8)
+    lossy_still0 = encode_lossy(f0, quality=100.0)
+    lossy_still1 = encode_lossy(f1, quality=100.0)
+
+    def vp8_chunk(still: bytes) -> bytes:
+        at = still.index(b"VP8 ")
+        (sz,) = struct.unpack("<I", still[at + 4 : at + 8])
+        return still[at : at + 8 + sz + (sz & 1)]
+
+    # assemble the container manually: VP8X + ANIM + 2 ANMF(VP8)
+    body = bytearray()
+    body += b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0])
+    body += (31).to_bytes(3, "little") + (23).to_bytes(3, "little")
+    anim = bytes([0, 0, 0, 0]) + struct.pack("<H", 0)
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for chunk in (vp8_chunk(lossy_still0), vp8_chunk(lossy_still1)):
+        hdr = (
+            (0).to_bytes(3, "little") * 2
+            + (31).to_bytes(3, "little")
+            + (23).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")
+            + bytes([0x02])  # no-blend
+        )
+        payload = hdr + chunk
+        body += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+    res = decode_webp_lattice(blob, 1)
+    assert res is not None
+    n, frames = res
+    assert n == 2 and set(frames) == {0, 1}
+    assert np.abs(frames[0][:, :, :3].astype(int) - 90).max() <= 2
+    assert np.abs(frames[1][:, :, :3].astype(int) - 180).max() <= 2
+
+
+def test_system_binding_hostile_inputs():
+    assert decode_rgba(b"") is None
+    assert decode_rgba(b"RIFF\x10\x00\x00\x00WEBPVP8 ") is None
+    assert decode_rgba(b"not webp at all" * 3) is None
+    good = encode_lossy(np.full((8, 8, 3), 50, np.uint8))
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # bit-flip inside the partition
+    decode_rgba(bytes(bad))  # must not crash; None or a bounded image
+    # truncations at every prefix boundary must not crash the C side
+    for cut in (12, 20, 21, len(good) // 2):
+        decode_rgba(good[:cut])
+
+
+def test_version_reports():
+    assert libwebp_version() is not None
+
+
+def test_vp8l_and_anim_paths_do_not_require_the_binding():
+    """The native VP8L path must stay pure-stdlib: decoding our own
+    lossless fixture goes nowhere near ctypes (guarded by monkeypatch
+    — if the dispatch regresses to calling the binding for VP8L, this
+    fails loudly)."""
+    import anime_data_pipeline_spark.operators.webp_system as ws
+
+    arr = _rng(1).integers(0, 256, (9, 12, 3), np.uint8)
+    blob = encode_webp(arr)
+    orig = ws.decode_rgba
+    try:
+        ws.decode_rgba = lambda data: (_ for _ in ()).throw(AssertionError("binding used for VP8L"))
+        out = decode_webp(blob)
+    finally:
+        ws.decode_rgba = orig
+    assert (out == arr).all()
