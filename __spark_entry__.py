@@ -57,7 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # spec fix + the animation lattice retained-bytes cap + the animated
 # still alpha-hint fix + the lossy-frame system-binding path;
 # q182/q186 ride the href single-quote-pair strip; q183's metric fold
-# was extracted into the helper q191 shares (results unchanged).
+# was extracted into the helper q191 shares; the whole streaming
+# family rides the directory-aware file-source reader (the ×100
+# streaming stress run found the old pathGlobFilter read ZERO rows
+# from a directory-shaped documents.parquet).
 _CHANGED_THIS_ROUND = [
     "q187_webp_decode_bucket",
     "q188_webp_anim_sample",
@@ -69,6 +72,17 @@ _CHANGED_THIS_ROUND = [
     "q182_link_graph",
     "q186_domain_pagerank",
     "q183_retrieval_metrics",
+    "q90_stream_quality_dedup",
+    "q61_stream_tumbling",
+    "q62_stream_sliding",
+    "q63_stream_sessions",
+    "q64_stream_dedup",
+    "q65_stream_stream_join",
+    "q66_stream_static_enrich",
+    "q108_stream_incremental_dedup",
+    "q111_stream_window_drift",
+    "q123_stream_heavy_hitters",
+    "q141_stream_blocklist",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
@@ -91,20 +105,15 @@ _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first — newest driver row from round 3 (q90 leads:
-    # its r6 rework made its r3 row pre-rework evidence, the rule-(c)
-    # violation the r7 verdict flagged)
-    "q90_stream_quality_dedup",
-    "q63_stream_sessions",
-    "q64_stream_dedup",
-    "q65_stream_stream_join",
+    # (d) stalest first — q68/q69 (round-3 rows; their resplit-replay
+    # reader path was not touched) and the zorder pair, then the
+    # round-4 block: ANN/dedup first (they share the most
+    # frequently-touched operator modules), then bucketing, then the
+    # pure-SQL relational family (most stable, so last in line)
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
     "q83_zorder_key",
     "q84_zorder_skipping",
-    # newest row from round 4: ANN/dedup first (they share the most
-    # frequently-touched operator modules), then bucketing, then the
-    # pure-SQL relational family (most stable, so last in line)
     "q32_minhash_lsh_neardup",
     "q36_neardup_clusters",
     "q41_ann_bruteforce_topk",
@@ -124,9 +133,9 @@ _PRIORITY = [
     "q101_span_dedup",
     "q103_perplexity_band",
     "q105_quality_drift",
+    # ---- 50-row driver cutoff lands here ----
     "q106_image_neardup",
     "q72_multimodal_features",
-    "q111_stream_window_drift",
     "q112_funnel",
     "q113_cohort_retention",
     "q21_bucket_assign",
@@ -138,7 +147,6 @@ _PRIORITY = [
     "q04_left_join_nulls",
     "q05_semi_join",
     "q06_anti_join_count",
-    # ---- 50-row driver cutoff lands here ----
     "q07_union_dedup_last_wins",
     "q08_conditional_audit",
     "q09_distinct_pairs",

@@ -51,20 +51,31 @@ def _record_progress(q) -> None:
         pass
 
 
+def _stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over ``{sf_dir}/{table}.parquet`` whether the
+    testdata ships it as a single FILE (the driver's sf dirs) or as a
+    DIRECTORY of part files (the ×100 stress tier, any real ingest
+    drop zone). The file stream source requires a directory basePath,
+    so the file shape streams the sf dir filtered down to that name —
+    the r8 streaming stress run exposed that this glob matches no LEAF
+    files under a directory-shaped table, silently replaying an empty
+    stream."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events.parquet as a stream (file source needs an explicit
     schema; the TIMESTAMP(NANOS) column comes in as long and is
     downcast to microsecond timestamps, mirroring catalog.load_table)."""
-    path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # The file stream source requires a directory basePath: stream the
-    # sf dir, filtered down to the events file.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_table(spark, sf_dir, "events")
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         # div, not `/`: see catalog.load_table (double rounds nano epochs).
@@ -307,16 +318,9 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark exactly as they would in production; the same document
     replayed twice carries the same ingest_ts, so
     dropDuplicatesWithinWatermark semantics are deterministic."""
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .withColumn(
-            "ingest_ts",
-            F.timestamp_seconds(F.lit(1_704_067_200) + F.col("doc_id")),
-        )
+    return _stream_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_704_067_200) + F.col("doc_id")),
     )
 
 

@@ -173,6 +173,64 @@ def measure(prefixes: list[str]) -> None:
         )
 
 
+def measure_streaming(prefixes: list[str]) -> None:
+    """Streaming stress evidence (r7 verdict item 6): run each gate
+    stream at sf0.01 and at the ×100 tier and report, from the
+    StreamingQueryProgress audit trail the pipeline already records,
+    the TOTAL stateful-operator rows (numRowsTotal summed over every
+    stream the query runs) and the trigger execution time — the two
+    numbers that decide whether a watermarked stream survives a 100×
+    ingest burst: state must grow with ingest-per-horizon, not with
+    history."""
+    import math
+
+    from anime_data_pipeline_spark.registry import all_queries
+    from anime_data_pipeline_spark.session import get_spark
+    from anime_data_pipeline_spark.streaming import pipeline as sp
+
+    spark = get_spark(
+        app_name="stress_tier_streaming",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = all_queries()
+    wanted = [n for n in qs if any(n.startswith(p + "_") for p in prefixes)]
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    print(
+        f"{'query':32s} {'wall_s':>7s} {'wall_x':>7s} {'state_s':>9s} "
+        f"{'state_x':>9s} {'ratio':>6s} {'trig_ms':>8s} {'exp':>5s}"
+    )
+    for name in wanted:
+        rows = {}
+        for tag, sf_dir in (("small", SMALL), ("big", STRESS_DIR)):
+            sp.AUDIT.clear()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            state = 0
+            trig = 0
+            for p in sp.AUDIT:
+                for op in p.get("stateOperators") or []:
+                    state += int(op.get("numRowsTotal") or 0)
+                d = p.get("durationMs") or {}
+                trig = max(trig, int(d.get("triggerExecution") or 0))
+            rows[tag] = (wall, state, trig)
+        ws, ss, _ = rows["small"]
+        wb, sb, tb = rows["big"]
+        ratio = sb / ss if ss else float("nan")
+        exp = math.log(wb / ws) / math.log(100)
+        print(
+            f"{name:32s} {ws:7.2f} {wb:7.2f} {ss:9d} {sb:9d} "
+            f"{ratio:5.1f}x {tb:8d} {exp:5.2f}"
+        )
+
+
 if __name__ == "__main__":
+    args = sys.argv[1:]
+    streaming = "--streaming" in args
+    args = [a for a in args if a != "--streaming"]
     generate()
-    measure(sys.argv[1:] or DEFAULT_QUERIES)
+    if streaming:
+        measure_streaming(args or ["q90", "q108", "q111", "q123"])
+    else:
+        measure(args or DEFAULT_QUERIES)
