@@ -133,11 +133,11 @@ _PRIORITY = [
     "q101_span_dedup",
     "q103_perplexity_band",
     "q105_quality_drift",
-    # ---- 50-row driver cutoff lands here ----
     "q106_image_neardup",
     "q72_multimodal_features",
     "q112_funnel",
     "q113_cohort_retention",
+    # ---- 50-row driver cutoff lands here ----
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",
     "q23_bucket_stats",

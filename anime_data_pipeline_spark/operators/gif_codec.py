@@ -261,7 +261,9 @@ def gif_frame_count(data: bytes) -> int | None:
 
 
 _MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP
-_MAX_SAMPLED_PX = 1 << 27  # 128 MP across ALL retained lattice canvases (≤384 MB RGB)
+_MAX_SAMPLED_PX = 1 << 28  # 256 MP across ALL retained lattice canvases (≤768 MB RGB):
+# wide enough for a real 4K clip sampled at ~30 frames, still refusing a
+# crafted thousands-of-tiny-frames animation on a max-size canvas
 
 
 def _background_rgb(data: bytes, gct, frames) -> np.ndarray:

@@ -63,7 +63,9 @@ RIFF_MAGIC = b"RIFF"
 WEBP_FOURCC = b"WEBP"
 
 _MAX_CANVAS_PX = 1 << 26  # 64 MP: same bounds-before-allocation cap as BMP/GIF/TIFF
-_MAX_SAMPLED_PX = 1 << 27  # 128 MP across ALL retained lattice canvases (≤512 MB RGBA)
+_MAX_SAMPLED_PX = 1 << 28  # 256 MP across ALL retained lattice canvases (≤1 GB RGBA):
+# wide enough for a real 4K clip sampled at ~30 frames, still refusing a
+# crafted thousands-of-tiny-frames animation on a max-size canvas
 
 # ---------------------------------------------------------------------------
 # Distance-plane map (spec §4.2.2): 120 (dx, dy) short-distance codes.
@@ -741,10 +743,13 @@ def _decode_lossy_via_system(data: bytes) -> np.ndarray | None:
     return arr
 
 
-def _decode_lossy_frame_chunks(chunks: bytes, fw: int, fh: int) -> np.ndarray | None:
+def _decode_lossy_frame_chunks(
+    chunks: bytes, fw: int, fh: int, has_alpha: bool
+) -> np.ndarray | None:
     """An ANMF frame's ALPH?+VP8 chunk run → (fh, fw, 4) RGBA via the
     system binding, re-wrapped as a standalone still (VP8X-wrapped when
-    an ALPH plane rides along, since bare containers can't carry one)."""
+    an ALPH plane rides along, since bare containers can't carry one;
+    the caller's sub-chunk walk already knows whether one does)."""
     from anime_data_pipeline_spark.operators.webp_system import (
         decode_rgba,
         load_libwebp,
@@ -752,14 +757,6 @@ def _decode_lossy_frame_chunks(chunks: bytes, fw: int, fh: int) -> np.ndarray | 
 
     if load_libwebp() is None:
         raise NotImplementedError("lossy VP8 frames require libwebp.so (seam)")
-    has_alpha = False
-    pos = 0
-    while pos + 8 <= len(chunks):
-        if chunks[pos : pos + 4] == b"ALPH":
-            has_alpha = True
-            break
-        (sz,) = struct.unpack("<I", chunks[pos + 4 : pos + 8])
-        pos += 8 + sz + (sz & 1)
     body = chunks
     if has_alpha:
         vp8x = (
@@ -909,12 +906,15 @@ def decode_webp_lattice(
             payload = data[ps:pe]
             vp8l = None
             lossy_chunks = None
+            frame_has_alpha = False
             pos = 0
             while pos + 8 <= len(payload):  # sub-chunks: ALPH? then VP8/VP8L
                 fcc = payload[pos : pos + 4]
                 (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
                 if pos + 8 + sz > len(payload):
                     return None
+                if fcc == b"ALPH":
+                    frame_has_alpha = True
                 if fcc == b"VP8L":
                     vp8l = payload[pos + 8 : pos + 8 + sz]
                     break
@@ -922,7 +922,7 @@ def decode_webp_lattice(
                     # lossy frame: re-wrap the ALPH?+VP8 chunk run as a
                     # STILL container and decode through the system
                     # binding (the simple API has no frame entry point)
-                    lossy_chunks = payload[:pos] + payload[pos : pos + 8 + sz + (sz & 1)]
+                    lossy_chunks = payload[: pos + 8 + sz + (sz & 1)]
                     break
                 pos += 8 + sz + (sz & 1)
             if vp8l is not None:
@@ -931,7 +931,9 @@ def decode_webp_lattice(
                     return None
                 frame = res[0]
             elif lossy_chunks is not None:
-                frame = _decode_lossy_frame_chunks(lossy_chunks, fw, fh)
+                frame = _decode_lossy_frame_chunks(
+                    lossy_chunks, fw, fh, frame_has_alpha
+                )
                 if frame is None:
                     return None
             else:

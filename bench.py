@@ -191,7 +191,13 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(compact)
-    assert len(line) <= 1500, f"final bench line {len(line)}B > 1500B driver budget"
+    if len(line) > 1500:
+        # degrade, don't die: a crashed assert here would leave the
+        # oversized verbose record as the final stdout line — the exact
+        # parsed:null failure this block exists to prevent. The totals
+        # alone still feed the regression gate.
+        compact.pop("queries")
+        line = json.dumps(compact)
     print(line)
 
 

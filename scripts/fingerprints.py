@@ -34,8 +34,14 @@ Maintenance (round start, BEFORE editing anything):
 
 updates the snapshot for every query with a row in
 CORRECTNESS_r<round>.json to its fingerprint at <rev> (the previous
-round's end-of-round commit — the code the driver actually ran).
+round's end-of-round commit — the code the driver actually ran; this
+holds because the driver runs its correctness gate exactly ONCE per
+round, against that final commit — if it ever starts sampling
+mid-round, the pin must move to the sampled commit).
 ``python scripts/fingerprints.py diff`` prints the current rework set.
+NEWLY REGISTERED queries are absent from the snapshot and therefore
+invisible to the diff — they must be hand-declared in _NEVER_ROWED,
+which tests/test_cli.py cross-checks against the snapshot.
 """
 
 from __future__ import annotations

@@ -188,3 +188,15 @@ def test_changed_this_round_matches_fingerprint_diff():
         f"front-loaded for fresh rows: {missing} — add them to "
         f"_CHANGED_THIS_ROUND (and run scripts/fingerprints.py diff)"
     )
+    # the detector is snapshot-scoped, so a NEWLY REGISTERED query
+    # (absent from the snapshot) is invisible to it — those must be
+    # declared by hand, and this is the check that catches forgetting
+    from anime_data_pipeline_spark.registry import all_queries
+    from fingerprints import load_snapshot
+
+    unsnapshotted = set(all_queries()) - set(load_snapshot()["queries"])
+    undeclared_new = sorted(unsnapshotted - declared)
+    assert not undeclared_new, (
+        f"queries not in QUERY_FINGERPRINTS.json (new this round?) and "
+        f"not declared in any front-of-queue list: {undeclared_new}"
+    )

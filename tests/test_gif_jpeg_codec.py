@@ -680,8 +680,8 @@ def test_gif_lattice_total_sampled_bytes_cap():
     )
 
     pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
-    frames = [np.zeros((2, 2), dtype=np.uint8)] * 3
+    frames = [np.zeros((2, 2), dtype=np.uint8)] * 5
     blob = encode_gif_animation(frames, pal, screen=(8192, 8192))
     assert decode_gif_lattice(blob, 1) is None
-    res = decode_gif_lattice(blob, 3)
-    assert res is not None and res[0] == 3 and set(res[1]) == {0}
+    res = decode_gif_lattice(blob, 5)
+    assert res is not None and res[0] == 5 and set(res[1]) == {0}

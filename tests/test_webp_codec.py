@@ -473,19 +473,19 @@ def test_lattice_total_sampled_bytes_cap():
     """A crafted animation of tiny frames on a near-cap canvas must be
     refused BEFORE compositing: per-canvas 64MP is fine for one copy,
     but retaining n copies multiplies it (an OOM kill lands before
-    MemoryError raises) — total retained pixels cap at 128MP."""
+    MemoryError raises) — total retained pixels cap at 256MP."""
     from anime_data_pipeline_spark.operators.webp_codec import (
         decode_webp_lattice,
         encode_webp_anim,
     )
 
     tiny = np.full((2, 2, 3), 9, np.uint8)
-    # 8192x8192 = 64MP canvas (per-canvas cap allows ONE); 3 retained
-    # canvases = 192MP > the 128MP total cap
+    # 8192x8192 = 64MP canvas (per-canvas cap allows ONE); 5 retained
+    # canvases = 320MP > the 256MP total cap
     blob = encode_webp_anim(
-        [(tiny, 0, 0, 10)] * 3, (8192, 8192)
+        [(tiny, 0, 0, 10)] * 5, (8192, 8192)
     )
     assert decode_webp_lattice(blob, 1) is None
-    # sampling every 3rd keeps one canvas → within budget, decodes
-    res = decode_webp_lattice(blob, 3)
-    assert res is not None and res[0] == 3 and set(res[1]) == {0}
+    # sampling every 5th keeps one canvas → within budget, decodes
+    res = decode_webp_lattice(blob, 5)
+    assert res is not None and res[0] == 5 and set(res[1]) == {0}
