@@ -174,9 +174,20 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 class _Huffman:
     """Decode tree as a flat array: node i has children 2i+1 / 2i+2;
-    leaves hold the symbol. A single-symbol code consumes 0 bits."""
+    leaves hold the symbol. A single-symbol code consumes 0 bits.
 
-    __slots__ = ("tree", "single")
+    ``read`` goes through an 8-bit lookup table (the standard
+    table-driven acceleration every C inflate/VP8L decoder uses): one
+    peek of the next 8 stream bits resolves any code of length ≤ 8 in
+    a single list index + one accumulator shift, instead of one
+    accumulator round-trip PER BIT. Codes longer than 8 bits (rare by
+    construction — canonical codes give short lengths to frequent
+    symbols) consume the 8 peeked bits to an interior node and finish
+    with the exact bit-by-bit walk. This is the per-pixel hot loop of
+    the whole VP8L decode (q187's bench cost), so the constant factor
+    here is the gate's constant factor."""
+
+    __slots__ = ("tree", "single", "lut")
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -185,6 +196,7 @@ class _Huffman:
         if len(nz) == 1:
             self.single = nz[0][1]
             self.tree = None
+            self.lut = None
             return
         self.single = None
         codes = _canonical_codes(lengths)
@@ -206,11 +218,53 @@ class _Huffman:
                 raise ValueError("prefix conflict")
             tree[idx] = s
         self.tree = tree
+        # 8-bit primary table: entry = (symbol, length) for codes ≤ 8
+        # bits; (-interior_node, 8) when 8 bits land mid-code; (None, 0)
+        # for an unreachable path (incomplete code).
+        n_tree = len(tree)
+        lut: list[tuple[int | None, int]] = []
+        for idx8 in range(256):
+            node = 0
+            bits = idx8
+            entry: tuple[int | None, int] | None = None
+            for consumed in range(1, 9):
+                node = 2 * node + 1 + (bits & 1)
+                bits >>= 1
+                if node >= n_tree:
+                    entry = (None, 0)
+                    break
+                v = tree[node]
+                if v is not None:
+                    entry = (v, consumed)
+                    break
+            if entry is None:
+                entry = (-node, 8)
+            lut.append(entry)
+        self.lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        idx = 0
+        # fast path: peek 8 bits (same fill/mask discipline as
+        # _BitReader.read — the accumulator never grows past 40 bits)
+        while br.nbits < 8 and br.pos < br.n:
+            br.acc = (br.acc & ((1 << br.nbits) - 1)) | (br.data[br.pos] << br.nbits)
+            br.pos += 1
+            br.nbits += 8
+        sym, ln = self.lut[br.acc & 0xFF]
+        if sym is None:
+            raise ValueError("bad code walk")
+        if sym >= 0:
+            if ln > br.nbits:
+                raise ValueError("bitstream exhausted")
+            br.acc >>= ln
+            br.nbits -= ln
+            return sym
+        if br.nbits < 8:
+            raise ValueError("bitstream exhausted")
+        br.acc >>= 8
+        br.nbits -= 8
+        idx = -sym
         tree = self.tree
         while True:
             idx = 2 * idx + 1 + br.read(1)
@@ -1319,24 +1373,30 @@ def _encode_spatial(
     tokens: list[tuple[str, object, int]] = []
     cache = [None] * (1 << cache_bits) if cache_bits else None
 
-    def _key(i: int) -> int:
-        r, g, b, a = (int(v) for v in px[i])
-        return (a << 24) | (r << 16) | (g << 8) | b
+    # plain-int views computed ONCE: the tokenizer/frequency/write loops
+    # below touch every pixel several times, and per-access numpy scalar
+    # conversion was the encoder's dominant cost (it runs at QUERY time
+    # for the gate corpora, so its constant factor is q187's bench cost)
+    px64 = px.astype(np.uint32)
+    keys = (
+        (px64[:, 3] << 24) | (px64[:, 0] << 16) | (px64[:, 1] << 8) | px64[:, 2]
+    ).tolist()
+    rgba = px.tolist()
 
     i = 0
     while i < n:
-        if use_lz77 and i > 0 and _key(i) == _key(i - 1):
+        if use_lz77 and i > 0 and keys[i] == keys[i - 1]:
             run = 1
-            while i + run < n and _key(i + run) == _key(i - 1 + run) and run < 4096:
+            while i + run < n and keys[i + run] == keys[i - 1 + run] and run < 4096:
                 run += 1
             tokens.append(("ref", (run, 1), i))
             if cache is not None:
                 for j in range(i, i + run):
-                    argb = _key(j)
+                    argb = keys[j]
                     cache[((argb * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
             i += run
             continue
-        argb = _key(i)
+        argb = keys[i]
         if cache is not None:
             slot = ((argb * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)
             if cache[slot] == argb:
@@ -1387,7 +1447,7 @@ def _encode_spatial(
     for kind, payload, pos in tokens:
         g = grp_of(pos)
         if kind == "lit":
-            r, gg, b, a = (int(v) for v in px[payload])
+            r, gg, b, a = rgba[payload]
             bump(g, _GREEN, gg)
             bump(g, _RED, r)
             bump(g, _BLUE, b)
@@ -1407,33 +1467,50 @@ def _encode_spatial(
         for ci in (_GREEN, _RED, _BLUE, _ALPHA):
             if not freqs[g][ci]:
                 bump(g, ci, 0)
+    def _rev(code: int, k: int) -> int:
+        rev = 0
+        for _ in range(k):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        return rev
+
     codes = []
     for g in range(n_groups):
         gcodes = []
         for ci in range(5):
             alpha = _ALPHABETS[ci] + ((1 << cache_bits) if (ci == 0 and cache_bits) else 0)
             lengths = _huff_lengths(freqs[g][ci], alpha)
-            gcodes.append(_write_code(bw, lengths))
+            # pre-reverse once per SYMBOL (write_code reverses per
+            # OCCURRENCE — a per-bit loop inside the per-pixel loop)
+            gcodes.append(
+                {s: (_rev(c, k), k) for s, (c, k) in _write_code(bw, lengths).items()}
+            )
         codes.append(gcodes)
+    bw_write = bw.write
     for kind, payload, pos in tokens:
         gc = codes[grp_of(pos)]
         if kind == "lit":
-            r, gg, b, a = (int(v) for v in px[payload])
-            for ci, sym in ((_GREEN, gg), (_RED, r), (_BLUE, b), (_ALPHA, a)):
-                c, k = gc[ci][sym]
-                bw.write_code(c, k)
+            r, gg, b, a = rgba[payload]
+            c, k = gc[_GREEN][gg]
+            bw_write(c, k)
+            c, k = gc[_RED][r]
+            bw_write(c, k)
+            c, k = gc[_BLUE][b]
+            bw_write(c, k)
+            c, k = gc[_ALPHA][a]
+            bw_write(c, k)
         elif kind == "cache":
             c, k = gc[_GREEN][280 + payload]
-            bw.write_code(c, k)
+            bw_write(c, k)
         else:
             length, dist = payload
             lp, lx, ln = _prefix_encode(length)
             c, k = gc[_GREEN][256 + lp]
-            bw.write_code(c, k)
+            bw_write(c, k)  # pre-reversed above
             if ln:
                 bw.write(lx, ln)  # extra bits stay LSB-first
             dp, dx, dn = _prefix_encode(_PLANE_CODE[(1, 0)])
             c, k = gc[_DIST][dp]
-            bw.write_code(c, k)
+            bw_write(c, k)
             if dn:
                 bw.write(dx, dn)
