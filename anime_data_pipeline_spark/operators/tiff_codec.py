@@ -155,11 +155,14 @@ def _lzw_decode(src: bytes, expect: int) -> bytes | None:
             return None
         out += entry
         prev = entry
-        # early change (spec §13 / every real writer): the encoder
-        # bumps after ASSIGNING entry 2^bits - 2 (its counter hits
-        # 2^bits - 1); this decoder's table lags the encoder's by one
-        # entry, so the equivalent condition is len == 2^bits - 2.
-        if len(table) >= (1 << bits) - 2 and bits < 12:
+        # early change (spec §13, the libtiff convention every real
+        # writer follows): the encoder bumps once ITS next free code
+        # reaches 2^bits; this decoder's table lags the encoder's by
+        # one entry, so the equivalent condition is len == 2^bits - 1.
+        # (r8: both sides here switched one code earlier than libtiff —
+        # a matched pair that every in-repo roundtrip hid until the
+        # JDK-ImageIO cross-validation desynced at the 511 boundary.)
+        if len(table) >= (1 << bits) - 1 and bits < 12:
             bits += 1
     return bytes(out[:expect]) if len(out) >= expect else None
 
@@ -390,9 +393,11 @@ def _lzw_encode(src: bytes) -> bytes:
         emit(table[run], bits)
         table[cand] = next_code
         next_code += 1
-        # early change: the DECODER grows its table one entry behind,
-        # so the width bumps when next_code reaches 2^bits - 1
-        if next_code == (1 << bits) - 1 and bits < 12:
+        # early change, encoder side (libtiff convention): bump when
+        # the next free code reaches 2^bits — the last 9-bit emission
+        # can still only carry values ≤ 510, and the lagging decoder
+        # switches at table length 2^bits - 1 (see _lzw_decode)
+        if next_code == (1 << bits) and bits < 12:
             bits += 1
         if next_code >= 4094:  # table nearly full → reset
             emit(CLEAR, bits)

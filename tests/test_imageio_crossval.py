@@ -1,0 +1,312 @@
+"""Cross-validation of the native PNG/GIF/JPEG/BMP/TIFF codecs against
+the JVM's ``javax.imageio`` — a second INDEPENDENT implementation that
+ships inside the Spark runtime itself (Java 17 bundles readers and
+writers for all five formats), reached through py4j on the session
+fixture's JVM. Same matched-bug-killer rationale as the libwebp suite
+(tests/test_webp_system_crossval.py): an in-repo encoder/decoder pair
+can share a spec misreading that every roundtrip test hides, but it
+cannot coincidentally agree with a foreign decoder — and a foreign
+ENCODER produces streams whose coding choices our fixture writers
+never make.
+
+Lossless formats compare bit-exactly both directions. JPEG compares
+within tolerance: T.81 does not mandate a bit-exact IDCT, so two
+conforming decoders legitimately differ by a few levels per sample —
+what the tolerance still catches is channel swaps, stride/orientation
+bugs, wrong upsampling geometry, and dequant table mixups (all of
+which blow past ±8 immediately).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from anime_data_pipeline_spark.operators.bmp_codec import decode_bmp, encode_bmp
+from anime_data_pipeline_spark.operators.gif_codec import decode_gif, encode_gif
+from anime_data_pipeline_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from anime_data_pipeline_spark.operators.png_codec import (
+    decode_png,
+    decode_png_palette,
+    encode_png,
+    palette_to_rgb,
+)
+from anime_data_pipeline_spark.operators.tiff_codec import decode_tiff, encode_tiff
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _jvm_decode(spark, blob: bytes) -> np.ndarray | None:
+    """bytes → (h, w, 3|4) uint8 via javax.imageio; None if unreadable.
+    getRGB returns ARGB ints; alpha kept only when the color model has
+    an alpha channel."""
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    if img is None:
+        return None
+    w, h = img.getWidth(), img.getHeight()
+    px = np.array(list(img.getRGB(0, 0, w, h, None, 0, w)), dtype=np.int64).reshape(
+        h, w
+    )
+    rgba = np.stack(
+        [(px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF, (px >> 24) & 0xFF], axis=2
+    ).astype(np.uint8)
+    if img.getColorModel().hasAlpha():
+        return rgba
+    return rgba[:, :, :3].copy()
+
+
+def _jvm_encode(spark, arr: np.ndarray, fmt: str) -> bytes | None:
+    """(h, w, 3) uint8 → bytes via the JVM's own ``fmt`` writer — a
+    foreign encoder whose coding choices our decoders must survive."""
+    jvm = spark._jvm
+    h, w = arr.shape[:2]
+    img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    jarr = spark._sc._gateway.new_array(jvm.int, len(flat))
+    for i, v in enumerate(flat.tolist()):
+        jarr[i] = int(v)
+    img.setRGB(0, 0, w, h, jarr, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ok = jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+    if not ok:
+        return None
+    return bytes(baos.toByteArray())
+
+
+# ---------------------------------------------------------------------------
+# PNG — lossless, bit-exact both directions
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "kwargs,shape",
+    [
+        ({}, (13, 17, 3)),
+        ({}, (9, 11, 4)),
+        ({"interlace": 1}, (21, 15, 3)),
+    ],
+    ids=["rgb", "rgba", "adam7"],
+)
+def test_png_ours_to_imageio(spark, kwargs, shape):
+    arr = _rng(sum(shape)).integers(0, 256, shape, np.uint8)
+    theirs = _jvm_decode(spark, encode_png(arr, **kwargs))
+    assert theirs is not None
+    assert theirs.shape == arr.shape and (theirs == arr).all()
+
+
+def test_png_gray_ours_to_imageio(spark):
+    """Grayscale compares at the RASTER level: BufferedImage.getRGB on
+    TYPE_BYTE_GRAY applies a gray→sRGB color-space transform that
+    shifts values, so the raw sample path is the honest comparison."""
+    arr = _rng(26).integers(0, 256, (12, 14), np.uint8)
+    blob = encode_png(arr)
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(bytearray(blob)))
+    assert img is not None
+    w, h = img.getWidth(), img.getHeight()
+    samples = np.array(
+        list(img.getRaster().getSamples(0, 0, w, h, 0, None)), dtype=np.int64
+    ).reshape(h, w)
+    assert (samples == arr).all()
+
+
+def test_png_palette_ours_to_imageio(spark):
+    rng = _rng(5)
+    pal = rng.integers(0, 256, (11, 3), np.uint8)
+    idx = rng.integers(0, 11, (16, 19), np.uint8)
+    theirs = _jvm_decode(spark, encode_png(idx, palette=pal))
+    assert (theirs[:, :, :3] == pal[idx]).all()
+
+
+def test_png_imageio_to_ours(spark):
+    """A JVM-written PNG (its own filter heuristics, not our filter-0
+    fixtures) must decode bit-exactly in our decoder."""
+    arr = _rng(7).integers(0, 256, (24, 31, 3), np.uint8)
+    blob = _jvm_encode(spark, arr, "png")
+    assert blob is not None
+    ours = decode_png(blob)
+    assert ours is not None
+    if ours.shape[2] == 1:
+        plte = decode_png_palette(blob)
+        assert plte is not None
+        ours = palette_to_rgb(ours, plte)
+    assert (ours[:, :, :3] == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# GIF — palette-exact both directions
+# ---------------------------------------------------------------------------
+def test_gif_ours_to_imageio(spark):
+    rng = _rng(11)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (18, 23), np.uint8)
+    theirs = _jvm_decode(spark, encode_gif(idx, pal))
+    assert (theirs[:, :, :3] == pal[idx]).all()
+
+
+def test_gif_interlaced_ours_to_imageio(spark):
+    rng = _rng(13)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    idx = rng.integers(0, 8, (25, 14), np.uint8)
+    theirs = _jvm_decode(spark, encode_gif(idx, pal, interlace=True))
+    assert (theirs[:, :, :3] == pal[idx]).all()
+
+
+def test_gif_imageio_to_ours(spark):
+    """JVM-written GIF (its own palette quantization + LZW) → our
+    decoder. Using few distinct colors keeps the JVM's quantizer
+    lossless, so the comparison stays exact."""
+    rng = _rng(17)
+    base = (rng.integers(0, 6, (20, 27), np.uint8) * 40).astype(np.uint8)
+    arr = np.stack([base, 255 - base, base // 2], axis=2)
+    blob = _jvm_encode(spark, arr, "gif")
+    assert blob is not None
+    ours = decode_gif(blob)
+    assert ours is not None and (ours == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# BMP — exact both directions
+# ---------------------------------------------------------------------------
+def test_bmp_ours_to_imageio(spark):
+    arr = _rng(19).integers(0, 256, (15, 22, 3), np.uint8)
+    theirs = _jvm_decode(spark, encode_bmp(arr))
+    assert (theirs[:, :, :3] == arr).all()
+
+
+def test_bmp_imageio_to_ours(spark):
+    arr = _rng(23).integers(0, 256, (17, 13, 3), np.uint8)
+    blob = _jvm_encode(spark, arr, "bmp")
+    assert blob is not None
+    ours = decode_bmp(blob)
+    assert ours is not None and (ours[:, :, :3] == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# TIFF — exact both directions (Java 17 bundles the TIFF plugin)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773], ids=["none", "lzw", "deflate", "packbits"])
+def test_tiff_ours_to_imageio(spark, compression):
+    arr = _rng(29 + compression).integers(0, 256, (14, 19, 3), np.uint8)
+    theirs = _jvm_decode(spark, encode_tiff(arr, compression=compression))
+    assert theirs is not None, f"ImageIO rejected our compression={compression} TIFF"
+    assert (theirs[:, :, :3] == arr).all()
+
+
+def test_tiff_lzw_predictor_ours_to_imageio(spark):
+    arr = _rng(31).integers(0, 256, (12, 16, 3), np.uint8)
+    theirs = _jvm_decode(spark, encode_tiff(arr, compression=5, predictor=2))
+    assert theirs is not None and (theirs[:, :, :3] == arr).all()
+
+
+def test_tiff_imageio_to_ours(spark):
+    arr = _rng(37).integers(0, 256, (21, 11, 3), np.uint8)
+    blob = _jvm_encode(spark, arr, "tiff")
+    assert blob is not None
+    ours = decode_tiff(blob)
+    assert ours is not None and (ours[:, :, :3] == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG — tolerance both directions (T.81 IDCT variance is conformant)
+# ---------------------------------------------------------------------------
+def _smooth(seed, h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    base = 128 + 70 * np.sin(x / 7.0) * np.cos(y / 5.0)
+    noise = _rng(seed).normal(0, 4, (h, w))
+    g = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return np.stack([g, np.clip(g + 20, 0, 255), 255 - g], axis=2)
+
+
+@pytest.mark.parametrize("subsample", [False, True], ids=["444", "420"])
+def test_jpeg_ours_to_imageio(spark, subsample):
+    arr = _smooth(41, 40, 48)
+    blob = encode_jpeg(arr, quality=92, subsample=subsample)
+    theirs = _jvm_decode(spark, blob)[:, :, :3].astype(int)
+    ours = decode_jpeg(blob).astype(int)
+    assert theirs.shape == ours.shape
+    # two conforming decoders of the SAME stream: small per-sample
+    # slack (IDCT variance; 4:2:0 additionally differs in chroma
+    # upsampling interpolation, hence the looser mean there)
+    diff = np.abs(theirs - ours)
+    mean_tol = 4.0 if subsample else 2.0
+    assert diff.mean() < mean_tol and diff.max() <= 24, (diff.mean(), diff.max())
+
+
+def test_jpeg_progressive_ours_to_imageio(spark):
+    arr = _smooth(43, 32, 40)
+    blob = encode_jpeg_progressive(arr, quality=90)
+    theirs = _jvm_decode(spark, blob)[:, :, :3].astype(int)
+    ours = decode_jpeg(blob).astype(int)
+    diff = np.abs(theirs - ours)
+    assert diff.mean() < 2.0 and diff.max() <= 16, (diff.mean(), diff.max())
+
+
+def test_jpeg_imageio_to_ours(spark):
+    """A JVM-encoded JPEG (its own quant tables, optimized Huffman,
+    4:2:0 choices) must decode in ours close to the source."""
+    arr = _smooth(47, 48, 56)
+    blob = _jvm_encode(spark, arr, "jpg")
+    assert blob is not None
+    ours = decode_jpeg(blob)
+    assert ours is not None and ours.shape == arr.shape
+    diff = np.abs(ours.astype(int) - arr.astype(int))
+    assert diff.mean() < 6.0, diff.mean()
+
+
+def test_tiff_lzw_boundary_crossing_both_ways(spark):
+    """A 100x80 random RGB image pushes the LZW table through the
+    511/1023/2047 width boundaries AND the 4094 reset — the exact
+    range where r8's cross-validation caught a matched encoder/decoder
+    early-change off-by-one (both sides switched one code before the
+    libtiff convention; every in-repo roundtrip passed while real
+    streams would desync at code 511)."""
+    arr = _rng(53).integers(0, 256, (100, 80, 3), np.uint8)
+    for predictor in (1, 2):
+        blob = encode_tiff(arr, compression=5, predictor=predictor)
+        theirs = _jvm_decode(spark, blob)
+        assert theirs is not None and (theirs[:, :, :3] == arr).all()
+        ours = decode_tiff(blob)
+        assert (ours[:, :, :3] == arr).all()
+
+
+def test_tiff_jdk_lzw_writer_to_ours(spark):
+    """The JDK's own TIFF writer configured for LZW — a foreign
+    encoder's width-change and reset choices — must decode bit-exactly
+    in our decoder."""
+    jvm = spark._jvm
+    rng = _rng(59)
+    arr = rng.integers(0, 256, (45, 60, 3), np.uint8)
+    w, h = 60, 45
+    img = jvm.java.awt.image.BufferedImage(w, h, 1)
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    jarr = spark._sc._gateway.new_array(jvm.int, len(flat))
+    for i, v in enumerate(flat.tolist()):
+        jarr[i] = int(v)
+    img.setRGB(0, 0, w, h, jarr, 0, w)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(2)  # MODE_EXPLICIT
+    param.setCompressionType("LZW")
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    blob = bytes(baos.toByteArray())
+    ours = decode_tiff(blob)
+    assert ours is not None and (ours[:, :, :3] == arr).all()
