@@ -310,3 +310,102 @@ def test_tiff_jdk_lzw_writer_to_ours(spark):
     blob = bytes(baos.toByteArray())
     ours = decode_tiff(blob)
     assert ours is not None and (ours[:, :, :3] == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# Width-boundary and bit-depth extensions (post-LZW-fix hardening)
+# ---------------------------------------------------------------------------
+def test_gif_256color_boundary_ours_to_imageio(spark):
+    """A 256-color random frame pushes GIF-LZW through its 511/1023/
+    2047 width boundaries — the family of off-by-ones the TIFF fix
+    proved our roundtrips cannot see on their own."""
+    rng = _rng(61)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    idx = rng.integers(0, 256, (80, 100), np.uint8)
+    theirs = _jvm_decode(spark, encode_gif(idx, pal))
+    assert theirs is not None and (theirs[:, :, :3] == pal[idx]).all()
+
+
+def test_png_16bit_ours_to_imageio(spark):
+    arr = _rng(67).integers(0, 65536, (10, 12), np.uint16).astype(np.uint16)
+    blob = encode_png(arr)
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    assert img is not None
+    w, h = img.getWidth(), img.getHeight()
+    samples = np.array(
+        list(img.getRaster().getSamples(0, 0, w, h, 0, None)), dtype=np.int64
+    ).reshape(h, w)
+    assert (samples == arr).all()
+
+
+def test_bmp_rle8_ours_to_imageio(spark):
+    rng = _rng(71)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    # blocky content so RLE emits real runs AND absolute-mode sections
+    idx = np.repeat(rng.integers(0, 16, (20, 8), np.uint8), 4, axis=1)
+    idx[::5, 3] = 7
+    theirs = _jvm_decode(spark, encode_bmp(idx, palette=pal, rle=True))
+    assert theirs is not None and (theirs[:, :, :3] == pal[idx]).all()
+
+
+# ---------------------------------------------------------------------------
+# WAV — cross-validated against javax.sound.sampled (an independent
+# PCM/G.711 implementation in the same JVM)
+# ---------------------------------------------------------------------------
+def _jvm_wav_bytes(spark, blob: bytes, to_pcm16: bool = False):
+    """(format_name, raw frame bytes) via AudioSystem; optionally
+    converted through the JVM's own codec chain to PCM_SIGNED 16."""
+    jvm = spark._jvm
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    if to_pcm16:
+        src = ais.getFormat()
+        Enc = jvm.javax.sound.sampled.AudioFormat.Encoding
+        tgt = jvm.javax.sound.sampled.AudioFormat(
+            Enc.PCM_SIGNED,
+            src.getSampleRate(),
+            16,
+            src.getChannels(),
+            2 * src.getChannels(),
+            src.getSampleRate(),
+            False,
+        )
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(tgt, ais)
+    fmt = ais.getFormat()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ais.transferTo(baos)  # byte[] returns convert to Python bytes directly
+    return str(fmt.getEncoding()), bytes(baos.toByteArray())
+
+
+def test_wav_pcm16_ours_to_javasound(spark):
+    from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav
+
+    rng = _rng(73)
+    samples = rng.normal(0, 8000, (2000,)).clip(-32768, 32767).astype(np.int16)
+    blob = encode_wav(samples, 16000, "pcm")
+    enc, raw = _jvm_wav_bytes(spark, blob)
+    assert enc == "PCM_SIGNED"
+    theirs = np.frombuffer(raw, dtype="<i2")
+    ours, rate = decode_wav(blob)
+    assert rate == 16000 and (ours.ravel() == theirs).all()
+    assert (theirs == samples).all()
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_wav_g711_expansion_matches_javasound(law, spark):
+    """G.711 expansion tables are exact integer spec: our decode and
+    the JVM's ULAW/ALAW→PCM16 converter must agree bit-for-bit."""
+    from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav
+
+    rng = _rng(79)
+    samples = rng.normal(0, 9000, (1500,)).clip(-32768, 32767).astype(np.int16)
+    blob = encode_wav(samples, 8000, law)
+    enc, raw = _jvm_wav_bytes(spark, blob, to_pcm16=True)
+    theirs = np.frombuffer(raw, dtype="<i2")
+    ours, rate = decode_wav(blob)
+    assert rate == 8000 and ours.dtype == np.int16
+    assert (ours.ravel() == theirs).all()
