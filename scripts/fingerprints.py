@@ -101,6 +101,21 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
     return tree
 
 
+def _resolve_import_from(node: ast.ImportFrom, current_mod: str) -> str:
+    """ImportFrom → the dotted module it names, with relative levels
+    resolved against ``current_mod``'s package. The single home for
+    this logic — three walkers share it, and a divergence between
+    their copies would silently skew fingerprints."""
+    if node.level:  # relative: from .x / from ..ops.x
+        base = current_mod.split(".")[: -node.level]
+        return ".".join(base + ([node.module] if node.module else []))
+    return node.module or ""
+
+
+def _is_pkg(mod: str) -> bool:
+    return mod == PKG or mod.startswith(PKG + ".")
+
+
 def _internal_imports(tree: ast.AST, current_mod: str, exists) -> set[str]:
     """Package-internal modules statically imported by ``tree``.
 
@@ -108,11 +123,10 @@ def _internal_imports(tree: ast.AST, current_mod: str, exists) -> set[str]:
     exists, else falls back to pkg/a (the defining module). Relative
     imports resolve against ``current_mod``'s package.
     """
-    pkg_parts = current_mod.split(".")
     out: set[str] = set()
 
     def add(mod: str) -> None:
-        if mod == PKG or mod.startswith(PKG + "."):
+        if _is_pkg(mod):
             if exists(_mod_relpath(mod)):
                 out.add(mod)
             elif exists(mod.replace(".", "/") + "/__init__.py"):
@@ -123,12 +137,8 @@ def _internal_imports(tree: ast.AST, current_mod: str, exists) -> set[str]:
             for alias in node.names:
                 add(alias.name)
         elif isinstance(node, ast.ImportFrom):
-            if node.level:  # relative: from .x / from ..ops.x
-                base = pkg_parts[: len(pkg_parts) - node.level]
-                mod = ".".join(base + ([node.module] if node.module else []))
-            else:
-                mod = node.module or ""
-            if not (mod == PKG or mod.startswith(PKG + ".")):
+            mod = _resolve_import_from(node, current_mod)
+            if not _is_pkg(mod):
                 continue
             for alias in node.names:
                 sub = f"{mod}.{alias.name}"
@@ -205,20 +215,15 @@ def _import_deps(node, current_mod: str, exists):
     """(modules, (module, name) pairs) introduced by one import stmt —
     used for FUNCTION-LOCAL imports, which bind nothing at module level
     but are the dominant style inside query functions."""
-    pkg_parts = current_mod.split(".")
     mods: set[str] = set()
     names: set[tuple[str, str]] = set()
     if isinstance(node, ast.Import):
         for alias in node.names:
-            if alias.name == PKG or alias.name.startswith(PKG + "."):
+            if _is_pkg(alias.name):
                 mods.add(alias.name)
     elif isinstance(node, ast.ImportFrom):
-        if node.level:
-            base = pkg_parts[: len(pkg_parts) - node.level]
-            mod = ".".join(base + ([node.module] if node.module else []))
-        else:
-            mod = node.module or ""
-        if mod == PKG or mod.startswith(PKG + "."):
+        mod = _resolve_import_from(node, current_mod)
+        if _is_pkg(mod):
             for alias in node.names:
                 sub = f"{mod}.{alias.name}"
                 if exists(_mod_relpath(sub)):
@@ -231,45 +236,59 @@ def _import_deps(node, current_mod: str, exists):
 def _top_level_bindings(tree: ast.Module, current_mod: str, exists):
     """name → ('node', ast stmt) for module-level defs/assigns, or
     ('mod', dotted) for package-internal import bindings. External
-    imports (pyspark, stdlib) are omitted — they don't fingerprint."""
-    pkg_parts = current_mod.split(".")
+    imports (pyspark, stdlib) are omitted — they don't fingerprint.
+    Compound module-level statements (if/try/for/while/with — e.g. a
+    ``try: IMPL = fast\nexcept ImportError: IMPL = slow`` feature
+    gate) are flattened: a binding inside them is still module-level,
+    and dropping it would UNDER-select (the failure direction this
+    tool exists to prevent). The whole compound statement becomes the
+    binding node, so editing EITHER branch changes the fingerprint."""
     bindings: dict[str, tuple[str, object]] = {}
 
     def mod_binding(name: str, dotted: str) -> None:
-        if dotted == PKG or dotted.startswith(PKG + "."):
+        if _is_pkg(dotted):
             bindings[name] = ("mod", dotted)
 
-    for node in tree.body:
+    def visit(node, bind_node) -> None:
+        """``bind_node`` is what a name binds TO — the top-level stmt
+        itself, so compound branches hash as a unit."""
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            bindings[node.name] = ("node", node)
+            bindings[node.name] = ("node", bind_node)
         elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)):
             targets = node.targets if isinstance(node, ast.Assign) else [node.target]
             for t in targets:
                 for n in ast.walk(t):
                     if isinstance(n, ast.Name):
-                        bindings[n.id] = ("node", node)
+                        bindings[n.id] = ("node", bind_node)
         elif isinstance(node, ast.Import):
             for alias in node.names:
                 mod_binding(alias.asname or alias.name.split(".")[0], alias.name)
         elif isinstance(node, ast.ImportFrom):
-            if node.level:
-                base = pkg_parts[: len(pkg_parts) - node.level]
-                mod = ".".join(base + ([node.module] if node.module else []))
-            else:
-                mod = node.module or ""
-            if not (mod == PKG or mod.startswith(PKG + ".")):
-                continue
+            mod = _resolve_import_from(node, current_mod)
+            if not _is_pkg(mod):
+                return
             for alias in node.names:
                 sub = f"{mod}.{alias.name}"
                 bound = alias.asname or alias.name
                 if exists(_mod_relpath(sub)):
                     mod_binding(bound, sub)
-                elif mod == PKG or mod.startswith(PKG + "."):
+                else:
                     # a NAME inside a package module: fingerprint the
                     # sliced name, not the whole module — query modules
                     # import helpers from each other, and a module-level
                     # fallback would flag every sibling query
                     bindings[bound] = ("name", (mod, alias.name))
+        elif isinstance(node, (ast.If, ast.Try, ast.For, ast.While, ast.With)):
+            for field in ("body", "orelse", "finalbody", "handlers"):
+                for child in getattr(node, field, []) or []:
+                    if isinstance(child, ast.ExceptHandler):
+                        for c in child.body:
+                            visit(c, bind_node)
+                    else:
+                        visit(child, bind_node)
+
+    for node in tree.body:
+        visit(node, node)
     return bindings
 
 
@@ -421,8 +440,27 @@ def _cmd_refresh(rev: str, rnd: int) -> None:
 
 def _cmd_init(rev: str, rnd: int) -> None:
     """Initialize EVERY query's snapshot at one rev (used once, at the
-    round-7 end commit the judge's full 189-query sweep verified)."""
-    at_rev = query_fingerprints(rev_loader(rev))
+    round-7 end commit the judge's full-registry sweep verified).
+    Queries whose registering function does not exist at the rev are
+    SKIPPED — they were registered later, have no verified row, and
+    belong to _NEVER_ROWED until their first row lands (pinning them
+    at a rev that predates them would record a bogus fingerprint)."""
+    loader = rev_loader(rev)
+    cache: dict = {}
+    memo: dict[str, bytes | None] = {}
+
+    def cached_loader(relpath: str) -> bytes | None:
+        if relpath not in memo:
+            memo[relpath] = loader(relpath)
+        return memo[relpath]
+
+    at_rev: dict[str, str] = {}
+    for name, (mod, qualname) in query_roots().items():
+        src = cached_loader(_mod_relpath(mod))
+        if src is None or (f"def {qualname}(" not in src.decode("utf-8", "replace")):
+            print(f"  skipping {name}: not present at {rev} (never-rowed)")
+            continue
+        at_rev[name] = fingerprint_query(mod, qualname, cached_loader, cache)
     snap = {
         "queries": {n: {"fp": fp, "round": rnd} for n, fp in sorted(at_rev.items())}
     }

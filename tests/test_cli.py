@@ -200,3 +200,38 @@ def test_changed_this_round_matches_fingerprint_diff():
         f"queries not in QUERY_FINGERPRINTS.json (new this round?) and "
         f"not declared in any front-of-queue list: {undeclared_new}"
     )
+
+
+def test_priority_stale_section_is_stalest_first():
+    """Rule (d): after the changed/new/reworked prefix, the 50-row
+    window must be filled stalest-first — no query OUTSIDE the window
+    may have an OLDER newest-driver-row than one inside it (the r5
+    verdict found 12 round-4 queries stranded behind newer ones for
+    two rounds)."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as ent
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for q in json.load(open(f)):
+            newest[q] = max(newest.get(q, 0), rnd)
+    front = set(ent._CHANGED_THIS_ROUND) | set(ent._NEVER_ROWED) | set(
+        ent._REWORKED_LAST_ROUND
+    )
+    order = list(ent.queries())
+    in_window = [q for q in order[:50] if q not in front and q in newest]
+    outside = [q for q in order[50:] if q not in front and q in newest]
+    if not in_window or not outside:
+        return
+    max_inside = max(newest[q] for q in in_window)
+    min_outside = min(newest[q] for q in outside)
+    assert max_inside <= min_outside, (
+        f"stale-first violated: a round-{max_inside}-rowed query sits inside "
+        f"the 50-row window while a round-{min_outside}-rowed one is outside"
+    )

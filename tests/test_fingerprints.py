@@ -126,3 +126,31 @@ def test_snapshot_matches_worktree_when_clean():
     fps = query_fingerprints(worktree_loader)
     assert len(fps) >= 189
     assert all(len(v) == 64 for v in fps.values())
+
+
+def test_conditional_module_level_binding_is_sliced():
+    """A name bound inside a module-level try/except (the import
+    feature-gate pattern) must still participate in slices — the first
+    slicer only scanned direct tree.body statements and silently
+    dropped such names (under-selection, the failure direction this
+    tool exists to prevent). The whole compound statement is the
+    binding node, so editing EITHER branch reworks the dependents."""
+    files = dict(BASE)
+    files[Q] = BASE[Q] + b'''
+try:
+    from anime_data_pipeline_spark.operators.fake_op import transform as IMPL
+except ImportError:
+    IMPL = None
+
+def q_three(spark, sf_dir):
+    return IMPL(3)
+'''
+    edited = dict(files)
+    edited[Q] = files[Q].replace(b"IMPL = None", b"IMPL = _helper")
+    assert _fp(files, "q_three") != _fp(edited, "q_three")
+    # siblings untouched by the compound statement stay stable
+    assert _fp(files, "q_two") == _fp(edited, "q_two")
+    # and the import INSIDE the try still pulls the operator module
+    edited_op = dict(files)
+    edited_op[OP] = b"def transform(x):\n    return x * 9\n"
+    assert _fp(files, "q_three") != _fp(edited_op, "q_three")

@@ -63,21 +63,26 @@ def _jvm_decode(spark, blob: bytes) -> np.ndarray | None:
     return rgba[:, :, :3].copy()
 
 
+def _jvm_image(spark, arr: np.ndarray):
+    """(h, w, 3) uint8 → a JVM BufferedImage carrying exactly ``arr``,
+    shipped as ONE PNG payload and decoded JVM-side (our PNG encoder's
+    exactness through ImageIO is itself pinned by
+    test_png_ours_to_imageio) — a per-pixel setRGB fill costs one py4j
+    round trip per pixel and dominated this suite's runtime."""
+    jvm = spark._jvm
+    blob = encode_png(arr)
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    assert img is not None
+    return img
+
+
 def _jvm_encode(spark, arr: np.ndarray, fmt: str) -> bytes | None:
     """(h, w, 3) uint8 → bytes via the JVM's own ``fmt`` writer — a
     foreign encoder whose coding choices our decoders must survive."""
     jvm = spark._jvm
-    h, w = arr.shape[:2]
-    img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
-    flat = (
-        (arr[:, :, 0].astype(np.int64) << 16)
-        | (arr[:, :, 1].astype(np.int64) << 8)
-        | arr[:, :, 2].astype(np.int64)
-    ).ravel()
-    jarr = spark._sc._gateway.new_array(jvm.int, len(flat))
-    for i, v in enumerate(flat.tolist()):
-        jarr[i] = int(v)
-    img.setRGB(0, 0, w, h, jarr, 0, w)
+    img = _jvm_image(spark, arr)
     baos = jvm.java.io.ByteArrayOutputStream()
     ok = jvm.javax.imageio.ImageIO.write(img, fmt, baos)
     if not ok:
@@ -285,19 +290,8 @@ def test_tiff_jdk_lzw_writer_to_ours(spark):
     encoder's width-change and reset choices — must decode bit-exactly
     in our decoder."""
     jvm = spark._jvm
-    rng = _rng(59)
-    arr = rng.integers(0, 256, (45, 60, 3), np.uint8)
-    w, h = 60, 45
-    img = jvm.java.awt.image.BufferedImage(w, h, 1)
-    flat = (
-        (arr[:, :, 0].astype(np.int64) << 16)
-        | (arr[:, :, 1].astype(np.int64) << 8)
-        | arr[:, :, 2].astype(np.int64)
-    ).ravel()
-    jarr = spark._sc._gateway.new_array(jvm.int, len(flat))
-    for i, v in enumerate(flat.tolist()):
-        jarr[i] = int(v)
-    img.setRGB(0, 0, w, h, jarr, 0, w)
+    arr = _rng(59).integers(0, 256, (45, 60, 3), np.uint8)
+    img = _jvm_image(spark, arr)
     writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
     baos = jvm.java.io.ByteArrayOutputStream()
     ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
@@ -310,7 +304,6 @@ def test_tiff_jdk_lzw_writer_to_ours(spark):
     blob = bytes(baos.toByteArray())
     ours = decode_tiff(blob)
     assert ours is not None and (ours[:, :, :3] == arr).all()
-
 
 # ---------------------------------------------------------------------------
 # Width-boundary and bit-depth extensions (post-LZW-fix hardening)
