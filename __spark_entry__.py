@@ -95,6 +95,10 @@ _CHANGED_THIS_ROUND = [
 _NEVER_ROWED: list[str] = [
     "q190_webp_lossy_decode",
     "q191_index_retrieval_metrics",
+    # q192: decode streams a FOREIGN encoder (the JVM's ImageIO
+    # writers) produced — the gate-level answer to the matched
+    # encoder/decoder bug class the TIFF-LZW fix exposed.
+    "q192_foreign_stream_decode",
 ]
 
 # (c) reworked last round with only pre-rework rows: none — all 12
@@ -136,8 +140,8 @@ _PRIORITY = [
     "q106_image_neardup",
     "q72_multimodal_features",
     "q112_funnel",
-    "q113_cohort_retention",
     # ---- 50-row driver cutoff lands here ----
+    "q113_cohort_retention",
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",
     "q23_bucket_stats",

@@ -2026,3 +2026,153 @@ def q190_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_ok.alias("pixel_ok"),
     )
     return ok
+
+
+# ---------------------------------------------------------------------------
+# q192 — FOREIGN-encoded stream decode e2e (round 8): every other
+# decode gate's corpus is written by OUR fixture encoders, so a
+# matched encoder/decoder spec misreading passes them by construction
+# (the r8 TIFF-LZW early-change bug did exactly that until the
+# JVM-ImageIO cross-validation caught it). This gate makes foreign
+# streams first-class: the corpus is written by the JVM's own
+# javax.imageio writers (PNG with ITS filter heuristics, GIF with ITS
+# LZW, BMP, TIFF with ITS LZW width/reset choices), built DRIVER-side
+# (the only place py4j can reach the JVM — a bounded fixture-build,
+# ~hundreds of small images, like reading a fixture directory) and
+# decoded by the default dispatch on the executors. Content is
+# doc_id-closed-form (v0 PNG gradient rows, v1 GIF 6-level blocks,
+# v2 BMP uniform, v3 TIFF-LZW gradient rows — the gradient rows push
+# GIF/TIFF LZW through real dictionary growth), so the oracle
+# recomputes membership, dims, and pixel_ok from doc_id alone.
+# ---------------------------------------------------------------------------
+_Q192_N = 256  # foreign fixtures are built driver-side (the only py4j
+# scope), so the corpus is CAPPED — a cross-validation gate needs
+# coverage, not SF-proportional volume; without the cap the sequential
+# generation dominated the 100× tier (exp 0.51 → ~0 with it)
+
+_Q192_ORACLE = f"""
+    SELECT doc_id,
+           CAST(16 + (doc_id * 41) % 77 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 59) % 71 AS INTEGER) AS height,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 1 THEN 'P' ELSE 'RGB' END AS mode,
+           CAST(doc_id % 4 AS INTEGER) AS variant,
+           TRUE AS pixel_ok
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 23 = 0
+          ORDER BY doc_id LIMIT {_Q192_N})
+    WHERE doc_id % 69 <> 0
+"""
+
+
+def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id % 23 = 0) → (doc_id, content) written by the
+    JVM's ImageIO encoders; every 69th row truncated-after-magic."""
+    import numpy as np
+
+    jvm = spark._jvm
+
+    def jvm_write(arr: np.ndarray, fmt: str, compression: str | None = None) -> bytes:
+        from anime_data_pipeline_spark.operators.png_codec import encode_png
+
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(encode_png(arr)))
+        )
+        baos = jvm.java.io.ByteArrayOutputStream()
+        if compression is None:
+            jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+        else:
+            writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            param = writer.getDefaultWriteParam()
+            param.setCompressionMode(2)  # MODE_EXPLICIT
+            param.setCompressionType(compression)
+            writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+            ios.flush()
+        return bytes(baos.toByteArray())
+
+    ids = [
+        int(r[0])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_Q192_N)
+        .collect()
+    ]
+    rows = []
+    for i in ids:
+        w = 16 + (i * 41) % 77
+        h = 16 + (i * 59) % 71
+        g = 40 + i % 160
+        v = i % 4
+        x = np.arange(w)
+        if v == 0:  # PNG, gradient rows (JVM filter heuristics kick in)
+            row = (60 + (x * 120) // w).astype(np.uint8)
+            arr = np.broadcast_to(row[None, :, None], (h, w, 3)).copy()
+            blob = jvm_write(arr, "png")
+        elif v == 1:  # GIF: 6-level blocks (lossless through the quantizer)
+            base = ((x // 4) % 6 * 40).astype(np.uint8)
+            arr = np.broadcast_to(
+                np.stack([base, 255 - base, base // 2], axis=1)[None, :, :], (h, w, 3)
+            ).copy()
+            blob = jvm_write(arr, "gif")
+        elif v == 2:  # BMP uniform
+            arr = np.full((h, w, 3), g, dtype=np.uint8)
+            blob = jvm_write(arr, "bmp")
+        else:  # TIFF with the JVM's LZW (its width/reset choices)
+            row = (60 + (x * 120) // w).astype(np.uint8)
+            arr = np.broadcast_to(row[None, :, None], (h, w, 3)).copy()
+            blob = jvm_write(arr, "tiff", compression="LZW")
+        if i % 69 == 0:
+            blob = blob[: 20 + (i % 5)]  # corrupt: truncated after magic
+        rows.append((i, bytearray(blob)))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
+@register("q192_foreign_stream_decode", oracle=_Q192_ORACLE)
+def q192_foreign_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 hardening: the default executor-side dispatch decoding
+    streams a FOREIGN encoder wrote, with closed-form pixel pins.
+    Cites /root/reference/dataruu/tagger/dbimutils.py:6-26 — the
+    reference's PIL path exists precisely because real inputs come
+    from arbitrary encoders."""
+    from anime_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
+
+    decoded = decode_image_pixel_stats(decode_image_meta(_foreign_corpus(spark, sf_dir)))
+    i = F.col("doc_id")
+    g = (40 + i % 160).cast("int")
+    v = (i % 4).cast("int")
+    st = F.col("pixel_stats")
+    w = st["width"].cast("long")
+    grad_hi = (60 + ((w - 1) * 120 / w).cast("int")).cast("int")
+    # v1 GIF blocks: base levels {0,40,..,200} → min over channels:
+    # ch0 min 0, ch1 min 255-200=55, ch2 min 0 → global min 0; max:
+    # ch0 200, ch1 255, ch2 100 → 255 (width ≥ 16 spans ≥ 4 blocks →
+    # levels 0..3 always present; level 5 needs x≥20 — avoid assuming)
+    pixel_ok = (
+        F.when(v == 0, (st["px_min"] == 60) & (st["px_max"] == grad_hi))
+        .when(v == 1, (st["px_min"] == 0) & (st["px_max"] == 255))
+        .when(v == 2, (st["px_min"] == g) & (st["px_max"] == g))
+        .otherwise((st["px_min"] == 60) & (st["px_max"] == grad_hi))
+    ) & (st["channels"] == 3)
+    return decoded.filter(
+        F.col("image_meta").isNotNull() & st.isNotNull()
+    ).select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mode").alias("mode"),
+        v.alias("variant"),
+        pixel_ok.alias("pixel_ok"),
+    )

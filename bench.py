@@ -93,8 +93,10 @@ EXTRA_QUERIES = [
     # relational shape (blocked entity resolution)
     "q187_webp_decode_bucket",
     "q185_entity_resolution",
-    # round-8: lossy VP8 through the system-libwebp binding
+    # round-8: lossy VP8 through the system-libwebp binding, and the
+    # foreign-encoder (JVM ImageIO) stream decode gate
     "q190_webp_lossy_decode",
+    "q192_foreign_stream_decode",
 ]
 
 
