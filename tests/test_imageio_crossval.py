@@ -402,3 +402,29 @@ def test_wav_g711_expansion_matches_javasound(law, spark):
     ours, rate = decode_wav(blob)
     assert rate == 8000 and ours.dtype == np.int16
     assert (ours.ravel() == theirs).all()
+
+
+def test_jpeg_jdk_progressive_writer_to_ours(spark):
+    """A JVM-written PROGRESSIVE JPEG (SOF2, the JDK's own scan-script
+    choices — successive approximation + spectral selection orders our
+    fixture writer never emits) must decode in our progressive path
+    close to the source."""
+    jvm = spark._jvm
+    arr = _smooth(83, 48, 56)
+    img = _jvm_image(spark, arr)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(1)  # MODE_DEFAULT → progressive scan script
+    param.setCompressionMode(2)
+    param.setCompressionQuality(0.9)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    blob = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in blob  # SOF2: genuinely progressive
+    ours = decode_jpeg(blob)
+    assert ours is not None and ours.shape == arr.shape
+    diff = np.abs(ours.astype(int) - arr.astype(int))
+    assert diff.mean() < 6.0, diff.mean()
