@@ -231,3 +231,53 @@ def test_vp8l_and_anim_paths_do_not_require_the_binding():
     finally:
         ws.decode_rgba = orig
     assert (out == arr).all()
+
+
+def test_system_binding_systematic_corruption_fuzz():
+    """The ctypes path's crash-safety matters more than the Python
+    codecs': a C-side fault kills the WORKER, not the task. Every-k
+    truncations and every-k single-byte flips of real lossy AND
+    lossless streams must return an array or None — libwebp's decoder
+    is hardened, but the BINDING (size args, GetInfo gate, WebPFree
+    pairing) is ours to prove."""
+    rng = _rng(97)
+    lossy = encode_lossy(rng.integers(0, 256, (24, 31, 3), np.uint8), 80.0)
+    lossless = encode_lossless(rng.integers(0, 256, (17, 23, 4), np.uint8))
+    for blob in (lossy, lossless):
+        for cut in range(0, len(blob), 7):
+            decode_rgba(blob[:cut])
+            decode_webp(blob[:cut])  # the dispatch wrapper too
+        for pos in range(0, len(blob), 11):
+            bad = bytearray(blob)
+            bad[pos] ^= 0xFF
+            decode_rgba(bytes(bad))
+            try:
+                decode_webp(bytes(bad))
+            except NotImplementedError:
+                pass  # flipped container bits can expose the seam contract
+
+
+def test_system_binding_dimension_lies():
+    """Blobs whose VP8X/VP8L header claims dims different from the
+    coded stream: the binding trusts WebPGetInfo, so the C side must
+    reconcile or fail — never write past our numpy buffer (the classic
+    binding CVE shape). Construct by splicing a big-dims VP8X onto a
+    small lossy body."""
+    import struct
+
+    small = encode_lossy(np.full((8, 8, 3), 9, np.uint8), 100.0)
+    at = small.index(b"VP8 ")
+    (sz,) = struct.unpack("<I", small[at + 4 : at + 8])
+    vp8 = small[at : at + 8 + sz + (sz & 1)]
+    vp8x = (
+        b"VP8X"
+        + struct.pack("<I", 10)
+        + bytes([0, 0, 0, 0])
+        + (4095).to_bytes(3, "little")
+        + (4095).to_bytes(3, "little")
+    )
+    body = vp8x + vp8
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    out = decode_rgba(blob)  # None or a correctly-sized array — no overrun
+    if out is not None:
+        assert out.shape[0] * out.shape[1] <= 4096 * 4096
