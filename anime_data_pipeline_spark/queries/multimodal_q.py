@@ -2069,27 +2069,17 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM's ImageIO encoders; every 69th row truncated-after-magic."""
     import numpy as np
 
+    from anime_data_pipeline_spark.operators.imageio_bridge import (
+        jvm_image_from_array,
+        jvm_write_image,
+    )
+
     jvm = spark._jvm
 
     def jvm_write(arr: np.ndarray, fmt: str, compression: str | None = None) -> bytes:
-        from anime_data_pipeline_spark.operators.png_codec import encode_png
-
-        img = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(encode_png(arr)))
+        return jvm_write_image(
+            jvm, jvm_image_from_array(jvm, arr), fmt, compression=compression
         )
-        baos = jvm.java.io.ByteArrayOutputStream()
-        if compression is None:
-            jvm.javax.imageio.ImageIO.write(img, fmt, baos)
-        else:
-            writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
-            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
-            writer.setOutput(ios)
-            param = writer.getDefaultWriteParam()
-            param.setCompressionMode(2)  # MODE_EXPLICIT
-            param.setCompressionType(compression)
-            writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
-            ios.flush()
-        return bytes(baos.toByteArray())
 
     ids = [
         int(r[0])

@@ -64,30 +64,22 @@ def _jvm_decode(spark, blob: bytes) -> np.ndarray | None:
 
 
 def _jvm_image(spark, arr: np.ndarray):
-    """(h, w, 3) uint8 → a JVM BufferedImage carrying exactly ``arr``,
-    shipped as ONE PNG payload and decoded JVM-side (our PNG encoder's
-    exactness through ImageIO is itself pinned by
-    test_png_ours_to_imageio) — a per-pixel setRGB fill costs one py4j
-    round trip per pixel and dominated this suite's runtime."""
-    jvm = spark._jvm
-    blob = encode_png(arr)
-    img = jvm.javax.imageio.ImageIO.read(
-        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    """Shared bridge (operators/imageio_bridge.py): one PNG payload in,
+    a BufferedImage carrying exactly ``arr`` out — the per-pixel setRGB
+    fill this replaced cost one py4j round trip per pixel."""
+    from anime_data_pipeline_spark.operators.imageio_bridge import (
+        jvm_image_from_array,
     )
-    assert img is not None
-    return img
+
+    return jvm_image_from_array(spark._jvm, arr)
 
 
 def _jvm_encode(spark, arr: np.ndarray, fmt: str) -> bytes | None:
     """(h, w, 3) uint8 → bytes via the JVM's own ``fmt`` writer — a
     foreign encoder whose coding choices our decoders must survive."""
-    jvm = spark._jvm
-    img = _jvm_image(spark, arr)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    ok = jvm.javax.imageio.ImageIO.write(img, fmt, baos)
-    if not ok:
-        return None
-    return bytes(baos.toByteArray())
+    from anime_data_pipeline_spark.operators.imageio_bridge import jvm_write_image
+
+    return jvm_write_image(spark._jvm, _jvm_image(spark, arr), fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -289,22 +281,14 @@ def test_tiff_jdk_lzw_writer_to_ours(spark):
     """The JDK's own TIFF writer configured for LZW — a foreign
     encoder's width-change and reset choices — must decode bit-exactly
     in our decoder."""
-    jvm = spark._jvm
+    from anime_data_pipeline_spark.operators.imageio_bridge import jvm_write_image
+
     arr = _rng(59).integers(0, 256, (45, 60, 3), np.uint8)
-    img = _jvm_image(spark, arr)
-    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
-    baos = jvm.java.io.ByteArrayOutputStream()
-    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
-    writer.setOutput(ios)
-    param = writer.getDefaultWriteParam()
-    param.setCompressionMode(2)  # MODE_EXPLICIT
-    param.setCompressionType("LZW")
-    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
-    ios.flush()
-    blob = bytes(baos.toByteArray())
+    blob = jvm_write_image(
+        spark._jvm, _jvm_image(spark, arr), "tiff", compression="LZW"
+    )
     ours = decode_tiff(blob)
     assert ours is not None and (ours[:, :, :3] == arr).all()
-
 # ---------------------------------------------------------------------------
 # Width-boundary and bit-depth extensions (post-LZW-fix hardening)
 # ---------------------------------------------------------------------------
@@ -409,20 +393,12 @@ def test_jpeg_jdk_progressive_writer_to_ours(spark):
     choices — successive approximation + spectral selection orders our
     fixture writer never emits) must decode in our progressive path
     close to the source."""
-    jvm = spark._jvm
+    from anime_data_pipeline_spark.operators.imageio_bridge import jvm_write_image
+
     arr = _smooth(83, 48, 56)
-    img = _jvm_image(spark, arr)
-    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    baos = jvm.java.io.ByteArrayOutputStream()
-    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
-    writer.setOutput(ios)
-    param = writer.getDefaultWriteParam()
-    param.setProgressiveMode(1)  # MODE_DEFAULT → progressive scan script
-    param.setCompressionMode(2)
-    param.setCompressionQuality(0.9)
-    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
-    ios.flush()
-    blob = bytes(baos.toByteArray())
+    blob = jvm_write_image(
+        spark._jvm, _jvm_image(spark, arr), "jpg", progressive=True
+    )
     assert b"\xff\xc2" in blob  # SOF2: genuinely progressive
     ours = decode_jpeg(blob)
     assert ours is not None and ours.shape == arr.shape
