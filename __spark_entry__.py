@@ -99,6 +99,10 @@ _NEVER_ROWED: list[str] = [
     # writers) produced — the gate-level answer to the matched
     # encoder/decoder bug class the TIFF-LZW fix exposed.
     "q192_foreign_stream_decode",
+    # q193: fastText-shape hashed-ngram classifier inference — the
+    # learned quality filter CCNet/RefinedWeb deploy, on the q95
+    # featurizer with a closed-form pseudo-model.
+    "q193_fasttext_quality_filter",
 ]
 
 # (c) reworked last round with only pre-rework rows: none — all 12
@@ -139,8 +143,8 @@ _PRIORITY = [
     "q105_quality_drift",
     "q106_image_neardup",
     "q72_multimodal_features",
-    "q112_funnel",
     # ---- 50-row driver cutoff lands here ----
+    "q112_funnel",
     "q113_cohort_retention",
     "q21_bucket_assign",
     "q22_bucket_assign_noupscale",

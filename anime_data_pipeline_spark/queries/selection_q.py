@@ -386,3 +386,81 @@ def q168_ht_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (10.0 * n_s - F.count(F.lit(1))) / F.count(F.lit(1)).cast("double"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — fastText-shape quality classifier INFERENCE (round 8): the
+# filter CCNet/RefinedWeb actually deploy is a linear classifier over
+# hashed n-gram features (Joulin et al. 2016), not a rule score — this
+# gate runs that inference shape end to end: the q95 featurizer
+# (hashed unigram+bigram buckets, 8-byte (doc, bucket) keys, fixed
+# B-sized vocabulary) feeds a per-bucket weight, per-doc mean-pooled
+# into a logit → sigmoid score → keep decision. Weights here are a
+# deterministic CLOSED-FORM pseudo-model (Knuth multiplicative hash of
+# the bucket id → [-0.5, 0.5)) so DuckDB recomputes them exactly; a
+# real deployment broadcasts a trained B-vector instead — same plan,
+# the weight column becomes a broadcast-joined literal array lookup.
+# Float discipline: the logit is dround-6'd BEFORE exp() so both
+# engines exponentiate the identical value (the q150 rule).
+# ---------------------------------------------------------------------------
+_Q193_BIAS = 0.001
+_KNUTH = 2654435761
+_TWO32 = 4294967296
+
+
+def _q193_oracle() -> str:
+    from anime_data_pipeline_spark.functions.hashing import shingle_hashes_sql
+
+    w = f"(CAST(((bucket + 1) * {_KNUTH}) % {_TWO32} AS DOUBLE) / {_TWO32} - 0.5)"
+    logit = dround_sql(f"raw / n_features + {_Q193_BIAS}", 6)
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    tok AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM docs),
+    tha AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql("t")}) AS th
+            FROM tok),
+    feats AS (SELECT doc_id,
+                     list_transform(list_concat(th, {shingle_hashes_sql("th", 2)}),
+                                    h -> h % {_B}) AS fb
+              FROM tha),
+    ex AS (SELECT doc_id, unnest(fb) AS bucket FROM feats),
+    counts AS (SELECT doc_id, bucket, count(*) AS cnt
+               FROM ex GROUP BY doc_id, bucket),
+    perdoc AS (SELECT doc_id,
+                      CAST(sum(cnt) AS BIGINT) AS n_features,
+                      sum(cnt * {w}) AS raw
+               FROM counts GROUP BY doc_id),
+    scored AS (SELECT doc_id, n_features, {logit} AS logit FROM perdoc)
+    SELECT doc_id, n_features,
+           {dround_sql("1.0 / (1.0 + exp(-logit))", 6)} AS ft_score,
+           logit >= 0.0 AS keep
+    FROM scored
+    """
+
+
+@register("q193_fasttext_quality_filter", oracle=_q193_oracle())
+def q193_fasttext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear hashed-ngram classifier inference (the fastText shape).
+    Scale: one (doc, bucket) shuffle with map-side partial agg — the
+    q95 profile; the weight is column math on the 8-byte bucket key,
+    so NOTHING besides the fixed-B model would broadcast at 100 TB.
+    Generalizes the reference's scalar aesthetic gate (run.py:87-88)
+    to the learned text filter a pretraining corpus deploys."""
+    from anime_data_pipeline_spark.operators.selection import doc_bucket_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = doc_bucket_counts(docs, "doc_id", "text", buckets=_B)
+    wv = (
+        ((F.col("bucket") + 1) * F.lit(_KNUTH)) % F.lit(_TWO32)
+    ).cast("double") / F.lit(float(_TWO32)) - 0.5
+    perdoc = counts.groupBy("doc").agg(
+        F.sum("cnt").cast("long").alias("n_features"),
+        F.sum(F.col("cnt") * wv).alias("raw"),
+    )
+    logit = dround(F.col("raw") / F.col("n_features") + F.lit(_Q193_BIAS), 6)
+    scored = perdoc.withColumn("logit", logit)
+    return scored.select(
+        F.col("doc").alias("doc_id"),
+        "n_features",
+        dround(1.0 / (1.0 + F.exp(-F.col("logit"))), 6).alias("ft_score"),
+        (F.col("logit") >= 0.0).alias("keep"),
+    )
