@@ -83,6 +83,10 @@ _CHANGED_THIS_ROUND = [
     "q111_stream_window_drift",
     "q123_stream_heavy_hitters",
     "q141_stream_blocklist",
+    # q95/q114 ride the featurizer-oracle extraction the q193 review
+    # asked for (shared CTE helper; results unchanged)
+    "q95_dsir_logweights",
+    "q114_gumbel_resample",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
@@ -133,7 +137,6 @@ _PRIORITY = [
     "q85_ann_ivf_kmeans",
     "q86_semantic_dedup",
     "q93_ann_ivf_multiprobe",
-    "q95_dsir_logweights",
     "q96_editdist_verify",
     "q97_knn_graph",
     "q98_embedding_quantize",
@@ -142,8 +145,8 @@ _PRIORITY = [
     "q103_perplexity_band",
     "q105_quality_drift",
     "q106_image_neardup",
-    "q72_multimodal_features",
     # ---- 50-row driver cutoff lands here ----
+    "q72_multimodal_features",
     "q112_funnel",
     "q113_cohort_retention",
     "q21_bucket_assign",

@@ -31,27 +31,37 @@ from anime_data_pipeline_spark.registry import register
 _B = 1024  # DSIR hash-bucket count (fixed — independent of corpus size)
 
 
+def _bucket_counts_ctes(carry: str = "") -> str:
+    """Shared featurizer CTE chain (docs → tok → tha → feats → ex →
+    counts) — the SQL mirror of operators/selection.doc_bucket_counts,
+    used by BOTH the q95 and q193 oracles so the two gates cannot
+    silently desynchronize their definition of the featurizer.
+    ``carry`` is a comma-led column list riding through (q95: lang)."""
+    from anime_data_pipeline_spark.functions.hashing import shingle_hashes_sql
+
+    return f"""
+    docs AS (SELECT doc_id{carry}, text FROM documents),
+    tok AS (SELECT doc_id{carry}, {tokens_sql("text")} AS toks FROM docs),
+    tha AS (SELECT doc_id{carry},
+                   list_transform(toks, t -> {polyhash_sql("t")}) AS th
+            FROM tok),
+    feats AS (SELECT doc_id{carry},
+                     list_transform(list_concat(th, {shingle_hashes_sql("th", 2)}),
+                                    h -> h % {_B}) AS fb
+              FROM tha),
+    ex AS (SELECT doc_id{carry}, unnest(fb) AS bucket FROM feats),
+    counts AS (SELECT doc_id{carry}, bucket, count(*) AS cnt
+               FROM ex GROUP BY doc_id{carry}, bucket)"""
+
+
 # ---------------------------------------------------------------------------
 # q95 — DSIR importance log-weights (hashed unigram+bigram features,
 # target = English subset, raw = whole corpus). The oracle reproduces
 # the full featurize → distribution → log-ratio → per-doc sum chain.
 # ---------------------------------------------------------------------------
 def _q95_oracle() -> str:
-    from anime_data_pipeline_spark.functions.hashing import shingle_hashes_sql
-
     return f"""
-    WITH docs AS (SELECT doc_id, lang, text FROM documents),
-    tok AS (SELECT doc_id, lang, {tokens_sql("text")} AS toks FROM docs),
-    tha AS (SELECT doc_id, lang,
-                   list_transform(toks, t -> {polyhash_sql("t")}) AS th
-            FROM tok),
-    feats AS (SELECT doc_id, lang,
-                     list_transform(list_concat(th, {shingle_hashes_sql("th", 2)}),
-                                    h -> h % {_B}) AS fb
-              FROM tha),
-    ex AS (SELECT doc_id, lang, unnest(fb) AS bucket FROM feats),
-    counts AS (SELECT doc_id, lang, bucket, count(*) AS cnt
-               FROM ex GROUP BY doc_id, lang, bucket),
+    WITH {_bucket_counts_ctes(", lang")},
     rawtot AS (SELECT sum(cnt) AS tot FROM counts),
     rawd AS (SELECT bucket,
                     ln((sum(cnt) + 1.0) / ((SELECT tot FROM rawtot) + {_B}))
@@ -409,22 +419,10 @@ _TWO32 = 4294967296
 
 
 def _q193_oracle() -> str:
-    from anime_data_pipeline_spark.functions.hashing import shingle_hashes_sql
-
     w = f"(CAST(((bucket + 1) * {_KNUTH}) % {_TWO32} AS DOUBLE) / {_TWO32} - 0.5)"
     logit = dround_sql(f"raw / n_features + {_Q193_BIAS}", 6)
     return f"""
-    WITH docs AS (SELECT doc_id, text FROM documents),
-    tok AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM docs),
-    tha AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql("t")}) AS th
-            FROM tok),
-    feats AS (SELECT doc_id,
-                     list_transform(list_concat(th, {shingle_hashes_sql("th", 2)}),
-                                    h -> h % {_B}) AS fb
-              FROM tha),
-    ex AS (SELECT doc_id, unnest(fb) AS bucket FROM feats),
-    counts AS (SELECT doc_id, bucket, count(*) AS cnt
-               FROM ex GROUP BY doc_id, bucket),
+    WITH {_bucket_counts_ctes()},
     perdoc AS (SELECT doc_id,
                       CAST(sum(cnt) AS BIGINT) AS n_features,
                       sum(cnt * {w}) AS raw
@@ -440,9 +438,11 @@ def _q193_oracle() -> str:
 @register("q193_fasttext_quality_filter", oracle=_q193_oracle())
 def q193_fasttext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear hashed-ngram classifier inference (the fastText shape).
-    Scale: one (doc, bucket) shuffle with map-side partial agg — the
-    q95 profile; the weight is column math on the 8-byte bucket key,
-    so NOTHING besides the fixed-B model would broadcast at 100 TB.
+    Scale: two aggregation shuffles on 8-byte keys — the (doc, bucket)
+    partial agg, then the per-doc fold (the q95 profile; PLANS.md
+    counts 4 exchanges incl. the scan-side pair); the weight is column
+    math on the bucket key, so NOTHING besides the fixed-B model would
+    broadcast at 100 TB.
     Generalizes the reference's scalar aesthetic gate (run.py:87-88)
     to the learned text filter a pretraining corpus deploys."""
     from anime_data_pipeline_spark.operators.selection import doc_bucket_counts

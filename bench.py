@@ -93,10 +93,13 @@ EXTRA_QUERIES = [
     # relational shape (blocked entity resolution)
     "q187_webp_decode_bucket",
     "q185_entity_resolution",
-    # round-8: lossy VP8 through the system-libwebp binding, and the
-    # foreign-encoder (JVM ImageIO) stream decode gate
+    # round-8: lossy VP8 through the system-libwebp binding, the
+    # foreign-encoder (JVM ImageIO) stream decode gate, the indexed
+    # retrieval eval, and the fastText-shape classifier inference
     "q190_webp_lossy_decode",
     "q192_foreign_stream_decode",
+    "q191_index_retrieval_metrics",
+    "q193_fasttext_quality_filter",
 ]
 
 
