@@ -404,3 +404,29 @@ def test_jpeg_jdk_progressive_writer_to_ours(spark):
     assert ours is not None and ours.shape == arr.shape
     diff = np.abs(ours.astype(int) - arr.astype(int))
     assert diff.mean() < 6.0, diff.mean()
+
+@pytest.mark.parametrize(
+    "fmt,dtype",
+    [("pcm", np.int32), ("float32", np.float32)],
+    ids=["pcm32", "float32"],
+)
+def test_wav_wide_formats_match_javasound(fmt, dtype, spark):
+    """32-bit PCM and IEEE-float WAVs: javax.sound parses both (as
+    PCM_SIGNED 32 / PCM_FLOAT) — raw frame bytes must round-trip
+    bit-exactly against our decode."""
+    from anime_data_pipeline_spark.operators.wav_codec import decode_wav, encode_wav
+
+    rng = _rng(89)
+    if dtype is np.int32:
+        samples = rng.normal(0, 2e6, 900).clip(-(2**31), 2**31 - 1).astype(np.int32)
+    else:
+        samples = rng.normal(0, 0.2, 900).astype(np.float32)
+    blob = encode_wav(samples, 16000, fmt)
+    enc, raw = _jvm_wav_bytes(spark, blob)
+    theirs = np.frombuffer(raw, dtype=dtype.__name__ if dtype is np.float32 else "<i4")
+    if dtype is np.float32:
+        theirs = np.frombuffer(raw, dtype="<f4")
+    ours, rate = decode_wav(blob)
+    assert rate == 16000
+    assert ours.ravel().tobytes() == theirs.tobytes()
+    assert (ours.ravel() == samples).all()
