@@ -107,6 +107,10 @@ _NEVER_ROWED: list[str] = [
     # learned quality filter CCNet/RefinedWeb deploy, on the q95
     # featurizer with a closed-form pseudo-model.
     "q193_fasttext_quality_filter",
+    # q194: Gopher Table A2 repetition signals (dup line/paragraph
+    # fractions, top/dup n-gram char coverage, keep conjunction) — the
+    # repetition-removal half q82's Table A1 bundle doesn't cover.
+    "q194_repetition_signals",
 ]
 
 # (c) reworked last round with only pre-rework rows: none — all 12

@@ -611,3 +611,279 @@ def readability_sql_projection(text_expr: str) -> dict[str, str]:
         "flesch": f"(206.835 - 1.015 * {wps} - 84.6 * {spw})",
         "fk_grade": f"(0.39 * {wps} + 11.8 * {spw} - 15.59)",
     }
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Rae et al. 2021 "Gopher", Table A2 — the
+# repetition-removal half of the Gopher filter; deployed verbatim by
+# Dolma, FineWeb and RedPajama-v2). Per document:
+#
+# - dup_line_frac / dup_para_frac: fraction of trimmed nonempty
+#   lines/paragraphs that repeat an earlier one;
+# - dup_line_char_frac / dup_para_char_frac: fraction of line/paragraph
+#   characters sitting in those repeats (chars beyond each unit's first
+#   occurrence over total unit chars);
+# - top_{n}gram_char_frac (n=2,3,4): characters covered by the single
+#   most frequent word n-gram (count × n-gram length over doc chars;
+#   ties broken toward the larger character mass — deterministic,
+#   unlike Counter.most_common — and only grams occurring MORE THAN
+#   ONCE qualify: a unique n-gram is not a repeat, so a short
+#   all-unique doc scores 0, not len(gram)/len(doc));
+# - dup_{n}gram_char_frac (n=5,10): characters covered by all n-grams
+#   occurring more than once. Coverage counts every (possibly
+#   overlapping) occurrence, so both n-gram fractions are capped at 1.0
+#   (the overlap-aware scan the reference implementations use is
+#   sequential per doc; the capped mass proxy is order-free, hence
+#   identical in Spark and the DuckDB oracle).
+#
+# Scale shape: line/paragraph metrics are pure array expressions (scan
+# speed, no shuffle). The n-gram metrics explode once for ALL n values
+# and aggregate on (id, n, gram) — doc-local keys, so partial
+# aggregation absorbs the repeats map-side and no key can outgrow its
+# document; two further (id,·) reductions and one id-keyed join back.
+# ---------------------------------------------------------------------------
+GOPHER_DUP_LINE_MAX = 0.30
+GOPHER_DUP_PARA_MAX = 0.30
+GOPHER_DUP_LINE_CHAR_MAX = 0.20
+GOPHER_DUP_PARA_CHAR_MAX = 0.20
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 10: 0.10}
+
+
+def _rep_units(text: Column, sep: str) -> Column:
+    """Trimmed nonempty segments of ``text`` split on ``sep``."""
+    return F.filter(
+        F.transform(F.split(text, sep), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def _rep_char_sum(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+
+
+def _dup_unit_fracs(text: Column, sep: str) -> tuple[Column, Column]:
+    """(dup_unit_frac, dup_unit_char_frac) for one separator."""
+    units = _rep_units(text, sep)
+    uniq = F.array_distinct(units)
+    n, nd = F.size(units), F.size(uniq)
+    total, dtotal = _rep_char_sum(units), _rep_char_sum(uniq)
+    dup_frac = (n - nd).cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    dup_char = (total - dtotal).cast("double") / F.greatest(
+        total, F.lit(1)
+    ).cast("double")
+    return dup_frac, dup_char
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Per-document Gopher Table A2 repetition metrics plus the
+    conjunction ``repetition_keep`` (every metric at or under its
+    published threshold). Fractions are raw doubles — callers round
+    for oracle hashing; the keep flag is computed pre-rounding."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    text = F.col(text_col)
+    line_f, line_cf = _dup_unit_fracs(text, "\n")
+    para_f, para_cf = _dup_unit_fracs(text, "\n\n")
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.length(text), F.lit(1)).cast("double").alias("_n_chars"),
+        line_f.alias("dup_line_frac"),
+        line_cf.alias("dup_line_char_frac"),
+        para_f.alias("dup_para_frac"),
+        para_cf.alias("dup_para_char_frac"),
+    )
+
+    # One explode serves every n: array of (n, gram) structs per doc.
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+    toked = df.select(F.col(id_col).alias("_id"), tokens(text).alias("_t"))
+    tarr = F.col("_t")
+
+    def _ngrams(n: int) -> Column:
+        make = lambda i: F.struct(  # noqa: E731
+            F.lit(n).alias("n"),
+            F.concat_ws(
+                " ", *[F.element_at(tarr, i + j) for j in range(n)]
+            ).alias("g"),
+        )
+        return F.when(
+            F.size(tarr) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(tarr) - (n - 1)), make),
+        ).otherwise(empty)
+
+    grams = toked.select(
+        "_id", F.explode(F.flatten(F.array(*[_ngrams(n) for n in all_ns]))).alias("_ng")
+    ).select("_id", F.col("_ng.n").alias("_n"), F.col("_ng.g").alias("_g"))
+    mass = (F.col("_cnt") * F.length(F.col("_g")).cast("long")).alias("_m")
+    counts = grams.groupBy("_id", "_n", "_g").agg(F.count("*").alias("_cnt"))
+    # max(struct(cnt, mass)) = lexicographic: the char mass of the most
+    # frequent n-gram, larger-mass tie-break — exactly the oracle's
+    # "max mass among max-count grams" two-level aggregate.
+    per_n = counts.groupBy("_id", "_n").agg(
+        F.max(
+            F.when(F.col("_cnt") >= 2, F.struct(F.col("_cnt").alias("c"), mass))
+        ).alias("_top"),
+        F.sum(F.when(F.col("_cnt") >= 2, mass).otherwise(F.lit(0))).alias("_dup"),
+    )
+    per_doc = per_n.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_top._m"))).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+
+    out = base.join(per_doc, base[id_col] == per_doc["_id"], "left").drop("_id")
+    keep = (
+        (F.col("dup_line_frac") <= GOPHER_DUP_LINE_MAX)
+        & (F.col("dup_para_frac") <= GOPHER_DUP_PARA_MAX)
+        & (F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_MAX)
+        & (F.col("dup_para_char_frac") <= GOPHER_DUP_PARA_CHAR_MAX)
+    )
+    for n in top_ns:
+        frac = F.least(
+            F.lit(1.0),
+            F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double")
+            / F.col("_n_chars"),
+        )
+        out = out.withColumn(f"top_{n}gram_char_frac", frac)
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= GOPHER_TOP_NGRAM_MAX[n])
+    for n in dup_ns:
+        frac = F.least(
+            F.lit(1.0),
+            F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double")
+            / F.col("_n_chars"),
+        )
+        out = out.withColumn(f"dup_{n}gram_char_frac", frac)
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= GOPHER_DUP_NGRAM_MAX[n])
+    drop = [f"_top{n}" for n in top_ns] + [f"_dup{n}" for n in dup_ns]
+    return out.withColumn("repetition_keep", keep).drop("_n_chars", *drop)
+
+
+def repetition_sql(
+    docs_cte: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`repetition_signals` over ``docs_cte``
+    (a SELECT yielding ``id_expr`` + ``text_expr``), fractions rounded
+    with the shared dround formula, keep flag computed pre-rounding."""
+    from anime_data_pipeline_spark.functions.compat import dround_sql
+    from anime_data_pipeline_spark.functions.text import tokens_sql
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def units(sep: str) -> str:
+        return (
+            f"list_filter(list_transform(string_split({text_expr}, {sep}), "
+            f"x -> trim(x)), x -> x <> '')"
+        )
+
+    def char_sum(arr: str) -> str:
+        return f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)"
+
+    def dup_fracs(unit: str) -> tuple[str, str]:
+        uq = f"list_distinct({unit})"
+        f1 = (
+            f"CAST(len({unit}) - len({uq}) AS DOUBLE) / greatest(len({unit}), 1)"
+        )
+        f2 = (
+            f"CAST({char_sum(unit)} - {char_sum(uq)} AS DOUBLE) "
+            f"/ greatest({char_sum(unit)}, 1)"
+        )
+        return f1, f2
+
+    lf, lcf = dup_fracs(units("chr(10)"))
+    pf, pcf = dup_fracs(units("chr(10) || chr(10)"))
+
+    def gram_branch(n: int) -> str:
+        joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        return (
+            f"SELECT id, {n} AS n, unnest(CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {joined}) "
+            f"ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks"
+        )
+
+    grams = " UNION ALL ".join(gram_branch(n) for n in all_ns)
+    top_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN topm END) AS top{n}" for n in top_ns
+    )
+    dup_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dupm END) AS dup{n}" for n in dup_ns
+    )
+    top_fracs = {
+        n: f"least(1.0, CAST(coalesce(top{n}, 0) AS DOUBLE) / n_chars)"
+        for n in top_ns
+    }
+    dup_fracs_n = {
+        n: f"least(1.0, CAST(coalesce(dup{n}, 0) AS DOUBLE) / n_chars)"
+        for n in dup_ns
+    }
+    keep = " AND ".join(
+        [
+            f"dup_line_frac <= {GOPHER_DUP_LINE_MAX}",
+            f"dup_para_frac <= {GOPHER_DUP_PARA_MAX}",
+            f"dup_line_char_frac <= {GOPHER_DUP_LINE_CHAR_MAX}",
+            f"dup_para_char_frac <= {GOPHER_DUP_PARA_CHAR_MAX}",
+            *[f"{top_fracs[n]} <= {GOPHER_TOP_NGRAM_MAX[n]}" for n in top_ns],
+            *[f"{dup_fracs_n[n]} <= {GOPHER_DUP_NGRAM_MAX[n]}" for n in dup_ns],
+        ]
+    )
+    out_fracs = ", ".join(
+        [
+            f"{dround_sql(c, digits)} AS {c}"
+            for c in (
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "dup_para_frac",
+                "dup_para_char_frac",
+            )
+        ]
+        + [
+            f"{dround_sql(top_fracs[n], digits)} AS top_{n}gram_char_frac"
+            for n in top_ns
+        ]
+        + [
+            f"{dround_sql(dup_fracs_n[n], digits)} AS dup_{n}gram_char_frac"
+            for n in dup_ns
+        ]
+    )
+    return f"""
+    WITH docs AS ({docs_cte}),
+    bstats AS (
+      SELECT {id_expr} AS id,
+             greatest(length({text_expr}), 1) AS n_chars,
+             {lf} AS dup_line_frac,
+             {lcf} AS dup_line_char_frac,
+             {pf} AS dup_para_frac,
+             {pcf} AS dup_para_char_frac
+      FROM docs
+    ),
+    toks AS (SELECT {id_expr} AS id, {tokens_sql(text_expr)} AS t FROM docs),
+    grams AS ({grams}),
+    counts AS (SELECT id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+    m1 AS (SELECT id, n, max(cnt) AS mc FROM counts GROUP BY 1, 2),
+    pern AS (
+      SELECT c.id, c.n,
+             max(CASE WHEN c.cnt = m1.mc AND c.cnt >= 2
+                      THEN c.cnt * length(c.g) END) AS topm,
+             coalesce(sum(CASE WHEN c.cnt >= 2 THEN c.cnt * length(c.g) END), 0)
+               AS dupm
+      FROM counts c JOIN m1 USING (id, n) GROUP BY 1, 2
+    ),
+    gm AS (SELECT id, {top_cols}, {dup_cols} FROM pern GROUP BY 1)
+    SELECT b.id AS {id_expr}, {out_fracs}, ({keep}) AS repetition_keep
+    FROM bstats b LEFT JOIN gm USING (id)
+    """

@@ -1550,3 +1550,87 @@ def q180_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dround(link_density(F.col("raw_html"), clean), 4) < 0.2).alias("kept"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q194 — Gopher repetition signals (Rae et al. 2021 Table A2): the
+# repetition-removal half of the Gopher filter (dup line/paragraph
+# fractions, top-{2,3,4}-gram and dup-{5,10}-gram character coverage,
+# conjunction keep flag) — the one Table the q82 rule bundle doesn't
+# cover, and the filter Dolma/FineWeb/RedPajama-v2 all deploy.
+# Deterministic EXCLUSIVE mutation branches give every signal both
+# passing and failing docs: a fully-repetitive short doc (top-n-gram
+# fails), duplicated lines, duplicated paragraphs, a doubled 10-gram.
+# ---------------------------------------------------------------------------
+_Q194_TEN = (
+    "one two three four five six seven eight nine ten"
+)
+
+_Q194_MUT_SQL = f"""CASE CAST(doc_id % 6 AS INTEGER)
+  WHEN 0 THEN 'spam ham eggs spam ham eggs spam ham eggs end'
+  WHEN 1 THEN text || chr(10) || 'repeat line alpha' || chr(10)
+           || 'repeat line alpha' || chr(10) || 'tail line'
+  WHEN 2 THEN text || chr(10) || chr(10) || 'dup paragraph block'
+           || chr(10) || chr(10) || 'dup paragraph block'
+  WHEN 3 THEN text || ' {_Q194_TEN} {_Q194_TEN}'
+  ELSE text END"""
+
+
+def _q194_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    m = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("spam ham eggs spam ham eggs spam ham eggs end"),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                t, F.lit("\nrepeat line alpha\nrepeat line alpha\ntail line")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                t, F.lit("\n\ndup paragraph block\n\ndup paragraph block")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(t, F.lit(f" {_Q194_TEN} {_Q194_TEN}")),
+        )
+        .otherwise(t)
+    )
+    return docs.select("doc_id", m.alias("text"))
+
+
+def _q194_oracle() -> str:
+    from anime_data_pipeline_spark.operators.textstats import repetition_sql
+
+    return repetition_sql(
+        f"SELECT doc_id, ({_Q194_MUT_SQL}) AS text FROM documents"
+    )
+
+
+_Q194_FRACS = (
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "dup_para_frac",
+    "dup_para_char_frac",
+    "top_2gram_char_frac",
+    "top_3gram_char_frac",
+    "top_4gram_char_frac",
+    "dup_5gram_char_frac",
+    "dup_10gram_char_frac",
+)
+
+
+@register("q194_repetition_signals", oracle=_q194_oracle())
+def q194_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anime_data_pipeline_spark.operators.textstats import repetition_signals
+
+    out = repetition_signals(_q194_mutated(spark, sf_dir), "doc_id", "text")
+    for c in _Q194_FRACS:
+        out = out.withColumn(c, dround(F.col(c), 6))
+    return out

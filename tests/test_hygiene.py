@@ -191,3 +191,86 @@ def test_no_duplicate_toplevel_defs():
                     offenders.append(f"{py.name}:{node.lineno} {node.name}")
                 seen.add(node.name)
     assert not offenders, f"shadowed top-level defs: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher Table A2) — hand-computed goldens
+# ---------------------------------------------------------------------------
+def _rep_rows(spark, docs):
+    from anime_data_pipeline_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+
+
+def test_repetition_dup_lines_hand_computed(spark):
+    # lines: ["a b", "a b", "c"] -> 1 of 3 repeats; chars 7, dup chars 3
+    rows = _rep_rows(spark, [(1, "a b\na b\nc")])
+    r = rows[1]
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r["dup_line_char_frac"] == pytest.approx(3 / 7)
+    # single-newline text is ONE paragraph -> no paragraph dups
+    assert r["dup_para_frac"] == 0.0 and r["dup_para_char_frac"] == 0.0
+
+
+def test_repetition_dup_paragraphs_hand_computed(spark):
+    rows = _rep_rows(spark, [(1, "pp qq\n\npp qq\n\nzz")])
+    r = rows[1]
+    assert r["dup_para_frac"] == pytest.approx(1 / 3)
+    assert r["dup_para_char_frac"] == pytest.approx(5 / 12)
+
+
+def test_repetition_top_ngram_mass_and_cap(spark):
+    # "x y x y x": 2-grams x y(2), y x(2) -> max count 2, both mass 6;
+    # tie-break keeps the larger mass (equal here) -> 6/9 chars
+    rows = _rep_rows(spark, [(1, "x y x y x"), (2, "a a a a")])
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(6 / 9)
+    # "a a a a": "a a" count 3, mass 9 > 7 chars -> capped at 1.0
+    assert rows[2]["top_2gram_char_frac"] == 1.0
+
+
+def test_repetition_tie_breaks_toward_larger_mass(spark):
+    # "aa bb aa bb cc dd cc dd": count-2 2-grams "aa bb" (5 chars) and
+    # "cc dd" (5) and "bb aa"(1 occurrence)... construct a true tie on
+    # count with different masses: "aa bb aa bb q xxx yyy xxx yyy"
+    # -> "aa bb" cnt 2 mass 10; "xxx yyy" cnt 2 mass 14 -> top = 14
+    text = "aa bb aa bb q xxx yyy xxx yyy"
+    rows = _rep_rows(spark, [(1, text)])
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(14 / len(text))
+
+
+def test_repetition_dup_ngram_and_short_doc_zero(spark):
+    ten = "one two three four five six seven eight nine ten"
+    text = f"{ten} {ten}"
+    rows = _rep_rows(spark, [(1, text), (2, "too short")])
+    # the repeated 10-gram covers 2*len(ten) chars of the doubled doc
+    assert rows[1]["dup_10gram_char_frac"] == pytest.approx(
+        min(1.0, 2 * len(ten) / len(text))
+    )
+    # fewer than n tokens -> no n-grams -> 0.0, and nothing fails keep
+    assert rows[2]["dup_5gram_char_frac"] == 0.0
+    assert rows[2]["dup_10gram_char_frac"] == 0.0
+
+
+def test_repetition_keep_flag_thresholds(spark):
+    # the all-spam doc blows the top-2-gram threshold; clean prose passes
+    rows = _rep_rows(
+        spark,
+        [
+            (1, "spam ham eggs spam ham eggs spam ham eggs end"),
+            (2, "a quiet sentence with no repeated phrasing at all here"),
+        ],
+    )
+    assert not rows[1]["repetition_keep"]
+    assert rows[2]["repetition_keep"]
+
+
+def test_repetition_empty_text_all_zero(spark):
+    rows = _rep_rows(spark, [(1, "")])
+    r = rows[1]
+    for c in (
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "dup_5gram_char_frac",
+    ):
+        assert r[c] == 0.0, c
+    assert r["repetition_keep"]
