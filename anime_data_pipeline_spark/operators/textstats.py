@@ -686,9 +686,13 @@ def repetition_signals(
     """Per-document Gopher Table A2 repetition metrics plus the
     conjunction ``repetition_keep`` (every metric at or under its
     published threshold). Fractions are raw doubles — callers round
-    for oracle hashing; the keep flag is computed pre-rounding."""
+    for oracle hashing; the keep flag is computed pre-rounding.
+    NULL text counts as empty (all-zero metrics, keep=true), matching
+    the coalesce in :func:`repetition_sql`."""
+    if not top_ns and not dup_ns:
+        raise ValueError("at least one of top_ns/dup_ns must be non-empty")
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     line_f, line_cf = _dup_unit_fracs(text, "\n")
     para_f, para_cf = _dup_unit_fracs(text, "\n\n")
     base = df.select(
@@ -779,11 +783,15 @@ def repetition_sql(
 ) -> str:
     """DuckDB twin of :func:`repetition_signals` over ``docs_cte``
     (a SELECT yielding ``id_expr`` + ``text_expr``), fractions rounded
-    with the shared dround formula, keep flag computed pre-rounding."""
+    with the shared dround formula, keep flag computed pre-rounding.
+    NULL text counts as empty, matching the Spark side's coalesce."""
     from anime_data_pipeline_spark.functions.compat import dround_sql
     from anime_data_pipeline_spark.functions.text import tokens_sql
 
+    if not top_ns and not dup_ns:
+        raise ValueError("at least one of top_ns/dup_ns must be non-empty")
     all_ns = sorted(set(top_ns) | set(dup_ns))
+    text_expr = f"coalesce({text_expr}, '')"
 
     def units(sep: str) -> str:
         return (
@@ -817,11 +825,11 @@ def repetition_sql(
         )
 
     grams = " UNION ALL ".join(gram_branch(n) for n in all_ns)
-    top_cols = ", ".join(
-        f"max(CASE WHEN n = {n} THEN topm END) AS top{n}" for n in top_ns
-    )
-    dup_cols = ", ".join(
-        f"max(CASE WHEN n = {n} THEN dupm END) AS dup{n}" for n in dup_ns
+    # one flat list so an empty top_ns/dup_ns can't leave a dangling comma
+    gm_cols = ", ".join(
+        ["id"]
+        + [f"max(CASE WHEN n = {n} THEN topm END) AS top{n}" for n in top_ns]
+        + [f"max(CASE WHEN n = {n} THEN dupm END) AS dup{n}" for n in dup_ns]
     )
     top_fracs = {
         n: f"least(1.0, CAST(coalesce(top{n}, 0) AS DOUBLE) / n_chars)"
@@ -883,7 +891,7 @@ def repetition_sql(
                AS dupm
       FROM counts c JOIN m1 USING (id, n) GROUP BY 1, 2
     ),
-    gm AS (SELECT id, {top_cols}, {dup_cols} FROM pern GROUP BY 1)
+    gm AS (SELECT {gm_cols} FROM pern GROUP BY 1)
     SELECT b.id AS {id_expr}, {out_fracs}, ({keep}) AS repetition_keep
     FROM bstats b LEFT JOIN gm USING (id)
     """

@@ -274,3 +274,47 @@ def test_repetition_empty_text_all_zero(spark):
     ):
         assert r[c] == 0.0, c
     assert r["repetition_keep"]
+
+
+def test_repetition_null_text_is_empty(spark):
+    # NULL text = empty doc in BOTH engines (review finding: the Spark
+    # side used to return NULL char fractions vs the oracle's 0.0)
+    from pyspark.sql import Row
+
+    from anime_data_pipeline_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="a b")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    r = rows[1]
+    for c in (
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "dup_5gram_char_frac",
+    ):
+        assert r[c] == 0.0, c
+    assert r["repetition_keep"]
+
+
+def test_repetition_one_sided_and_empty_ns(spark):
+    import duckdb
+
+    from anime_data_pipeline_spark.operators.textstats import (
+        repetition_signals,
+        repetition_sql,
+    )
+
+    # dup-only and top-only halves must work in BOTH engines...
+    df = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+    r = repetition_signals(df, "doc_id", "text", top_ns=(), dup_ns=(5,)).collect()[0]
+    assert "dup_5gram_char_frac" in r.asDict() and "top_2gram_char_frac" not in r.asDict()
+    con = duckdb.connect()
+    for ns in ({"top_ns": (), "dup_ns": (5,)}, {"top_ns": (2,), "dup_ns": ()}):
+        sql = repetition_sql("SELECT 1 AS doc_id, 'x y x y x' AS text", **ns)
+        assert len(con.execute(sql).fetchall()) == 1  # parses and runs
+    # ...and both-empty is rejected consistently, not emitted as bad SQL
+    with pytest.raises(ValueError):
+        repetition_signals(df, "doc_id", "text", top_ns=(), dup_ns=())
+    with pytest.raises(ValueError):
+        repetition_sql("SELECT 1 AS doc_id, 'x' AS text", top_ns=(), dup_ns=())
