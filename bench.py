@@ -100,6 +100,9 @@ EXTRA_QUERIES = [
     "q192_foreign_stream_decode",
     "q191_index_retrieval_metrics",
     "q193_fasttext_quality_filter",
+    # round-8 closer: the Gopher Table A2 repetition-signal bundle —
+    # the one explode-all-n n-gram aggregation shape on the record
+    "q194_repetition_signals",
 ]
 
 
