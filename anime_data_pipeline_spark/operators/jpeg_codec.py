@@ -566,9 +566,10 @@ class _ProgressiveState:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray | None:
-    """Baseline/extended-sequential (SOF0/SOF1) or progressive (SOF2)
-    JPEG bytes → uint8 (h, w) for grayscale or (h, w, 3) RGB. None
-    for corrupt or arithmetic/lossless-coded input — the caller maps
+    """Baseline/extended-sequential (SOF0/SOF1), progressive (SOF2),
+    or arithmetic-coded (SOF9/SOF10, via operators/jpeg_arith) JPEG
+    bytes → uint8 (h, w) for grayscale or (h, w, 3) RGB. None for
+    corrupt or lossless/hierarchical-coded input — the caller maps
     those to the dropped-with-count row or the PIL seam. A blanket
     guard converts every malformed-but-magic-valid structure
     (truncated segment bodies, bad counts, over-long SOS headers) into
@@ -586,6 +587,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     htabs: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
     progressive = False
+    arith = False  # SOF9/SOF10: QM-coded entropy (operators/jpeg_arith)
+    dac_dc: dict[int, tuple[int, int]] = {}  # DC table id -> (L, U)
+    dac_ac: dict[int, int] = {}  # AC table id -> Kx
     restart_interval = 0
     prog: _ProgressiveState | None = None
     pos = 2
@@ -634,7 +638,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                     return None
                 htabs[(tc, th)] = _build_huffman(bits, huffval)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             if frame is not None or len(body) < 6:
                 return None
             h, w = struct.unpack(">HH", body[1:5])
@@ -648,9 +652,29 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                     (body[off], body[off + 1] >> 4, body[off + 1] & 0x0F, body[off + 2])
                 )
             frame = (int(h), int(w), comps)
-            progressive = marker == 0xC2
-        elif marker in _SOF_MARKERS:  # arithmetic / lossless / hierarchical
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker in _SOF_MARKERS:  # lossless / hierarchical
             return None
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 2 <= len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                val = body[i + 1]
+                i += 2
+                if tb > 3:
+                    return None
+                if tc == 0:
+                    lval, uval = val & 0x0F, val >> 4
+                    if lval > uval:
+                        return None
+                    dac_dc[tb] = (lval, uval)
+                elif tc == 1:
+                    if not 1 <= val <= 63:
+                        return None
+                    dac_ac[tb] = val
+                else:
+                    return None
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 return None
@@ -668,6 +692,31 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if arith:
+                # QM-coded scans (operators/jpeg_arith) — lazy import
+                # keeps the module dependency one-directional
+                from anime_data_pipeline_spark.operators.jpeg_arith import (
+                    decode_prog_scan_arith,
+                    decode_scan_arith,
+                )
+
+                if not progressive:
+                    scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+                    if ss != 0 or se != 63 or ah != 0 or al != 0:
+                        return None
+                    return decode_scan_arith(
+                        data, pos + seglen, frame, scan_tables, qtabs,
+                        dac_dc, dac_ac, restart_interval,
+                    )
+                if prog is None:
+                    prog = _ProgressiveState(frame)
+                pos = decode_prog_scan_arith(
+                    prog, data, pos + seglen, scan_comps, ss, se, ah, al,
+                    dac_dc, dac_ac, restart_interval,
+                )
+                if pos is None:
+                    return None
+                continue
             if not progressive:
                 scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
                 return _decode_scan(
@@ -758,8 +807,19 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
                 if coef is None:
                     return None
                 sink.append(coef)
+    return _mcu_blocks_to_pixels(
+        blocks,
+        [(hi, vi, qt) for hi, vi, qt, _d, _a in meta],
+        h, w, hmax, vmax, mcux, mcuy,
+    )
+
+
+def _mcu_blocks_to_pixels(blocks, meta_hvq, h, w, hmax, vmax, mcux, mcuy):
+    """Scatter per-component MCU-raster block lists onto the sample
+    grid, dequantize, IDCT, and assemble pixels — shared by the
+    sequential Huffman and arithmetic scan decoders."""
     planes = []  # per component: dequantized coefficients (by, bx, 64)
-    for ci, (hi, vi, qt, _d, _a) in enumerate(meta):
+    for ci, (hi, vi, qt) in enumerate(meta_hvq):
         a = np.asarray(blocks[ci], dtype=np.float64) * qt
         j = np.arange(a.shape[0])
         m_i, r = j // (vi * hi), j % (vi * hi)
@@ -769,7 +829,7 @@ def _decode_scan(data, pos, frame, scan_tables, qtabs, htabs, restart_interval):
         plane[rows, cols] = a
         planes.append(plane)
     out_planes = _idct_planes(
-        planes, [(hi, vi) for hi, vi, _q, _d, _a in meta], h, w, hmax, vmax
+        planes, [(hi, vi) for hi, vi, _q in meta_hvq], h, w, hmax, vmax
     )
     return _planes_to_pixels(out_planes)
 

@@ -30,9 +30,12 @@ and a full-sample stats gate. Video: MJPEG-AVI (avi_codec.py) —
 header-only frame-offset walk, only sampled frames' byte ranges
 JPEG-decode — AND animated GIF (gif_codec.decode_gif_frames, real
 GIF89a compositing; frames are deltas so one compositor pass serves a
-sampling lattice). Only the exotic tails — arithmetic/lossless JPEG
-and lossy-VP8 WebP pixels (header meta still parses both), MP3-in-WAV,
-non-MJPEG/GIF video — fall through to the PIL/ffmpeg seams (absent in this container); the
+sampling lattice). Arithmetic-coded JPEG (SOF9/SOF10) decodes
+natively since round 8 (jpeg_arith.py, QM-coder cross-validated
+against the system libjpeg) and lossy-VP8 WebP through the libwebp
+binding; only the true exotics — lossless/hierarchical JPEG,
+MP3-in-WAV, non-MJPEG/GIF video — still
+fall through to the PIL/ffmpeg seams (absent in this container); the
 deterministic FIMG/FAUD/FVID fake containers remain for
 oracle-checkable synthetic corpora. The Spark plumbing — schemas,
 batch iteration, null-for-corrupt, partitioning — is identical across

@@ -658,11 +658,13 @@ def q115_png_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q151 — REAL GIF + JPEG decode e2e (SURVEY S7 closed for GIF/JPEG,
-# round 5; progressive JPEG + full-pixel gate added round 6): a
+# round 5; progressive JPEG + full-pixel gate added round 6;
+# ARITHMETIC-coded SOF9 slice added round 8): a
 # synthetic corpus of genuine spec-valid GIF89a files (stdlib LZW
-# encoder) and JFIF JPEGs — baseline AND progressive SOF2 with
-# successive approximation (stdlib Huffman encoders) — dims/format/
-# mode derived from doc_id, every 30th row corrupt-after-magic.
+# encoder) and JFIF JPEGs — baseline, progressive SOF2 with
+# successive approximation (stdlib Huffman encoders), AND QM
+# arithmetic-coded SOF9 (jpeg_arith, libjpeg-cross-validated) — dims/
+# format/mode derived from doc_id, every 30th row corrupt-after-magic.
 # Decoded twice: header meta via decode_image_meta's DEFAULT decoder
 # (magic-byte dispatch, no injection) feeding aspect-ratio bucket
 # assignment on the DECODED dimensions (reference
@@ -705,13 +707,16 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 5 = 0) → (doc_id, content: binary) of real
     GIF (even doc_id: constant-index frame, 4-entry palette) and real
     JPEG (odd doc_id: constant-fill gray or RGB; doc_id % 8 in (1, 3)
-    → PROGRESSIVE SOF2 with successive approximation, the rest
-    baseline SOF0) bytes; dims from doc_id int math. Every 30th row
-    is corrupt-after-magic — the P6 null path through the REAL codecs
-    (GIF structural check / JPEG marker walk both reject it)."""
+    → PROGRESSIVE SOF2 with successive approximation, doc_id % 8 in
+    (5, 7) → ARITHMETIC-coded SOF9 through the QM entropy path
+    (jpeg_arith, round 8 — 7 a restart-interval 4:2:0 variant), the
+    rest baseline SOF0) bytes; dims from doc_id int math. Every 30th
+    row is corrupt-after-magic — the P6 null path through the REAL
+    codecs (GIF structural check / JPEG marker walk both reject it)."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.gif_codec import encode_gif
+    from anime_data_pipeline_spark.operators.jpeg_arith import encode_jpeg_arith
     from anime_data_pipeline_spark.operators.jpeg_codec import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -758,6 +763,13 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         blobs.append(
                             encode_jpeg_progressive(
                                 img, 85, subsample=(i % 4 == 3), successive=True
+                            )
+                        )
+                    elif i % 8 in (5, 7):  # arithmetic (SOF9) slice
+                        blobs.append(
+                            encode_jpeg_arith(
+                                img, 85, subsample=(i % 4 == 3),
+                                restart_interval=4 if i % 8 == 7 else 0,
                             )
                         )
                     else:

@@ -21,6 +21,7 @@ from anime_data_pipeline_spark.operators.avi_codec import (
 )
 from anime_data_pipeline_spark.operators.bmp_codec import bmp_meta, decode_bmp, encode_bmp
 from anime_data_pipeline_spark.operators.gif_codec import decode_gif, encode_gif, gif_meta
+from anime_data_pipeline_spark.operators.jpeg_arith import encode_jpeg_arith
 from anime_data_pipeline_spark.operators.jpeg_codec import (
     decode_jpeg,
     encode_jpeg,
@@ -59,6 +60,10 @@ def _valid_blobs():
         "png": (encode_png(img), [png_meta, decode_png]),
         "gif": (encode_gif(idx, pal), [gif_meta, decode_gif]),
         "jpeg": (encode_jpeg(img, 85), [jpeg_meta, decode_jpeg]),
+        "jpeg_arith": (
+            encode_jpeg_arith(img, 85, restart_interval=2),
+            [jpeg_meta, decode_jpeg],
+        ),
         "bmp": (encode_bmp(img), [bmp_meta, decode_bmp]),
         "bmp_rle": (
             encode_bmp(idx, palette=pal, rle=True),
@@ -121,6 +126,7 @@ _MAGICS = {
     "png": b"\x89PNG\r\n\x1a\n",
     "gif": b"GIF89a",
     "jpeg": b"\xff\xd8\xff",
+    "jpeg_arith": b"\xff\xd8\xff",
     "bmp": b"BM",
     "bmp_rle": b"BM",
     "tiff": b"II*\x00",
