@@ -38,6 +38,8 @@ import struct
 
 import numpy as np
 
+from anime_data_pipeline_spark.operators.jpeg_codec import _ZIGZAG_T
+
 # T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH). Index 113 is the
 # non-adapting "fixed" bin (self-loops, switch 0) for equiprobable
 # decisions (AC sign, refinement bits).
@@ -214,12 +216,12 @@ def _dc_decode(dec, dc_st, ctx, last, ci, lval, uval):
     return nv
 
 
-def _ac_decode_block(dec, ac_st, fixed, block, kx, k_lo=1, k_hi=63, shift=0):
+def _ac_decode_block(
+    dec, ac_st, fixed, block, kx, k_lo=1, k_hi=63, shift=0, _zz=_ZIGZAG_T
+):
     """AC coefficients k_lo..k_hi into ``block`` (64 ints, natural
     order via the zigzag map) — T.81 F.2.4.2. Returns False on
     malformed runs."""
-    from anime_data_pipeline_spark.operators.jpeg_codec import _ZIGZAG_T
-
     k = k_lo
     while k <= k_hi:
         st = 3 * (k - 1)
@@ -252,7 +254,7 @@ def _ac_decode_block(dec, ac_st, fixed, block, kx, k_lo=1, k_hi=63, shift=0):
         v += 1
         if sign:
             v = -v
-        block[_ZIGZAG_T[k]] = v << shift
+        block[_zz[k]] = v << shift
         k += 1
     return True
 
@@ -732,66 +734,16 @@ def encode_jpeg_arith(
     ``jpeg_codec.encode_jpeg``'s frame pipeline with QM entropy
     coding. Cross-validated against the system libjpeg decoder."""
     from anime_data_pipeline_spark.operators.jpeg_codec import (
-        _K1_LUMA,
-        _K2_CHROMA,
         _ZIGZAG,
-        _fdct_quant,
-        _pad_to,
-        _scale_qtable,
+        _frame_header_segments,
+        _frame_prep,
     )
 
-    a = np.asarray(arr, dtype=np.float64)
-    gray = a.ndim == 2
-    h, w = a.shape[:2]
-    ql = _scale_qtable(_K1_LUMA, quality)
-    qc = _scale_qtable(_K2_CHROMA, quality)
-    if gray:
-        comps = [(1, 1, 1, 0)]
-        planes = [_pad_to(a, 8, 8)]
-    else:
-        r, g, b = a[..., 0], a[..., 1], a[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-            y = _pad_to(y, 16, 16)
-            cb = _pad_to(cb, 16, 16)
-            cr = _pad_to(cr, 16, 16)
-            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
-            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
-        else:
-            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-            y, cb, cr = (_pad_to(p, 8, 8) for p in (y, cb, cr))
-        planes = [y, cb, cr]
-    coefs = [
-        _fdct_quant(p, ql if c[3] == 0 else qc) for p, c in zip(planes, comps)
-    ]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    out = bytearray(b"\xff\xd8")
-    out += (
-        b"\xff\xe0" + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-
-    def qt_seg(tid: int, nat: np.ndarray) -> bytes:
-        zz = nat[_ZIGZAG]
-        return (
-            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
-            + bytes(int(v) for v in zz)
-        )
-
-    out += qt_seg(0, ql)
-    if not gray:
-        out += qt_seg(1, qc)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
-    for cid, hi, vi, tq in comps:
-        sof += bytes([cid, (hi << 4) | vi, tq])
-    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof  # SOF9
+    # the SHARED frame pipeline (jpeg_codec._frame_prep) keeps this
+    # encoder coefficient-identical to the Huffman/progressive twins
+    (gray, h, w, comps, coefs, ql, qc,
+     hmax, vmax, mcux, mcuy) = _frame_prep(arr, quality, subsample)
+    out = _frame_header_segments(gray, h, w, comps, ql, qc, 0xC9)  # SOF9
     if emit_dac:
         lval, uval = dc_cond
         body = bytes([0x00, (uval << 4) | lval, 0x10, ac_kx])

@@ -641,6 +641,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             if frame is not None or len(body) < 6:
                 return None
+            if body[0] != 8:
+                # 12-bit precision is legal in SOF1/2/9/10 but this
+                # decoder's level shift/clip is 8-bit: None, not
+                # silently saturated pixels
+                return None
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if len(body) < 6 + 3 * ncomp:
@@ -1031,25 +1036,17 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    *,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → spec-valid baseline JFIF
-    JPEG (Annex K Huffman/quant tables; 4:2:0 when ``subsample``).
-    Fixture writer for the e2e tests and the q151 corpus."""
+def _frame_prep(arr, quality: int, subsample: bool):
+    """Shared fixture-encoder frame pipeline: RGB→YCbCr, padding,
+    optional 4:2:0 subsampling, fDCT + quantization. ONE copy keeps
+    the three entropy backends (baseline Huffman, progressive,
+    arithmetic — jpeg_arith) coefficient-identical by construction.
+    Returns (gray, h, w, comps, coefs, ql, qc, hmax, vmax, mcux, mcuy)."""
     a = np.asarray(arr, dtype=np.float64)
     gray = a.ndim == 2
     h, w = a.shape[:2]
     ql = _scale_qtable(_K1_LUMA, quality)
     qc = _scale_qtable(_K2_CHROMA, quality)
-    dc_l = _encode_codes(*_K_DC_LUMA)
-    ac_l = _encode_codes(*_K_AC_LUMA)
-    dc_c = _encode_codes(*_K_DC_CHROMA)
-    ac_c = _encode_codes(*_K_AC_CHROMA)
     if gray:
         comps = [(1, 1, 1, 0)]
         planes = [_pad_to(a, 8, 8)]
@@ -1076,16 +1073,22 @@ def encode_jpeg(
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    return gray, h, w, comps, coefs, ql, qc, hmax, vmax, mcux, mcuy
 
+
+def _frame_header_segments(gray, h, w, comps, ql, qc, sof_marker: int) -> bytearray:
+    """SOI + JFIF APP0 + DQT(s) + SOFn — the header prefix shared by
+    all three fixture encoders (only the SOF marker byte differs)."""
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
 
     def qt_seg(tid: int, nat: np.ndarray) -> bytes:
-        zz = nat[_ZIGZAG]  # natural → zigzag order
+        zz = nat[_ZIGZAG]  # natural -> zigzag order
         return (
-            b"\xff\xdb"
-            + struct.pack(">H", 67)
-            + bytes([tid])
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
             + bytes(int(v) for v in zz)
         )
 
@@ -1095,7 +1098,28 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for cid, hi, vi, tq in comps:
         sof += bytes([cid, (hi << 4) | vi, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → spec-valid baseline JFIF
+    JPEG (Annex K Huffman/quant tables; 4:2:0 when ``subsample``).
+    Fixture writer for the e2e tests and the q151 corpus."""
+    (gray, h, w, comps, coefs, ql, qc,
+     hmax, vmax, mcux, mcuy) = _frame_prep(arr, quality, subsample)
+    dc_l = _encode_codes(*_K_DC_LUMA)
+    ac_l = _encode_codes(*_K_AC_LUMA)
+    dc_c = _encode_codes(*_K_DC_CHROMA)
+    ac_c = _encode_codes(*_K_AC_CHROMA)
+
+    out = _frame_header_segments(gray, h, w, comps, ql, qc, 0xC0)
 
     def dht_seg(tc: int, th: int, spec) -> bytes:
         bits, huffval = spec
@@ -1283,43 +1307,14 @@ def encode_jpeg_progressive(
     four progressive scan types. Coefficients are identical to
     :func:`encode_jpeg`'s, so decode output is bit-exact to the
     baseline twin."""
-    a = np.asarray(arr, dtype=np.float64)
-    gray = a.ndim == 2
-    h, w = a.shape[:2]
-    ql = _scale_qtable(_K1_LUMA, quality)
-    qc = _scale_qtable(_K2_CHROMA, quality)
+    (gray, h, w, comps, coefs, ql, qc,
+     hmax, vmax, mcux, mcuy) = _frame_prep(arr, quality, subsample)
     ac_l_spec = _extended_ac_spec(_K_AC_LUMA)
     ac_c_spec = _extended_ac_spec(_K_AC_CHROMA)
     dc_l = _encode_codes(*_K_DC_LUMA)
     dc_c = _encode_codes(*_K_DC_CHROMA)
     ac_l = _encode_codes(*ac_l_spec)
     ac_c = _encode_codes(*ac_c_spec)
-    if gray:
-        comps = [(1, 1, 1, 0)]
-        planes = [_pad_to(a, 8, 8)]
-    else:
-        r, g, b = a[..., 0], a[..., 1], a[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-            y = _pad_to(y, 16, 16)
-            cb = _pad_to(cb, 16, 16)
-            cr = _pad_to(cr, 16, 16)
-            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
-            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
-        else:
-            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-            y, cb, cr = (_pad_to(p, 8, 8) for p in (y, cb, cr))
-        planes = [y, cb, cr]
-    coefs = [
-        _fdct_quant(p, ql if c[3] == 0 else qc) for p, c in zip(planes, comps)
-    ]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
     # per-comp non-interleaved block grid (covers the sample area
     # only — same formula as the decoder's _ProgressiveState.nblocks)
     nblocks = []
@@ -1328,20 +1323,7 @@ def encode_jpeg_progressive(
         cw = -(-(w * hi) // hmax)
         nblocks.append((-(-ch // 8), -(-cw // 8)))
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-
-    def qt_seg(tid: int, nat: np.ndarray) -> bytes:
-        zz = nat[_ZIGZAG]
-        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(int(v) for v in zz)
-
-    out += qt_seg(0, ql)
-    if not gray:
-        out += qt_seg(1, qc)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
-    for cid, hi, vi, tq in comps:
-        sof += bytes([cid, (hi << 4) | vi, tq])
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out = _frame_header_segments(gray, h, w, comps, ql, qc, 0xC2)
 
     def dht_seg(tc: int, th: int, spec) -> bytes:
         bits, huffval = spec

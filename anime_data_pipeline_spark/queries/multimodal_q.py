@@ -706,13 +706,15 @@ def _q151_oracle() -> str:
 def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 5 = 0) → (doc_id, content: binary) of real
     GIF (even doc_id: constant-index frame, 4-entry palette) and real
-    JPEG (odd doc_id: constant-fill gray or RGB; doc_id % 8 in (1, 3)
-    → PROGRESSIVE SOF2 with successive approximation, doc_id % 8 in
+    JPEG (odd doc_id: constant-fill gray or RGB; doc_id % 16 in (1, 3)
+    → PROGRESSIVE SOF2 with successive approximation, doc_id % 16 in
     (5, 7) → ARITHMETIC-coded SOF9 through the QM entropy path
-    (jpeg_arith, round 8 — 7 a restart-interval 4:2:0 variant), the
-    rest baseline SOF0) bytes; dims from doc_id int math. Every 30th
-    row is corrupt-after-magic — the P6 null path through the REAL
-    codecs (GIF structural check / JPEG marker walk both reject it)."""
+    (jpeg_arith, round 8 — 7 a restart-interval 4:2:0 variant),
+    doc_id % 16 in (9, 11, 13, 15) → baseline SOF0) bytes; dims from
+    doc_id int math. Every 30th row is corrupt-after-magic,
+    alternating GIF/JPEG bodies by doc_id//30 — the P6 null path
+    through the REAL codecs (GIF structural check and JPEG marker
+    walk each reject their variant)."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.gif_codec import encode_gif
@@ -743,10 +745,14 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 if i % 30 == 0:
-                    # valid magics, structurally-broken bodies
+                    # valid magics, structurally-broken bodies; these
+                    # rows are all even (i % 30 == 0 forces it), so
+                    # alternate the codec by i//30 — an i%2 test here
+                    # left the JPEG marker-walk rejection path with
+                    # zero corpus coverage (r8 review finding)
                     blobs.append(
                         b"GIF89a\xff\xff\xff\xff\xff\xff\xff"
-                        if i % 2 == 0
+                        if (i // 30) % 2 == 0
                         else b"\xff\xd8\xff\xfe\x00\x04zz"
                     )
                     continue
@@ -759,20 +765,24 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fill = 40 + i % 160
                     shape = (h, w) if i % 4 == 1 else (h, w, 3)
                     img = np.full(shape, fill, dtype=np.uint8)
-                    if i % 8 in (1, 3):  # progressive slice, 4:2:0 RGB
+                    # odd multiples of 5 cycle through all eight odd
+                    # i%16 residues, so each slice keeps coverage —
+                    # an i%8 split had made the baseline branch DEAD
+                    # (odd i%8 is always 1/3/5/7; r8 review finding)
+                    if i % 16 in (1, 3):  # progressive, 4:2:0 on 3
                         blobs.append(
                             encode_jpeg_progressive(
                                 img, 85, subsample=(i % 4 == 3), successive=True
                             )
                         )
-                    elif i % 8 in (5, 7):  # arithmetic (SOF9) slice
+                    elif i % 16 in (5, 7):  # arithmetic (SOF9) slice
                         blobs.append(
                             encode_jpeg_arith(
                                 img, 85, subsample=(i % 4 == 3),
-                                restart_interval=4 if i % 8 == 7 else 0,
+                                restart_interval=4 if i % 16 == 7 else 0,
                             )
                         )
-                    else:
+                    else:  # i % 16 in (9, 11, 13, 15): baseline SOF0
                         blobs.append(encode_jpeg(img, 85))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 

@@ -254,10 +254,12 @@ def _assert_coefs_match(ours: dict, theirs: dict) -> None:
     for c in ours:
         og = ours[c]
         tg = theirs[c]
-        # our grid is MCU-padded; libjpeg's is data-extent — compare
-        # the overlap and require zero outside it
+        # our grid is MCU-padded, libjpeg's is data-extent (both hold
+        # real decoded blocks): the comparison is over the common
+        # extent — every data block both decoders expose
         hb = min(og.shape[0], tg.shape[0])
         wb = min(og.shape[1], tg.shape[1])
+        assert hb > 0 and wb > 0
         np.testing.assert_array_equal(og[:hb, :wb], tg[:hb, :wb])
 
 
