@@ -365,6 +365,7 @@ def decode_prog_scan_arith(
     from anime_data_pipeline_spark.operators.jpeg_codec import (
         _ZIGZAG_T,
         _next_marker_pos,
+        _prog_scan_units,
     )
 
     cid_to_i = {c[0]: i for i, c in enumerate(state.comps)}
@@ -384,30 +385,8 @@ def decode_prog_scan_arith(
         dc_stats = {td: bytearray(64) for _ci, td, _ta in idx}
         ctx = [0] * len(idx)
         last = [0] * len(idx)
-        if len(idx) > 1:
-            def units():
-                for m in range(state.mcux * state.mcuy):
-                    my, mx = divmod(m, state.mcux)
-                    blocks = []
-                    for s, (ci, _td, _ta) in enumerate(idx):
-                        _cid, hi, vi, _tq = state.comps[ci]
-                        for by in range(vi):
-                            for bx in range(hi):
-                                blocks.append(
-                                    (s, ci, my * vi + by, mx * hi + bx)
-                                )
-                    yield blocks
-        else:
-            ci0 = idx[0][0]
-            byc, bxc = state.nblocks[ci0]
-
-            def units():
-                for b in range(byc * bxc):
-                    by, bx = divmod(b, bxc)
-                    yield [(0, ci0, by, bx)]
-
         n_rst = 0
-        for m, unit in enumerate(units()):
+        for m, unit in enumerate(_prog_scan_units(state, idx)):
             if restart_interval and m and m % restart_interval == 0:
                 nxt = _find_restart(dec, n_rst)
                 if nxt is None:

@@ -319,6 +319,29 @@ def _next_marker_pos(data: bytes, pos: int) -> int | None:
     return None
 
 
+def _prog_scan_units(state, idx):
+    """Block visit order for a progressive DC scan: interleaved MCU
+    walk when the scan covers multiple components, per-component
+    raster otherwise — shared by the Huffman (_ProgressiveState) and
+    arithmetic (jpeg_arith.decode_prog_scan_arith) paths."""
+    if len(idx) > 1:
+        for m in range(state.mcux * state.mcuy):
+            my, mx = divmod(m, state.mcux)
+            blocks = []
+            for s, (ci, _td, _ta) in enumerate(idx):
+                _cid, hi, vi, _tq = state.comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blocks.append((s, ci, my * vi + by, mx * hi + bx))
+            yield blocks
+    else:
+        ci0 = idx[0][0]
+        byc, bxc = state.nblocks[ci0]
+        for b in range(byc * bxc):
+            by, bx = divmod(b, bxc)
+            yield [(0, ci0, by, bx)]
+
+
 class _ProgressiveState:
     """Coefficient accumulator for progressive (SOF2) Huffman decoding
     — T.81 Annex G spectral selection + successive approximation (the
@@ -387,34 +410,12 @@ class _ProgressiveState:
                 tables.append(t)
             else:
                 tables.append(None)  # refinement reads raw bits only
-        if len(idx) > 1:
-            # interleaved MCU order (subset interleave unsupported —
-            # no mainstream encoder emits it)
-            if len(idx) != len(self.comps):
-                return False
-
-            def units():
-                for m in range(self.mcux * self.mcuy):
-                    my, mx = divmod(m, self.mcux)
-                    blocks = []
-                    for s, (ci, _td, _ta) in enumerate(idx):
-                        _cid, hi, vi, _tq = self.comps[ci]
-                        for by in range(vi):
-                            for bx in range(hi):
-                                blocks.append((s, ci, my * vi + by, mx * hi + bx))
-                    yield blocks
-
-        else:
-            ci0 = idx[0][0]
-            byc, bxc = self.nblocks[ci0]
-
-            def units():
-                for b in range(byc * bxc):
-                    by, bx = divmod(b, bxc)
-                    yield [(0, ci0, by, bx)]
-
+        # interleaved MCU order (subset interleave unsupported — no
+        # mainstream encoder emits it)
+        if len(idx) > 1 and len(idx) != len(self.comps):
+            return False
         preds = [0] * len(idx)
-        for m, blocks in enumerate(units()):
+        for m, blocks in enumerate(_prog_scan_units(self, idx)):
             if restart_interval and m and m % restart_interval == 0:
                 mk = reader.at_marker()
                 if mk is None or not 0xD0 <= mk <= 0xD7:
