@@ -385,3 +385,63 @@ def test_arith_roundtrip_without_library():
         oa, oh = decode_jpeg(ba), decode_jpeg(bh)
         assert oa is not None and oh is not None
         np.testing.assert_array_equal(oa, oh)
+
+
+def test_qm_layer_random_roundtrip():
+    """Library-independent QM-coder pin at the raw decision layer:
+    random bit sequences over random adaptive-bin assignments must
+    roundtrip encode -> flush -> decode exactly. This is the test
+    that caught the startup-fill bug during development (the two-byte
+    initial fill counts 9 per round, not 8)."""
+    import random
+
+    from anime_data_pipeline_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+    )
+
+    rng = random.Random(42)
+    for _trial in range(120):
+        nbits = rng.randint(1, 600)
+        bits = [rng.randint(0, 1) for _ in range(nbits)]
+        nst = rng.randint(1, 8)
+        binseq = [rng.randrange(nst) for _ in range(nbits)]
+        enc = ArithEncoder()
+        st_e = bytearray(nst)
+        for b, s in zip(bits, binseq):
+            enc.encode(st_e, s, b)
+        enc.flush()
+        dec = ArithDecoder(bytes(enc.out) + b"\xff\xd9", 0)
+        st_d = bytearray(nst)
+        got = [dec.decode(st_d, s) for s in binseq]
+        assert got == bits
+        # adapted states must agree too (same decision history)
+        assert st_e == st_d
+
+
+def test_qm_layer_biased_streams_roundtrip():
+    """Heavily biased streams drive the renorm/byte-out machinery hard
+    (long MPS runs -> carry propagation, stacked 0xFF stuffing,
+    deferred trailing zeros): 0.02 / 0.5 / 0.98 one-bit rates over
+    up-to-2000-decision sequences."""
+    import random
+
+    from anime_data_pipeline_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+    )
+
+    rng = random.Random(7)
+    for bias in (0.02, 0.5, 0.98):
+        for _trial in range(40):
+            nbits = rng.randint(1, 2000)
+            bits = [1 if rng.random() < bias else 0 for _ in range(nbits)]
+            seq = [rng.randrange(4) for _ in range(nbits)]
+            enc = ArithEncoder()
+            st_e = bytearray(4)
+            for b, s in zip(bits, seq):
+                enc.encode(st_e, s, b)
+            enc.flush()
+            dec = ArithDecoder(bytes(enc.out) + b"\xff\xd9", 0)
+            st_d = bytearray(4)
+            assert [dec.decode(st_d, s) for s in seq] == bits
