@@ -664,12 +664,23 @@ def _dc_encode(enc, dc_st, ctx, last, ci, lval, uval, dc):
         ctx[ci] = 4 + sign * 4
 
 
-def _ac_encode_block(enc, ac_st, fixed, coef_zz, kx):
-    """Sequential AC encode of one block given zigzag-ordered ints."""
-    ke = 63
-    while ke >= 1 and coef_zz[ke] == 0:
+def _ac_encode_block(enc, ac_st, fixed, coef_zz, kx, k_lo=1, k_hi=63, shift=0):
+    """AC encode of one block's band k_lo..k_hi given zigzag-ordered
+    ints; ``shift`` applies the T.81 G.1.2.2 point transform (divide
+    by 2^shift toward zero) — the sequential scan is the k=1..63,
+    shift=0 case and the progressive AC-first scan the general one.
+    Decision-for-decision mirror of ``_ac_decode_block``."""
+    if shift:
+        from anime_data_pipeline_spark.operators.jpeg_codec import _tz_shift
+
+        coef_zz = [
+            _tz_shift(int(v), shift) if k_lo <= i <= k_hi else int(v)
+            for i, v in enumerate(coef_zz)
+        ]
+    ke = k_hi
+    while ke >= k_lo and coef_zz[ke] == 0:
         ke -= 1
-    k = 1
+    k = k_lo
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_st, st, 0)  # not EOB
@@ -694,7 +705,7 @@ def _ac_encode_block(enc, ac_st, fixed, coef_zz, kx):
 
         _enc_magnitude(enc, ac_st, bins(), mag1)
         k += 1
-    if ke < 63:
+    if ke < k_hi:
         enc.encode(ac_st, 3 * (ke + 1 - 1), 1)  # EOB
 
 
@@ -780,3 +791,165 @@ def encode_jpeg_arith(
     out += enc.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    *,
+    subsample: bool = False,
+    successive: bool = True,
+) -> bytes:
+    """uint8 gray/RGB → spec-valid SOF10 progressive ARITHMETIC JPEG.
+    Same scan script as ``jpeg_codec.encode_jpeg_progressive`` (DC
+    first interleaved, one full-band AC first scan per component; with
+    ``successive`` the first scans drop the lowest bit and DC + AC
+    refinement passes restore it — all four F.2.4.3 scan shapes), with
+    the QM entropy layer. Each scan is its own arithmetic codeword
+    with fresh statistics, mirroring the decoder. Coefficients come
+    from the shared ``_frame_prep``, so output decodes bit-identical
+    to every other twin."""
+    from anime_data_pipeline_spark.operators.jpeg_codec import (
+        _ZIGZAG,
+        _frame_header_segments,
+        _frame_prep,
+        _tz_shift,
+    )
+
+    (gray, h, w, comps, coefs, ql, qc,
+     hmax, vmax, mcux, mcuy) = _frame_prep(arr, quality, subsample)
+    nblocks = []
+    for _cid, hi, vi, _tq in comps:
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+    out = _frame_header_segments(gray, h, w, comps, ql, qc, 0xCA)  # SOF10
+    lval, uval = DEFAULT_DC_COND
+    kx = DEFAULT_AC_KX
+    body = bytes([0x00, (uval << 4) | lval, 0x10, kx])
+    if not gray:
+        body += bytes([0x01, (uval << 4) | lval, 0x11, kx])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos_header(scan_comps, ss, se, ah, al) -> bytes:
+        b = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            b += bytes([cid, (td << 4) | ta])
+        b += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(b)) + b
+
+    al1 = 1 if successive else 0
+    zz = [int(z) for z in _ZIGZAG]
+    tids = [0 if c[3] == 0 else 1 for c in comps]
+
+    # --- DC first scan: interleaved, diff of (dc >> al1) ---
+    out += sos_header(
+        [(c[0], tids[ci], 0) for ci, c in enumerate(comps)], 0, 0, 0, al1
+    )
+    enc = ArithEncoder()
+    dc_stats = {t: bytearray(64) for t in set(tids)}
+    ctx = [0] * len(comps)
+    last = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hi, vi, _tq) in enumerate(comps):
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(coefs[ci][my * vi + by, mx * hi + bx][0]) >> al1
+                    _dc_encode(
+                        enc, dc_stats[tids[ci]], ctx, last, ci, lval, uval, dc
+                    )
+    enc.flush()
+    out += enc.out
+
+    # --- AC first scans: one per component, band 1..63 ---
+    for ci, (cid, hi, vi, _tq) in enumerate(comps):
+        out += sos_header([(cid, 0, tids[ci])], 1, 63, 0, al1)
+        enc = ArithEncoder()
+        ac_st = bytearray(256)
+        fixed = bytearray([_FIXED])
+        byc, bxc = nblocks[ci]
+        for b in range(byc * bxc):
+            by, bx = divmod(b, bxc)
+            blk = coefs[ci][by, bx]
+            coef_zz = [int(blk[z]) for z in zz]
+            _ac_encode_block(
+                enc, ac_st, fixed, coef_zz, kx, 1, 63, al1
+            )
+        enc.flush()
+        out += enc.out
+
+    if successive:
+        # --- DC refinement: one fixed-bin bit per block, interleaved
+        out += sos_header(
+            [(c[0], 0, 0) for c in comps], 0, 0, 1, 0
+        )
+        enc = ArithEncoder()
+        fixed = bytearray([_FIXED])
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (cid, hi, vi, _tq) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(coefs[ci][my * vi + by, mx * hi + bx][0])
+                        enc.encode(fixed, 0, dc & 1)
+        enc.flush()
+        out += enc.out
+        # --- AC refinement scans (mirror of the decoder's F.2.4.3.2)
+        for ci, (cid, hi, vi, _tq) in enumerate(comps):
+            out += sos_header([(cid, 0, tids[ci])], 1, 63, 1, 0)
+            enc = ArithEncoder()
+            ac_st = bytearray(256)
+            fixed = bytearray([_FIXED])
+            byc, bxc = nblocks[ci]
+            for b in range(byc * bxc):
+                by, bx = divmod(b, bxc)
+                blk = coefs[ci][by, bx]
+                _ac_refine_encode_block(enc, ac_st, fixed, blk, zz, 0)
+            enc.flush()
+            out += enc.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ac_refine_encode_block(enc, ac_st, fixed, blk, zz, al, ss=1, se=63):
+    """One block's AC refinement scan — decision-for-decision mirror
+    of the refine branch in :func:`decode_prog_scan_arith`: history
+    (previous-scan state) interrupts zero runs with a correction bit;
+    the EOB decision appears only past the last history coefficient
+    and fires when no newly-significant coefficient remains."""
+    # history = the block state the decoder holds BEFORE this scan:
+    # values truncated to (al+1) precision
+    hist = [0] * 64
+    newbit = [0] * 64
+    signs = [0] * 64
+    for k in range(ss, se + 1):
+        v = int(blk[zz[k]])
+        a = abs(v)
+        hist[k] = (a >> (al + 1)) != 0
+        newbit[k] = (a >> al) == 1
+        signs[k] = 1 if v < 0 else 0
+    kex = se
+    while kex >= 1 and not hist[kex]:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            more = any(newbit[j] for j in range(k, se + 1))
+            enc.encode(ac_st, st, 0 if more else 1)
+            if not more:
+                return
+        while True:
+            if hist[k]:
+                # correction bit for a previously-significant coef
+                enc.encode(ac_st, st + 2, (abs(int(blk[zz[k]])) >> al) & 1)
+                break
+            if newbit[k]:
+                enc.encode(ac_st, st + 1, 1)
+                enc.encode(fixed, 0, signs[k])
+                break
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1

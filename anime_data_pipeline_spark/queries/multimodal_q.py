@@ -707,9 +707,10 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (doc_id % 5 = 0) → (doc_id, content: binary) of real
     GIF (even doc_id: constant-index frame, 4-entry palette) and real
     JPEG (odd doc_id: constant-fill gray or RGB; doc_id % 16 in (1, 3)
-    → PROGRESSIVE SOF2 with successive approximation, doc_id % 16 in
-    (5, 7) → ARITHMETIC-coded SOF9 through the QM entropy path
-    (jpeg_arith, round 8 — 7 a restart-interval 4:2:0 variant),
+    → PROGRESSIVE SOF2 with successive approximation, doc_id % 16 == 5
+    → PROGRESSIVE-ARITHMETIC SOF10 (all four F.2.4.3 scan shapes),
+    doc_id % 16 == 7 → sequential-ARITHMETIC SOF9 with restart
+    intervals and 4:2:0 (the QM entropy path, jpeg_arith, round 8),
     doc_id % 16 in (9, 11, 13, 15) → baseline SOF0) bytes; dims from
     doc_id int math. Every 30th row is corrupt-after-magic,
     alternating GIF/JPEG bodies by doc_id//30 — the P6 null path
@@ -718,7 +719,10 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from anime_data_pipeline_spark.operators.gif_codec import encode_gif
-    from anime_data_pipeline_spark.operators.jpeg_arith import encode_jpeg_arith
+    from anime_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
     from anime_data_pipeline_spark.operators.jpeg_codec import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -775,11 +779,17 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 img, 85, subsample=(i % 4 == 3), successive=True
                             )
                         )
-                    elif i % 16 in (5, 7):  # arithmetic (SOF9) slice
+                    elif i % 16 == 5:  # PROGRESSIVE arithmetic (SOF10)
+                        blobs.append(
+                            encode_jpeg_arith_progressive(
+                                img, 85, successive=True
+                            )
+                        )
+                    elif i % 16 == 7:  # sequential arithmetic (SOF9)
                         blobs.append(
                             encode_jpeg_arith(
-                                img, 85, subsample=(i % 4 == 3),
-                                restart_interval=4 if i % 16 == 7 else 0,
+                                img, 85, subsample=True,
+                                restart_interval=4,
                             )
                         )
                     else:  # i % 16 in (9, 11, 13, 15): baseline SOF0

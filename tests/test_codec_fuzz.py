@@ -21,7 +21,10 @@ from anime_data_pipeline_spark.operators.avi_codec import (
 )
 from anime_data_pipeline_spark.operators.bmp_codec import bmp_meta, decode_bmp, encode_bmp
 from anime_data_pipeline_spark.operators.gif_codec import decode_gif, encode_gif, gif_meta
-from anime_data_pipeline_spark.operators.jpeg_arith import encode_jpeg_arith
+from anime_data_pipeline_spark.operators.jpeg_arith import (
+    encode_jpeg_arith,
+    encode_jpeg_arith_progressive,
+)
 from anime_data_pipeline_spark.operators.jpeg_codec import (
     decode_jpeg,
     encode_jpeg,
@@ -62,6 +65,10 @@ def _valid_blobs():
         "jpeg": (encode_jpeg(img, 85), [jpeg_meta, decode_jpeg]),
         "jpeg_arith": (
             encode_jpeg_arith(img, 85, restart_interval=2),
+            [jpeg_meta, decode_jpeg],
+        ),
+        "jpeg_arith_prog": (
+            encode_jpeg_arith_progressive(img, 85),
             [jpeg_meta, decode_jpeg],
         ),
         "bmp": (encode_bmp(img), [bmp_meta, decode_bmp]),
@@ -127,6 +134,7 @@ _MAGICS = {
     "gif": b"GIF89a",
     "jpeg": b"\xff\xd8\xff",
     "jpeg_arith": b"\xff\xd8\xff",
+    "jpeg_arith_prog": b"\xff\xd8\xff",
     "bmp": b"BM",
     "bmp_rle": b"BM",
     "tiff": b"II*\x00",

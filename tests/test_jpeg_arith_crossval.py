@@ -445,3 +445,51 @@ def test_qm_layer_biased_streams_roundtrip():
             dec = ArithDecoder(bytes(enc.out) + b"\xff\xd9", 0)
             st_d = bytearray(4)
             assert [dec.decode(st_d, s) for s in seq] == bits
+
+
+@needs_shim
+@pytest.mark.parametrize("variant", [
+    ("gray", False, True), ("rgb", False, True),
+    ("rgb", True, True), ("rgb", True, False), ("gray", False, False),
+])
+def test_our_progressive_arith_to_libjpeg_exact(variant):
+    """OUR progressive-arithmetic encoder (SOF10, all four F.2.4.3
+    scan shapes when successive) must decode in libjpeg to exactly
+    the shared _frame_prep coefficients — and in our own decoder."""
+    kind, sub, succ = variant
+    from anime_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    lib = _lib()
+    img = _smooth(39, 43) if kind == "gray" else _smooth(39, 43, 3)
+    blob = encode_jpeg_arith_progressive(
+        img, quality=86, subsample=sub, successive=succ
+    )
+    assert b"\xff\xca" in blob  # SOF10
+    theirs = _lib_coefs(lib, blob)
+    assert theirs is not None, "libjpeg rejected our SOF10 stream"
+    pix, ours = _our_coefs(blob)
+    assert pix is not None
+    _assert_coefs_match(ours, theirs)
+
+
+def test_progressive_arith_twin_without_library():
+    """Library-free pin: the progressive-arithmetic stream decodes to
+    pixels bit-identical to the baseline Huffman twin."""
+    from anime_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+    from anime_data_pipeline_spark.operators.jpeg_codec import encode_jpeg
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (23, 29, 3), dtype=np.uint8)
+    for sub in (False, True):
+        for succ in (False, True):
+            bp = encode_jpeg_arith_progressive(
+                img, 83, subsample=sub, successive=succ
+            )
+            bh = encode_jpeg(img, 83, subsample=sub)
+            op, oh = decode_jpeg(bp), decode_jpeg(bh)
+            assert op is not None and oh is not None
+            np.testing.assert_array_equal(op, oh)
