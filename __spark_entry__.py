@@ -55,7 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) changed in round 8 (fingerprint diff vs the r7-end snapshot):
 # q115/q151/q177/q179/q181/q187/q188 ride the VP8L distance-plane-map
 # spec fix + the animation lattice retained-bytes cap + the animated
-# still alpha-hint fix + the lossy-frame system-binding path;
+# still alpha-hint fix + the lossy-frame system-binding path; q151
+# additionally gained ARITHMETIC-coded JPEG slices (SOF9 sequential
+# with restarts + SOF10 progressive — operators/jpeg_arith, the QM
+# path cross-validated against the system libjpeg) and the i%16
+# corpus split that keeps the baseline-SOF0 branch live;
 # q182/q186 ride the href single-quote-pair strip; q183's metric fold
 # was extracted into the helper q191 shares; the whole streaming
 # family rides the directory-aware file-source reader (the ×100
