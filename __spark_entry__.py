@@ -52,108 +52,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # (Round 6's q90 rework slipped through the old hand list — shared-
 # source changes are exactly what hand lists miss.)
 
-# (a) changed in round 8 (fingerprint diff vs the r7-end snapshot):
-# q115/q151/q177/q179/q181/q187/q188 ride the VP8L distance-plane-map
-# spec fix + the animation lattice retained-bytes cap + the animated
-# still alpha-hint fix + the lossy-frame system-binding path; q151
-# additionally gained ARITHMETIC-coded JPEG slices (SOF9 sequential
-# with restarts + SOF10 progressive — operators/jpeg_arith, the QM
-# path cross-validated against the system libjpeg) and the i%16
-# corpus split that keeps the baseline-SOF0 branch live;
-# q182/q186 ride the href single-quote-pair strip; q183's metric fold
-# was extracted into the helper q191 shares; the whole streaming
-# family rides the directory-aware file-source reader (the ×100
-# streaming stress run found the old pathGlobFilter read ZERO rows
-# from a directory-shaped documents.parquet).
-_CHANGED_THIS_ROUND = [
-    "q187_webp_decode_bucket",
-    "q188_webp_anim_sample",
-    "q115_png_decode_bucket",
-    "q151_gif_jpeg_decode_bucket",
-    "q177_raster_decode_bucket",
-    "q179_video_frame_sample",
-    "q181_image_dedup",
-    "q182_link_graph",
-    "q186_domain_pagerank",
-    "q183_retrieval_metrics",
-    "q90_stream_quality_dedup",
-    "q61_stream_tumbling",
-    "q62_stream_sliding",
-    "q63_stream_sessions",
-    "q64_stream_dedup",
-    "q65_stream_stream_join",
-    "q66_stream_static_enrich",
-    "q108_stream_incremental_dedup",
+# (a) changed in round 9 (fingerprint diff vs the r8-end snapshot,
+# QUERY_FINGERPRINTS.json refreshed at cc04b26):
+# q49 gained the in-plan sketch-contract audit + its first oracle
+# (r8 verdict #3 — the registry's last rows-only row is now gated).
+_CHANGED_THIS_ROUND: list[str] = [
+    "q49_corpus_profile_approx",
+    # q111 promoted to production shape: update mode + wired watermark
+    # over the 4-batch time-ordered replay (r8 verdict #5); q68/q69
+    # ride the read_split_stream TIMESTAMP_NTZ→TIMESTAMP cast that
+    # promotion needed (value-preserving under the UTC session tz).
     "q111_stream_window_drift",
-    "q123_stream_heavy_hitters",
-    "q141_stream_blocklist",
-    # q95/q114 ride the featurizer-oracle extraction the q193 review
-    # asked for (shared CTE helper; results unchanged)
-    "q95_dsir_logweights",
-    "q114_gumbel_resample",
+    "q68_stream_stateful_stats",
+    "q69_stream_foreachbatch_upsert",
+    # q192's foreign-encoder matrix gained the JVM ImageIO JPEG writer
+    # as variant 4 (r8 verdict #6) — the baseline Huffman decoder now
+    # sits under the driver gate against a foreign encoder.
+    "q192_foreign_stream_decode",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
-# q190 is NEW in round 8: lossy-VP8 decode through the system-libwebp
-# ctypes binding (operators/webp_system.py) — the r7 "PIL seam" closed
-# with the same C library PIL wraps. q191 is NEW: the indexed
-# (SRP-LSH multi-probe) retrieval-metrics eval with recall delta vs
-# the exact run (the r7 verdict's "promote q183 to the ANN scale
-# path").
-_NEVER_ROWED: list[str] = [
-    "q190_webp_lossy_decode",
-    "q191_index_retrieval_metrics",
-    # q192: decode streams a FOREIGN encoder (the JVM's ImageIO
-    # writers) produced — the gate-level answer to the matched
-    # encoder/decoder bug class the TIFF-LZW fix exposed.
-    "q192_foreign_stream_decode",
-    # q193: fastText-shape hashed-ngram classifier inference — the
-    # learned quality filter CCNet/RefinedWeb deploy, on the q95
-    # featurizer with a closed-form pseudo-model.
-    "q193_fasttext_quality_filter",
-    # q194: Gopher Table A2 repetition signals (dup line/paragraph
-    # fractions, top/dup n-gram char coverage, keep conjunction) — the
-    # repetition-removal half q82's Table A1 bundle doesn't cover.
-    "q194_repetition_signals",
-]
+_NEVER_ROWED: list[str] = []
 
-# (c) reworked last round with only pre-rework rows: none — all 12
-# round-7 changed/new queries got green r7 rows.
+# (c) reworked last round with only pre-rework rows: none — all 23
+# round-8 changed + 5 new queries got green r8 rows (50/50 in
+# CORRECTNESS_r08.json).
 _REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first — q68/q69 (round-3 rows; their resplit-replay
-    # reader path was not touched) and the zorder pair, then the
-    # round-4 block: ANN/dedup first (they share the most
-    # frequently-touched operator modules), then bucketing, then the
-    # pure-SQL relational family (most stable, so last in line)
-    "q68_stream_stateful_stats",
-    "q69_stream_foreachbatch_upsert",
-    "q83_zorder_key",
-    "q84_zorder_skipping",
-    "q32_minhash_lsh_neardup",
-    "q36_neardup_clusters",
-    "q41_ann_bruteforce_topk",
-    "q42_ann_srp_lsh_topk",
-    "q43_embedding_neardup",
-    "q44_ann_ivf_topk",
-    "q48_ann_multiprobe_topk",
-    "q60_cluster_resolve",
-    "q85_ann_ivf_kmeans",
-    "q86_semantic_dedup",
-    "q93_ann_ivf_multiprobe",
-    "q96_editdist_verify",
-    "q97_knn_graph",
-    "q98_embedding_quantize",
-    "q99_adaptive_quality_filter",
-    "q101_span_dedup",
-    "q103_perplexity_band",
-    "q105_quality_drift",
+    # (d) stalest first. The 21 round-4-rowed queries lead (the r8
+    # verdict's #1 ask — after this round every row in the registry is
+    # ≤r5-stale): decode/temporal first (they share frequently-touched
+    # operator modules, so a rework this round folds them into (a)
+    # without reshuffling), then bucketing, then the pure-SQL
+    # relational family. The remainder of the window fills from the
+    # round-5 block.
     "q106_image_neardup",
-    # ---- 50-row driver cutoff lands here ----
     "q72_multimodal_features",
     "q112_funnel",
     "q113_cohort_retention",
@@ -174,6 +111,53 @@ _PRIORITY = [
     "q12_argmax_per_group",
     "q13_star_join_revenue",
     "q14_monthly_orders",
+    # round-5 block (43 rows total; the 50-row driver cutoff lands
+    # inside it, sliding up as (a)/(b) grow): operator-heavy families
+    # first — ANN/graph/dedup share the most-touched modules — then
+    # text/temporal, then pure-SQL last.
+    "q130_pq_adc_topk",
+    "q116_density_prune",
+    "q131_hard_negatives",
+    "q136_margin_bitext_mining",
+    "q139_ann_recall_audit",
+    "q142_ivf_drift_audit",
+    "q161_containment_dedup",
+    "q148_label_propagation",
+    "q154_pagerank",
+    "q157_hits",
+    "q132_bpe_merge_pairs",
+    "q134_vocab_coverage",
+    "q137_blocklist_filter",
+    "q149_rake_keywords",
+    "q150_doremi_reweight",
+    "q158_readability",
+    "q159_zipf_slope",
+    "q160_top_bigram_positions",
+    "q133_cluster_balanced_sample",
+    "q135_doc_stitching",
+    "q138_teacher_majority_vote",
+    "q140_source_lang_chi2",
+    "q143_json_schema_profile",
+    "q144_ab_test_ztest",
+    "q145_event_cooccurrence_lift",
+    "q146_level_shift",
+    "q147_last_touch_attribution",
+    "q155_markov_transitions",
+    "q156_source_js_divergence",
+    "q163_hierarchy_flatten",
+    "q164_daily_max_concurrency",
+    "q165_calibration_bins",
+    "q166_time_decay_attribution",
+    "q167_rfm_segmentation",
+    "q168_ht_sample_audit",
+    "q169_dau_wau_stickiness",
+    "q170_scd2_dimension",
+    "q171_top_event_paths",
+    "q174_local_supplier_volume",
+    "q175_brand_market_share",
+    "q176_conversion_latency_quantiles",
+    "q162_correlated_above_nation_avg",
+    "q117_sql_shipping_priority",
 ]
 
 

@@ -71,6 +71,127 @@ def corpus_profile(
     )
 
 
+def sketch_profile_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    distinct_col: str = "lang",
+    accuracy: int = 10000,
+    rsd: float = 0.05,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Per-group profile with the sketch outputs VALIDATED in-plan.
+
+    Emits the exact (engine-portable) statistics — count, min, max —
+    alongside booleans asserting each sketch honored its published
+    error contract against the exact value computed in the same plan:
+
+    * ``hll_*_ok`` — |approx_count_distinct − countDistinct| ≤
+      ``sigma``·``rsd``·exact (HLL++'s relative standard deviation
+      bound, 3σ by default), with an absolute floor of 2 for the
+      tiny-cardinality regime where the relative bound rounds to 0.
+    * ``gk_p{25,50,75}_ok`` — the TRUE rank of the value
+      ``percentile_approx`` returned lies within ``n/accuracy`` ranks
+      of the target (Greenwald-Khanna's guarantee), ±1 discrete step.
+      The rank is measured by re-scanning the group for values
+      <(=) the returned quantile — the sketch is checked against the
+      data, not against another sketch.
+
+    This is how q49 becomes oracle-gated: the DuckDB side reproduces
+    the exact columns and literal TRUEs, so a sketch that strays
+    outside its contract flips a boolean and fails the value hash.
+    Sketch state stays bounded per group (the 100 TB property q49
+    exists to pin); the audit adds one broadcast join of the
+    groups-sized profile back onto the corpus plus a second
+    group-keyed aggregation — both scale-safe.
+    """
+    qs = [0.25, 0.5, 0.75]
+    prof = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(value_col).alias("min_chars"),
+        F.max(value_col).alias("max_chars"),
+        F.countDistinct(distinct_col).alias("_exact_dlo"),
+        F.approx_count_distinct(distinct_col, rsd).alias("_hll_dlo"),
+        F.countDistinct(value_col).alias("_exact_dhi"),
+        F.approx_count_distinct(value_col, rsd).alias("_hll_dhi"),
+        F.percentile_approx(value_col, qs, accuracy).alias("_gk"),
+    )
+    return audit_sketch_profile(
+        df, prof, group_col, value_col, accuracy=accuracy, rsd=rsd, sigma=sigma
+    )
+
+
+def audit_sketch_profile(
+    df: DataFrame,
+    prof: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    accuracy: int = 10000,
+    rsd: float = 0.05,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Validation stage of ``sketch_profile_audit``, split out so the
+    falsifiability test can inject a CORRUPTED ``prof`` (an
+    out-of-band cardinality or a wrong-rank quantile) and assert the
+    ok-booleans actually flip — the contract that makes q49's TRUE
+    literals a real gate rather than a tautology."""
+    qs = [0.25, 0.5, 0.75]
+    joined = df.select(group_col, value_col).join(
+        F.broadcast(prof.select(group_col, "_gk")), group_col
+    )
+    ranks = joined.groupBy(group_col).agg(
+        *[
+            F.sum(
+                (F.col(value_col) < F.element_at("_gk", i + 1)).cast("long")
+            ).alias(f"_lt{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.sum(
+                (F.col(value_col) <= F.element_at("_gk", i + 1)).cast("long")
+            ).alias(f"_le{i}")
+            for i in range(len(qs))
+        ],
+    )
+
+    def hll_ok(approx_c: str, exact_c: str):
+        bound = F.greatest(
+            F.ceil(F.lit(sigma * rsd) * F.col(exact_c)), F.lit(2)
+        )
+        return F.abs(F.col(approx_c) - F.col(exact_c)) <= bound
+
+    def gk_ok(i: int, q: float):
+        # Returned value occupies ranks [_lt+1, _le]; the GK contract
+        # requires that interval to intersect [(q-eps)n, (q+eps)n]
+        # (eps = 1/accuracy), ±1 rank of discrete slack. _le > _lt also
+        # asserts the sketch returned an actual element of the group.
+        n = F.col("n_docs").cast("double")
+        eps = 1.0 / accuracy
+        lo = (F.lit(q - eps) * n) - F.lit(1.0)
+        hi = (F.lit(q + eps) * n) + F.lit(1.0)
+        return (
+            (F.col(f"_le{i}") > F.col(f"_lt{i}"))
+            & (F.col(f"_lt{i}") + F.lit(1) <= hi)
+            & (F.col(f"_le{i}").cast("double") >= lo)
+        )
+
+    return (
+        prof.join(ranks, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            hll_ok("_hll_dlo", "_exact_dlo").alias("hll_langs_ok"),
+            hll_ok("_hll_dhi", "_exact_dhi").alias("hll_chars_ok"),
+            *[
+                gk_ok(i, q).alias(f"gk_p{int(q * 100)}_ok")
+                for i, q in enumerate(qs)
+            ],
+        )
+    )
+
+
 def histogram_drift(
     df_a: DataFrame,
     df_b: DataFrame,

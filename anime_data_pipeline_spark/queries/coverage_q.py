@@ -13,7 +13,10 @@ from anime_data_pipeline_spark.catalog import load_table
 from anime_data_pipeline_spark.functions.compat import dround, dround_sql
 from anime_data_pipeline_spark.functions.hashing import P, polyhash, polyhash_sql
 from anime_data_pipeline_spark.operators.ordering import bucketed_global_rank
-from anime_data_pipeline_spark.operators.profiling import corpus_profile
+from anime_data_pipeline_spark.operators.profiling import (
+    corpus_profile,
+    sketch_profile_audit,
+)
 from anime_data_pipeline_spark.operators.bucketing import (
     BucketConfig,
     assign_bucket_columns,
@@ -241,16 +244,38 @@ def q40_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(docs, approx=False)
 
 
-@register("q49_corpus_profile_approx")
+@register(
+    "q49_corpus_profile_approx",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           TRUE AS hll_langs_ok,
+           TRUE AS hll_chars_ok,
+           TRUE AS gk_p25_ok,
+           TRUE AS gk_p50_ok,
+           TRUE AS gk_p75_ok
+    FROM documents GROUP BY source
+    """,
+)
 def q49_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE default of corpus profiling: percentile_approx
     (Greenwald-Khanna) + approx_count_distinct (HLL++) — per-group
     sketch state is bounded, so a hot `source` group cannot OOM an
-    executor at 100 TB. Sketch outputs are engine-specific, so this is
-    a rows-only gate (the exact twin q40 carries the value check; the
-    local parity test bounds approx-vs-exact error)."""
+    executor at 100 TB (the exact twin is q40).
+
+    Oracle-gated since round 9 (r8 verdict #3): raw sketch outputs are
+    engine-specific, so instead of emitting them this audits them
+    IN-PLAN — exact count/min/max are value-checked directly, and each
+    sketch's published error contract (HLL++ 3σ·rsd cardinality bound;
+    the GK rank of the returned percentile within n/accuracy of
+    target, measured by re-ranking the returned value against the
+    group) is emitted as a boolean the DuckDB side pins to TRUE. A
+    sketch straying outside its contract flips the bit and fails the
+    value hash — falsifiable, where the old rows-only row was not."""
     docs = load_table(spark, sf_dir, "documents")
-    return corpus_profile(docs, approx=True)
+    return sketch_profile_audit(docs)
 
 
 @register(

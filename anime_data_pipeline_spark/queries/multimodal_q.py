@@ -2068,14 +2068,19 @@ def q190_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JVM-ImageIO cross-validation caught it). This gate makes foreign
 # streams first-class: the corpus is written by the JVM's own
 # javax.imageio writers (PNG with ITS filter heuristics, GIF with ITS
-# LZW, BMP, TIFF with ITS LZW width/reset choices), built DRIVER-side
+# LZW, BMP, TIFF with ITS LZW width/reset choices, JPEG with ITS
+# quant/Huffman table choices — r8 verdict #6), built DRIVER-side
 # (the only place py4j can reach the JVM — a bounded fixture-build,
 # ~hundreds of small images, like reading a fixture directory) and
 # decoded by the default dispatch on the executors. Content is
 # doc_id-closed-form (v0 PNG gradient rows, v1 GIF 6-level blocks,
 # v2 BMP uniform, v3 TIFF-LZW gradient rows — the gradient rows push
-# GIF/TIFF LZW through real dictionary growth), so the oracle
-# recomputes membership, dims, and pixel_ok from doc_id alone.
+# GIF/TIFF LZW through real dictionary growth; v4 JPEG per-channel
+# uniform color — DC-only blocks make the lossy pin tight (±3) while
+# the foreign quant/Huffman tables, DC prediction chain, chroma
+# subsampling and YCbCr→RGB path all stay on the line; the AC path is
+# pinned by tests/test_imageio_crossval.py's tolerance tests), so the
+# oracle recomputes membership, dims, and pixel_ok from doc_id alone.
 # ---------------------------------------------------------------------------
 _Q192_N = 256  # foreign fixtures are built driver-side (the only py4j
 # scope), so the corpus is CAPPED — a cross-validation gate needs
@@ -2086,9 +2091,9 @@ _Q192_ORACLE = f"""
     SELECT doc_id,
            CAST(16 + (doc_id * 41) % 77 AS INTEGER) AS width,
            CAST(16 + (doc_id * 59) % 71 AS INTEGER) AS height,
-           CASE CAST(doc_id % 4 AS INTEGER)
+           CASE CAST(doc_id % 5 AS INTEGER)
              WHEN 1 THEN 'P' ELSE 'RGB' END AS mode,
-           CAST(doc_id % 4 AS INTEGER) AS variant,
+           CAST(doc_id % 5 AS INTEGER) AS variant,
            TRUE AS pixel_ok
     FROM (SELECT doc_id FROM documents WHERE doc_id % 23 = 0
           ORDER BY doc_id LIMIT {_Q192_N})
@@ -2127,7 +2132,7 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = 16 + (i * 41) % 77
         h = 16 + (i * 59) % 71
         g = 40 + i % 160
-        v = i % 4
+        v = i % 5
         x = np.arange(w)
         if v == 0:  # PNG, gradient rows (JVM filter heuristics kick in)
             row = (60 + (x * 120) // w).astype(np.uint8)
@@ -2142,10 +2147,18 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif v == 2:  # BMP uniform
             arr = np.full((h, w, 3), g, dtype=np.uint8)
             blob = jvm_write(arr, "bmp")
-        else:  # TIFF with the JVM's LZW (its width/reset choices)
+        elif v == 3:  # TIFF with the JVM's LZW (its width/reset choices)
             row = (60 + (x * 120) // w).astype(np.uint8)
             arr = np.broadcast_to(row[None, :, None], (h, w, 3)).copy()
             blob = jvm_write(arr, "tiff", compression="LZW")
+        else:  # JPEG with the JVM's quant/Huffman tables: per-channel
+            # uniform (g−40, g, g+40) — DC-only, but chroma ≠ 128 so
+            # the color transform and subsampled chroma decode are live
+            arr = np.empty((h, w, 3), dtype=np.uint8)
+            arr[:, :, 0] = g - 40
+            arr[:, :, 1] = g
+            arr[:, :, 2] = g + 40  # g ≤ 199, so never clips
+            blob = jvm_write(arr, "jpg")
         if i % 69 == 0:
             blob = blob[: 20 + (i % 5)]  # corrupt: truncated after magic
         rows.append((i, bytearray(blob)))
@@ -2174,7 +2187,7 @@ def q192_foreign_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_image_pixel_stats(decode_image_meta(_foreign_corpus(spark, sf_dir)))
     i = F.col("doc_id")
     g = (40 + i % 160).cast("int")
-    v = (i % 4).cast("int")
+    v = (i % 5).cast("int")
     st = F.col("pixel_stats")
     w = st["width"].cast("long")
     grad_hi = (60 + ((w - 1) * 120 / w).cast("int")).cast("int")
@@ -2182,10 +2195,21 @@ def q192_foreign_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ch0 min 0, ch1 min 255-200=55, ch2 min 0 → global min 0; max:
     # ch0 200, ch1 255, ch2 100 → 255 (width ≥ 16 spans ≥ 4 blocks →
     # levels 0..3 always present; level 5 needs x≥20 — avoid assuming)
+    # v4 JPEG per-channel uniform (g−40, g, g+40): every block is
+    # DC-only, so quantization error is the rounded DC step spread
+    # over the block — ±3 levels bounds it across any conformant
+    # quant-table choice at ImageIO's default quality; the mean over
+    # all three channels recovers g within ±2.
     pixel_ok = (
         F.when(v == 0, (st["px_min"] == 60) & (st["px_max"] == grad_hi))
         .when(v == 1, (st["px_min"] == 0) & (st["px_max"] == 255))
         .when(v == 2, (st["px_min"] == g) & (st["px_max"] == g))
+        .when(
+            v == 4,
+            (F.abs(st["px_min"] - (g - 40)) <= 3)
+            & (F.abs(st["px_max"] - (g + 40)) <= 3)
+            & (F.abs(st["px_mean"] - g.cast("double")) <= 2.0),
+        )
         .otherwise((st["px_min"] == 60) & (st["px_max"] == grad_hi))
     ) & (st["channels"] == 3)
     return decoded.filter(

@@ -241,12 +241,17 @@ def read_split_stream(spark: SparkSession, split_dir: str) -> DataFrame:
     modification time first — the deterministic order resplit_events
     stamped)."""
     schema = spark.read.parquet(split_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(split_dir)
     )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ event time; UTC session
+        # tz makes the cast value-preserving (see read_events_stream).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def foreach_batch_upsert_latest(

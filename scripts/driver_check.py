@@ -129,6 +129,15 @@ def main() -> int:
     for name in sorted(names):
         if ONLY and not any(s in name for s in ONLY):
             continue
+        # Timestamped stderr marker BEFORE the query runs (mirrors
+        # bench.py's per-query line) so any executor warning burst in
+        # the interleaved log — WindowExec, BlockManager, codegen — is
+        # attributable to the query that emitted it.
+        print(
+            f"[driver_check {time.strftime('%H:%M:%S')}] {name}",
+            file=sys.stderr,
+            flush=True,
+        )
         t0 = time.monotonic()
         try:
             sdf = qs[name](spark, SF_DIR)

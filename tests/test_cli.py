@@ -152,12 +152,13 @@ def test_priority_front_loads_unrowed_and_changed():
 
 
 def test_every_query_has_oracle_or_documented_exception():
-    """All registered queries except q49 (sketches — not
-    SQL-expressible) must carry a DuckDB oracle."""
+    """EVERY registered query must carry a DuckDB oracle. q49 — the
+    last rows-only exception — became oracle-gated in round 9 via the
+    in-plan sketch-contract audit (sketch_profile_audit)."""
     from anime_data_pipeline_spark.registry import all_oracles, all_queries
 
     no_oracle = set(all_queries()) - set(all_oracles())
-    assert no_oracle == {"q49_corpus_profile_approx"}, no_oracle
+    assert no_oracle == set(), no_oracle
 
 
 def test_changed_this_round_matches_fingerprint_diff():

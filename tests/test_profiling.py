@@ -109,3 +109,52 @@ def test_histogram_drift_clamps_out_of_range(spark):
     # -0.5 clamps to bin 0, 1.5 clamps to bin 9 — no lost rows
     occupied = [r["bin"] for r in out if r["share_a"] > r["share_b"] - 1e-12 and r["share_a"] > 0.06]
     assert 0 in occupied and 9 in occupied
+
+
+def test_sketch_audit_all_true_on_real_data(spark, sf_dir):
+    """q49's driver contract locally: every ok-boolean TRUE and the
+    exact columns equal to the exact profiler's."""
+    from anime_data_pipeline_spark.operators.profiling import sketch_profile_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r["source"]: r for r in sketch_profile_audit(docs).collect()}
+    exact = {r["source"]: r for r in corpus_profile(docs, approx=False).collect()}
+    assert set(rows) == set(exact)
+    for src, r in rows.items():
+        assert r["n_docs"] == exact[src]["n_docs"]
+        assert r["min_chars"] == exact[src]["min_chars"]
+        assert r["max_chars"] == exact[src]["max_chars"]
+        for c in ("hll_langs_ok", "hll_chars_ok", "gk_p25_ok", "gk_p50_ok", "gk_p75_ok"):
+            assert r[c] is True, (src, c)
+
+
+def test_sketch_audit_flips_on_corrupted_sketch(spark, sf_dir):
+    """FALSIFIABILITY: q49's TRUE-literal oracle is only a gate if a
+    broken sketch actually flips a boolean. Inject a profile whose
+    HLL estimate is far outside the rsd bound and whose 'quantiles'
+    are the group minimum (true rank nowhere near 25/50/75%) and
+    assert every audited bit goes false."""
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.operators.profiling import audit_sketch_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corrupt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("_exact_dlo"),
+        (F.countDistinct("lang") * 10 + 100).alias("_hll_dlo"),
+        F.countDistinct("n_chars").alias("_exact_dhi"),
+        (F.countDistinct("n_chars") * 10 + 100).alias("_hll_dhi"),
+        F.array(F.min("n_chars"), F.min("n_chars"), F.min("n_chars")).alias("_gk"),
+    )
+    out = audit_sketch_profile(docs, corrupt).collect()
+    assert out, "audit produced no rows"
+    for r in out:
+        assert r["hll_langs_ok"] is False, r
+        assert r["hll_chars_ok"] is False, r
+        # min's rank interval [1, count(min)] cannot reach the 25/50/75%
+        # targets on any group with >~4 distinct values
+        assert r["gk_p50_ok"] is False, r
+        assert r["gk_p75_ok"] is False, r
