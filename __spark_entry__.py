@@ -69,6 +69,21 @@ _CHANGED_THIS_ROUND: list[str] = [
     # as variant 4 (r8 verdict #6) — the baseline Huffman decoder now
     # sits under the driver gate against a foreign encoder.
     "q192_foreign_stream_decode",
+    # q194 rides the ADVICE r8 gram-mass alignment: n-gram char mass is
+    # now sum(len(word)) without join spaces, the Dolma/FineWeb/RPv2
+    # convention (Spark + oracle + property reference moved together).
+    "q194_repetition_signals",
+    # the rest of the decode family rides the jpeg_codec DAC
+    # odd-length null-for-corrupt fix (ADVICE r8 #2 — shared module
+    # closure, results unchanged for well-formed streams).
+    "q115_png_decode_bucket",
+    "q151_gif_jpeg_decode_bucket",
+    "q177_raster_decode_bucket",
+    "q179_video_frame_sample",
+    "q181_image_dedup",
+    "q187_webp_decode_bucket",
+    "q188_webp_anim_sample",
+    "q190_webp_lossy_decode",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.

@@ -663,6 +663,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
         elif marker in _SOF_MARKERS:  # lossless / hierarchical
             return None
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            if len(body) % 2 != 0:
+                # dangling odd byte: malformed conditioning segment —
+                # null-for-corrupt like DQT/DHT/SOF, not partial apply
+                return None
             i = 0
             while i + 2 <= len(body):
                 tc, tb = body[i] >> 4, body[i] & 0x0F

@@ -624,17 +624,26 @@ def readability_sql_projection(text_expr: str) -> dict[str, str]:
 #   characters sitting in those repeats (chars beyond each unit's first
 #   occurrence over total unit chars);
 # - top_{n}gram_char_frac (n=2,3,4): characters covered by the single
-#   most frequent word n-gram (count × n-gram length over doc chars;
+#   most frequent word n-gram (count × WORD-char mass over doc chars;
 #   ties broken toward the larger character mass — deterministic,
 #   unlike Counter.most_common — and only grams occurring MORE THAN
 #   ONCE qualify: a unique n-gram is not a repeat, so a short
 #   all-unique doc scores 0, not len(gram)/len(doc));
 # - dup_{n}gram_char_frac (n=5,10): characters covered by all n-grams
-#   occurring more than once. Coverage counts every (possibly
-#   overlapping) occurrence, so both n-gram fractions are capped at 1.0
-#   (the overlap-aware scan the reference implementations use is
-#   sequential per doc; the capped mass proxy is order-free, hence
-#   identical in Spark and the DuckDB oracle).
+#   occurring more than once.
+#
+# An n-gram's character mass is sum(len(word)) — the join spaces do
+# NOT count, matching the sum-of-word-lengths convention of the
+# public Dolma/FineWeb/RedPajama-v2 deployments (spelled
+# length(joined) − (n−1) here since grams are single-space joined and
+# tokens contain no spaces). Documented deviations from those
+# deployments, chosen so the metric is order-free and thus identical
+# in Spark and the DuckDB oracle: coverage counts EVERY (possibly
+# overlapping) occurrence — including each gram's first — rather than
+# the sequential overlap-aware span scan, so both n-gram fractions are
+# capped at 1.0; the denominator is whole-doc characters (spaces
+# included). Both choices bias the fractions UP, i.e. keep/drop is
+# never laxer than the published filters.
 #
 # Scale shape: line/paragraph metrics are pure array expressions (scan
 # speed, no shuffle). The n-gram metrics explode once for ALL n values
@@ -724,7 +733,11 @@ def repetition_signals(
     grams = toked.select(
         "_id", F.explode(F.flatten(F.array(*[_ngrams(n) for n in all_ns]))).alias("_ng")
     ).select("_id", F.col("_ng.n").alias("_n"), F.col("_ng.g").alias("_g"))
-    mass = (F.col("_cnt") * F.length(F.col("_g")).cast("long")).alias("_m")
+    # word-char mass: join spaces don't count (length − (n−1))
+    mass = (
+        F.col("_cnt")
+        * (F.length(F.col("_g")) - (F.col("_n") - F.lit(1))).cast("long")
+    ).alias("_m")
     counts = grams.groupBy("_id", "_n", "_g").agg(F.count("*").alias("_cnt"))
     # max(struct(cnt, mass)) = lexicographic: the char mass of the most
     # frequent n-gram, larger-mass tie-break — exactly the oracle's
@@ -886,8 +899,9 @@ def repetition_sql(
     pern AS (
       SELECT c.id, c.n,
              max(CASE WHEN c.cnt = m1.mc AND c.cnt >= 2
-                      THEN c.cnt * length(c.g) END) AS topm,
-             coalesce(sum(CASE WHEN c.cnt >= 2 THEN c.cnt * length(c.g) END), 0)
+                      THEN c.cnt * (length(c.g) - (c.n - 1)) END) AS topm,
+             coalesce(sum(CASE WHEN c.cnt >= 2
+                               THEN c.cnt * (length(c.g) - (c.n - 1)) END), 0)
                AS dupm
       FROM counts c JOIN m1 USING (id, n) GROUP BY 1, 2
     ),

@@ -685,3 +685,27 @@ def test_gif_lattice_total_sampled_bytes_cap():
     assert decode_gif_lattice(blob, 1) is None
     res = decode_gif_lattice(blob, 5)
     assert res is not None and res[0] == 5 and set(res[1]) == {0}
+
+
+def test_jpeg_dac_odd_length_is_corrupt_not_partial():
+    """An odd-length DAC body (dangling conditioning byte) must map to
+    None like every other malformed segment — the r8 advisor found it
+    was silently HALF-applied, leaving the decoder running with a
+    partially-updated conditioning table."""
+    import struct
+
+    from anime_data_pipeline_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good = encode_jpeg_arith(img, quality=80)
+    assert decode_jpeg(good) is not None
+    # a well-formed (even) extra DAC is fine; with a dangling odd byte
+    # the whole stream is corrupt
+    even_dac = b"\xff\xd8" + seg(0xCC, bytes([0x01, 0x10])) + good[2:]
+    assert decode_jpeg(even_dac) is not None
+    odd_dac = b"\xff\xd8" + seg(0xCC, bytes([0x01, 0x10, 0x00])) + good[2:]
+    assert decode_jpeg(odd_dac) is None
+    jpeg_meta(odd_dac)  # must not raise

@@ -45,14 +45,18 @@ def _py_repetition(text: str) -> dict:
     toks = [t for t in text.split(" ") if t != ""]
     nchars = max(len(text), 1)
     for n in sorted(set(TOP_NS) | set(DUP_NS)):
-        c = Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        # gram mass = sum of WORD lengths (join spaces excluded) — the
+        # Dolma/FineWeb/RPv2 sum-of-word-lengths convention
+        c = Counter(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
         if n in TOP_NS:
             # max count, larger char mass on ties, count>=2 to qualify
-            q = [(cnt, cnt * len(g)) for g, cnt in c.items() if cnt >= 2]
+            q = [
+                (cnt, cnt * sum(map(len, g))) for g, cnt in c.items() if cnt >= 2
+            ]
             mass = max(q)[1] if q else 0
             out[f"top_{n}gram_char_frac"] = min(1.0, mass / nchars)
         if n in DUP_NS:
-            mass = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+            mass = sum(cnt * sum(map(len, g)) for g, cnt in c.items() if cnt >= 2)
             out[f"dup_{n}gram_char_frac"] = min(1.0, mass / nchars)
     out["repetition_keep"] = (
         out["dup_line_frac"] <= GOPHER_DUP_LINE_MAX
