@@ -568,10 +568,12 @@ class _ProgressiveState:
 
 def decode_jpeg(data: bytes) -> np.ndarray | None:
     """Baseline/extended-sequential (SOF0/SOF1), progressive (SOF2),
-    or arithmetic-coded (SOF9/SOF10, via operators/jpeg_arith) JPEG
-    bytes → uint8 (h, w) for grayscale or (h, w, 3) RGB. None for
-    corrupt or lossless/hierarchical-coded input — the caller maps
-    those to the dropped-with-count row or the PIL seam. A blanket
+    arithmetic-coded (SOF9/SOF10, via operators/jpeg_arith), or
+    lossless (SOF3, via operators/jpeg_lossless) JPEG bytes → uint8
+    (h, w) for grayscale or (h, w, 3) RGB (component planes verbatim
+    for lossless — Annex H specifies no color transform). None for
+    corrupt or arithmetic-lossless/hierarchical-coded input — the
+    caller maps those to the dropped-with-count row. A blanket
     guard converts every malformed-but-magic-valid structure
     (truncated segment bodies, bad counts, over-long SOS headers) into
     None rather than a crashed Spark task."""
@@ -589,6 +591,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
     progressive = False
     arith = False  # SOF9/SOF10: QM-coded entropy (operators/jpeg_arith)
+    lossless = False  # SOF3: predictive coding (operators/jpeg_lossless)
     dac_dc: dict[int, tuple[int, int]] = {}  # DC table id -> (L, U)
     dac_ac: dict[int, int] = {}  # AC table id -> Kx
     restart_interval = 0
@@ -639,13 +642,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                     return None
                 htabs[(tc, th)] = _build_huffman(bits, huffval)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1/2/3/9/10
             if frame is not None or len(body) < 6:
                 return None
             if body[0] != 8:
-                # 12-bit precision is legal in SOF1/2/9/10 but this
-                # decoder's level shift/clip is 8-bit: None, not
-                # silently saturated pixels
+                # 12-bit precision is legal in SOF1/2/9/10 (and 2–16
+                # in SOF3) but this decoder's pixel domain is 8-bit:
+                # None, not silently saturated pixels
                 return None
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -660,7 +663,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             frame = (int(h), int(w), comps)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-        elif marker in _SOF_MARKERS:  # lossless / hierarchical
+            lossless = marker == 0xC3
+        elif marker in _SOF_MARKERS:  # arithmetic-lossless / hierarchical
             return None
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             if len(body) % 2 != 0:
@@ -702,6 +706,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if lossless:
+                # SOF3: Ss = predictor selector, Al = point transform
+                from anime_data_pipeline_spark.operators.jpeg_lossless import (
+                    decode_scan_lossless,
+                )
+
+                if se != 0 or ah != 0 or ns != len(frame[2]):
+                    return None
+                scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+                return decode_scan_lossless(
+                    data, pos + seglen, frame, scan_tables, htabs,
+                    restart_interval, ss, al,
+                )
             if arith:
                 # QM-coded scans (operators/jpeg_arith) — lazy import
                 # keeps the module dependency one-directional

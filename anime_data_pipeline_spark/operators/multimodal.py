@@ -32,9 +32,11 @@ JPEG-decode — AND animated GIF (gif_codec.decode_gif_frames, real
 GIF89a compositing; frames are deltas so one compositor pass serves a
 sampling lattice). Arithmetic-coded JPEG (SOF9/SOF10) decodes
 natively since round 8 (jpeg_arith.py, QM-coder cross-validated
-against the system libjpeg) and lossy-VP8 WebP through the libwebp
-binding; only the true exotics — lossless/hierarchical JPEG,
-MP3-in-WAV, non-MJPEG/GIF video — still
+against the system libjpeg), lossless JPEG (SOF3, all seven Annex-H
+predictors) since round 9 (jpeg_lossless.py), and lossy-VP8 WebP
+through the libwebp binding; only the true exotics — hierarchical /
+arithmetic-lossless JPEG, 12/16-bit-precision JPEG, MP3-in-WAV,
+non-MJPEG/GIF video — still
 fall through to the PIL/ffmpeg seams (absent in this container); the
 deterministic FIMG/FAUD/FVID fake containers remain for
 oracle-checkable synthetic corpora. The Spark plumbing — schemas,

@@ -711,7 +711,10 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     → PROGRESSIVE-ARITHMETIC SOF10 (all four F.2.4.3 scan shapes),
     doc_id % 16 == 7 → sequential-ARITHMETIC SOF9 with restart
     intervals and 4:2:0 (the QM entropy path, jpeg_arith, round 8),
-    doc_id % 16 in (9, 11, 13, 15) → baseline SOF0) bytes; dims from
+    doc_id % 16 in (9, 15) → LOSSLESS SOF3 gradients cycling all
+    seven Annex-H predictors, RGB slice with mid-row restarts
+    (jpeg_lossless, round 9 — the last pixel seam closed),
+    doc_id % 16 in (11, 13) → baseline SOF0) bytes; dims from
     doc_id int math. Every 30th row is corrupt-after-magic,
     alternating GIF/JPEG bodies by doc_id//30 — the P6 null path
     through the REAL codecs (GIF structural check and JPEG marker
@@ -726,6 +729,9 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.operators.jpeg_codec import (
         encode_jpeg,
         encode_jpeg_progressive,
+    )
+    from anime_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
     )
 
     docs = (
@@ -792,7 +798,28 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 restart_interval=4,
                             )
                         )
-                    else:  # i % 16 in (9, 11, 13, 15): baseline SOF0
+                    elif i % 16 in (9, 15):  # LOSSLESS SOF3 (round 9)
+                        # gradient rows, not uniform fill — every
+                        # sample carries a nonzero diff so the whole
+                        # predictor chain is live; predictor cycles
+                        # through all seven selections across the
+                        # corpus, and the RGB slice adds mid-row
+                        # restart markers
+                        x = np.arange(w)
+                        row = (60 + (x * 120) // w).astype(np.uint8)
+                        grad = np.broadcast_to(
+                            row[None, :], (h, w)
+                        ).copy() if i % 4 == 1 else np.broadcast_to(
+                            row[None, :, None], (h, w, 3)
+                        ).copy()
+                        blobs.append(
+                            encode_jpeg_lossless(
+                                grad,
+                                predictor=1 + (i // 16) % 7,
+                                restart_interval=7 if i % 16 == 15 else 0,
+                            )
+                        )
+                    else:  # i % 16 in (11, 13): baseline SOF0
                         blobs.append(encode_jpeg(img, 85))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
@@ -832,10 +859,18 @@ def q151_gif_jpeg_decode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i % 4) == p,
             (st["px_min"] == mn) & (st["px_max"] == mx) & (st["px_mean"] == mean),
         ).otherwise(gif_ok)
-    jpeg_ok = (
+    chan_ok = st["channels"] == F.when(i % 4 == 1, 1).otherwise(3)
+    # lossless rows (i%16 in 9/15) are gradients decoded EXACTLY:
+    # min 60, max = last gradient step — equality, no lossy tolerance
+    sw = st["width"].cast("long")
+    grad_hi = (60 + ((sw - 1) * 120 / sw).cast("int")).cast("int")
+    jpeg_ok = F.when(
+        (i % 16).isin(9, 15),
+        (st["px_min"] == 60) & (st["px_max"] == grad_hi) & chan_ok,
+    ).otherwise(
         (st["px_min"] == st["px_max"])
         & (F.abs(st["px_min"] - fill) <= 2)
-        & (st["channels"] == F.when(i % 4 == 1, 1).otherwise(3))
+        & chan_ok
     )
     decoded = decoded.withColumn(
         "pixel_ok",

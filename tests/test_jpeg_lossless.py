@@ -1,0 +1,161 @@
+"""Lossless JPEG (SOF3) — the last native pixel seam (r8 verdict,
+What's missing #1 / Next-round #7).
+
+No encoder for SOF3 exists in this container (ImageIO, system
+libjpeg, libwebp: none write it), so beyond the encoder/decoder
+roundtrip matrix the decoder is pinned by a HAND-ASSEMBLED bit-exact
+stream whose Huffman codes, diffs and predictor chain were computed
+on paper — the defense against the matched encoder/decoder bug class
+(the r8 TIFF-LZW lesson) available without a foreign encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from anime_data_pipeline_spark.operators.jpeg_codec import decode_jpeg, jpeg_meta
+from anime_data_pipeline_spark.operators.jpeg_lossless import encode_jpeg_lossless
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_roundtrip_exact_all_predictors(predictor):
+    for shape in [(9, 13), (16, 16, 3), (1, 7), (5, 1, 3)]:
+        arr = _rng(predictor * 100 + len(shape)).integers(
+            0, 256, shape, dtype=np.uint8
+        )
+        out = decode_jpeg(encode_jpeg_lossless(arr, predictor=predictor))
+        assert out is not None and out.shape == arr.shape
+        assert np.array_equal(out, arr), (shape, predictor)
+
+
+def test_roundtrip_restart_intervals_including_mid_row():
+    arr = _rng(11).integers(0, 256, (11, 10, 3), dtype=np.uint8)
+    for ri in (3, 10, 17):  # 3 and 17 land mid-row; 10 on row boundaries
+        for predictor in (1, 4, 7):
+            out = decode_jpeg(
+                encode_jpeg_lossless(arr, predictor=predictor, restart_interval=ri)
+            )
+            assert out is not None and np.array_equal(out, arr), (ri, predictor)
+
+
+def test_roundtrip_point_transform():
+    arr = _rng(13).integers(0, 256, (8, 9), dtype=np.uint8)
+    for pt in (1, 2, 3):
+        out = decode_jpeg(encode_jpeg_lossless(arr, predictor=2, pt=pt))
+        # point transform is the ONE lossy knob: decode = (x >> pt) << pt
+        assert out is not None and np.array_equal(out, (arr >> pt) << pt), pt
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def _hand_stream(scan: bytes, predictor: int = 1, ahal: int = 0) -> bytes:
+    """Minimal 2×3 grayscale SOF3 stream around a hand-built scan:
+    one DHT with 2-bit codes 00→cat0, 01→cat1, 10→cat2."""
+    sof = bytes([8]) + struct.pack(">HH", 2, 3) + bytes([1, 1, 0x11, 0])
+    dht = bytes([0x00]) + bytes([0, 3] + [0] * 14) + bytes([0, 1, 2])
+    sos = bytes([1, 1, 0x00, predictor, 0, ahal])
+    return (
+        b"\xff\xd8"
+        + _seg(0xC3, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def test_hand_assembled_stream_decodes_bit_exact():
+    """Predictor 1, samples [[130,129,131],[129,131,130]] from default
+    prediction 128: diffs +2,−1,+2 / −1(Rb row start),+2,−1 → codes
+    (10|10)(01|0)(10|10)(01|0)(10|10)(01|0), 21 bits padded with 1s =
+    A5 4A 97 — every byte computed by hand, shared with no encoder."""
+    out = decode_jpeg(_hand_stream(bytes([0xA5, 0x4A, 0x97])))
+    assert out is not None and out.shape == (2, 3)
+    assert out.tolist() == [[130, 129, 131], [129, 131, 130]]
+
+
+def test_hand_assembled_predictor_2_rb_chain():
+    """Predictor 2 (Rb): row 0 still follows the first-row Ra rule
+    (row0 = [130, 129, 131] from diffs +2, −1, +2), then row 1
+    predicts each sample from the one ABOVE with diffs (+1, +1, +1)
+    → [131, 130, 132] — values predictor 1 (Ra-chain) could not
+    produce from this stream ([131, 132, 133]), so the predictor
+    dispatch itself is pinned. Codes: (10|10)(01|0)(10|10) then
+    (01|1)×3 = 1010 010 1010 011 011 011, 20 bits padded with 1s →
+    A5 4D BF — computed by hand, shared with no encoder."""
+    out = decode_jpeg(_hand_stream(bytes([0xA5, 0x4D, 0xBF]), predictor=2))
+    assert out is not None
+    assert out.tolist() == [[130, 129, 131], [131, 130, 132]]
+
+
+def test_corrupt_and_out_of_scope_map_to_none():
+    arr = _rng(17).integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    good = encode_jpeg_lossless(arr)
+    assert decode_jpeg(good) is not None
+    # truncated scan
+    assert decode_jpeg(good[: len(good) - 8]) is None
+    # predictor selector 0 (legal only in hierarchical differential)
+    bad_pred = _hand_stream(bytes([0xA5, 0x4A, 0x97]), predictor=0)
+    assert decode_jpeg(bad_pred) is None
+    # successive approximation bits are meaningless in SOF3: Ah != 0
+    bad_ah = _hand_stream(bytes([0xA5, 0x4A, 0x97]), ahal=0x10)
+    assert decode_jpeg(bad_ah) is None
+    # 16-bit precision: out of the pipeline's 8-bit pixel domain
+    p16 = bytearray(good)
+    sof_at = p16.index(b"\xff\xc3")
+    p16[sof_at + 4] = 16
+    assert decode_jpeg(bytes(p16)) is None
+    # subsampled lossless: scope-gated to None
+    sub = bytearray(good)
+    sub[sof_at + 11] = 0x22  # first component 2x2
+    assert decode_jpeg(bytes(sub)) is None
+    # meta still reads dims for all of the above (header-only path)
+    assert jpeg_meta(good) == (8, 6, "RGB")
+    assert jpeg_meta(bytes(p16)) is not None
+    # SOF11 (arithmetic lossless) stays None
+    sof11 = bytearray(good)
+    sof11[sof_at + 1] = 0xCB
+    assert decode_jpeg(bytes(sof11)) is None
+
+
+def test_decodes_through_default_dispatch():
+    """The production mapInPandas path (decode_image_pixel_stats'
+    loader) must see SOF3 pixels, not null rows."""
+    from anime_data_pipeline_spark.operators.multimodal import (
+        image_pixel_decoder_loader,
+    )
+
+    arr = _rng(19).integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    dec = image_pixel_decoder_loader()()
+    out = dec(encode_jpeg_lossless(arr, predictor=4))
+    assert out is not None and np.array_equal(out, arr)
+
+
+def test_mutation_and_truncation_fuzz_never_raises():
+    """Byte flips and truncations over a valid SOF3 stream must land
+    on pixels or None — never an exception into a Spark task (the
+    blanket null-for-corrupt contract every codec carries)."""
+    import random
+
+    random.seed(3)
+    base = encode_jpeg_lossless(
+        _rng(3).integers(0, 256, (14, 11, 3), dtype=np.uint8),
+        predictor=5,
+        restart_interval=6,
+    )
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(random.randint(1, 4)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        decode_jpeg(bytes(b))
+    for cut in range(2, len(base), 17):
+        assert decode_jpeg(base[:cut]) is None
