@@ -107,15 +107,23 @@ def decode_scan_lossless(
     nc = len(comps)
     default_pred = 1 << (8 - pt - 1)
     reader = _ScanReader(data, pos)
-    prev_r = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
-    cur_r = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
-    out = np.empty((h, w, nc), dtype=np.uint8)
+    # hot loop: one Huffman symbol PER SAMPLE, so everything it
+    # touches is a plain Python list / hoisted local — numpy scalar
+    # load/store here measured 2.5× the whole decode (the same
+    # flat-local-state discipline as the r8 VP8L entropy rework)
+    decode_symbol = reader.decode_symbol
+    receive = reader.receive
+    prev_r = [[0] * w for _ in range(nc)]
+    cur_r = [[0] * w for _ in range(nc)]
+    flat: list[int] = []  # h*w*nc interleaved samples, shifted by Pt
+    append = flat.append
     # fresh: start-of-scan / just-past-restart → next sample takes the
     # default prediction and the rest of ITS line predictor 1 (Ra)
     fresh = True
     first_row_until_eol = True  # line 0 is always Ra-mode
     m = 0  # samples (MCUs) decoded since the last restart
     n_rst = 0
+    sel = predictor
     for y in range(h):
         for ci in range(nc):
             prev_r[ci], cur_r[ci] = cur_r[ci], prev_r[ci]
@@ -132,7 +140,7 @@ def decode_scan_lossless(
                 fresh = True
                 first_row_until_eol = True
             for ci in range(nc):
-                t = reader.decode_symbol(tabs[ci])
+                t = decode_symbol(tabs[ci])
                 if t is None or t > 16:
                     return None
                 if t == 16:
@@ -140,26 +148,42 @@ def decode_scan_lossless(
                 elif t == 0:
                     diff = 0
                 else:
-                    v = reader.receive(t)
+                    v = receive(t)
                     if v is None:
                         return None
                     diff = _extend(v, t)
-                cur, prev = cur_r[ci], prev_r[ci]
+                cur = cur_r[ci]
                 if fresh:
                     px = default_pred
                 elif first_row_until_eol:
-                    px = int(cur[x - 1]) if x > 0 else default_pred
+                    px = cur[x - 1] if x > 0 else default_pred
                 elif x == 0:
-                    px = int(prev[0])
+                    px = prev_r[ci][0]
                 else:
-                    px = _predict(
-                        int(cur[x - 1]), int(prev[x]), int(prev[x - 1]), predictor
-                    )
+                    prev = prev_r[ci]
+                    if sel == 1:
+                        px = cur[x - 1]
+                    elif sel == 2:
+                        px = prev[x]
+                    elif sel == 3:
+                        px = prev[x - 1]
+                    elif sel == 4:
+                        px = cur[x - 1] + prev[x] - prev[x - 1]
+                    elif sel == 5:
+                        px = cur[x - 1] + ((prev[x] - prev[x - 1]) >> 1)
+                    elif sel == 6:
+                        px = prev[x] + ((cur[x - 1] - prev[x - 1]) >> 1)
+                    else:  # 7
+                        px = (cur[x - 1] + prev[x]) >> 1
                 rx = (px + diff) & 0xFFFF
                 cur[x] = rx
-                out[y, x, ci] = min((rx << pt) & 0xFFFF, 255)
+                append(rx)
             fresh = False
             m += 1
+    out = np.asarray(flat, dtype=np.int64).reshape(h, w, nc)
+    if pt:
+        out = (out << pt) & 0xFFFF
+    out = np.minimum(out, 255).astype(np.uint8)
     return out[:, :, 0] if nc == 1 else out
 
 
