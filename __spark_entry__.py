@@ -63,6 +63,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # ride the read_split_stream TIMESTAMP_NTZ→TIMESTAMP cast that
     # promotion needed (value-preserving under the UTC session tz).
     "q111_stream_window_drift",
+    # q123 rides the same promotion (types × open-windows state)
+    "q123_stream_heavy_hitters",
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
     # q192's foreign-encoder matrix gained the JVM ImageIO JPEG writer

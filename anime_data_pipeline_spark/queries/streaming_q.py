@@ -506,15 +506,32 @@ def _q123_oracle() -> str:
 
 @register("q123_stream_heavy_hitters", oracle=_q123_oracle())
 def q123_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape since round 9 (the q111 promotion applied to
+    the whole windowed family): UPDATE output mode with the event-time
+    watermark wired, over the 4-file time-ordered replay — state is
+    types × OPEN windows with closed windows evicted, and the memory
+    sink reconciles last-emission-wins (max of the monotone per-key
+    counts). The top-k rank still runs batch-side on the reconciled
+    windows×types table — tiny, per-window partitioned."""
     from pyspark.sql.window import Window
 
-    s = read_events_stream(spark, sf_dir)
-    counts = run_available_now(
-        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
-            F.count(F.lit(1)).alias("n")
-        ),
-        "complete",
-    ).select(F.col("w.start").alias("window_start"), "event_type", F.col("n").cast("long").alias("n"))
+    from anime_data_pipeline_spark.streaming.pipeline import (
+        read_split_stream,
+        resplit_events,
+    )
+
+    split = resplit_events(spark, sf_dir, n_files=4)
+    s = read_split_stream(spark, split)
+    out = run_available_now(
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "update",
+    )
+    counts = (
+        out.groupBy(F.col("w.start").alias("window_start"), "event_type")
+        .agg(F.max("n").cast("long").alias("n"))
+    )
     rk = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
     return (
         counts.withColumn("rank", F.row_number().over(rk).cast("long"))
