@@ -221,31 +221,33 @@ def test_repetition_dup_paragraphs_hand_computed(spark):
 
 
 def test_repetition_top_ngram_mass_and_cap(spark):
-    # "x y x y x": 2-grams x y(2), y x(2) -> max count 2, both mass 6;
-    # tie-break keeps the larger mass (equal here) -> 6/9 chars
-    rows = _rep_rows(spark, [(1, "x y x y x"), (2, "a a a a")])
-    assert rows[1]["top_2gram_char_frac"] == pytest.approx(6 / 9)
-    # "a a a a": "a a" count 3, mass 9 > 7 chars -> capped at 1.0
+    # Word-char mass (r9: join spaces excluded, the Dolma/FineWeb/RPv2
+    # sum-of-word-lengths convention). "x y x y x": 2-grams x y(2),
+    # y x(2) -> max count 2, both word-mass 2*2=4 -> 4/9 chars
+    rows = _rep_rows(spark, [(1, "x y x y x"), (2, "aaa aaa aaa aaa")])
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(4 / 9)
+    # "aaa aaa aaa aaa": "aaa aaa" count 3, word-mass 3*6=18 > 15
+    # chars -> capped at 1.0 (all-occurrence counting over-covers)
     assert rows[2]["top_2gram_char_frac"] == 1.0
 
 
 def test_repetition_tie_breaks_toward_larger_mass(spark):
-    # "aa bb aa bb cc dd cc dd": count-2 2-grams "aa bb" (5 chars) and
-    # "cc dd" (5) and "bb aa"(1 occurrence)... construct a true tie on
-    # count with different masses: "aa bb aa bb q xxx yyy xxx yyy"
-    # -> "aa bb" cnt 2 mass 10; "xxx yyy" cnt 2 mass 14 -> top = 14
+    # a true tie on count with different word masses:
+    # "aa bb" cnt 2 mass 2*(2+2)=8; "xxx yyy" cnt 2 mass 2*(3+3)=12
+    # -> top = 12 (larger-mass tie-break)
     text = "aa bb aa bb q xxx yyy xxx yyy"
     rows = _rep_rows(spark, [(1, text)])
-    assert rows[1]["top_2gram_char_frac"] == pytest.approx(14 / len(text))
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(12 / len(text))
 
 
 def test_repetition_dup_ngram_and_short_doc_zero(spark):
     ten = "one two three four five six seven eight nine ten"
     text = f"{ten} {ten}"
     rows = _rep_rows(spark, [(1, text), (2, "too short")])
-    # the repeated 10-gram covers 2*len(ten) chars of the doubled doc
+    # the repeated 10-gram covers 2 * (word chars of `ten` = len
+    # minus its 9 separator spaces) of the doubled doc
     assert rows[1]["dup_10gram_char_frac"] == pytest.approx(
-        min(1.0, 2 * len(ten) / len(text))
+        min(1.0, 2 * (len(ten) - 9) / len(text))
     )
     # fewer than n tokens -> no n-grams -> 0.0, and nothing fails keep
     assert rows[2]["dup_5gram_char_frac"] == 0.0
