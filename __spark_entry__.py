@@ -75,9 +75,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # now sum(len(word)) without join spaces, the Dolma/FineWeb/RPv2
     # convention (Spark + oracle + property reference moved together).
     "q194_repetition_signals",
-    # the rest of the decode family rides the jpeg_codec DAC
-    # odd-length null-for-corrupt fix (ADVICE r8 #2 — shared module
-    # closure, results unchanged for well-formed streams).
+    # the decode/audio corpus family rides (a) the jpeg_codec DAC
+    # odd-length null-for-corrupt fix (ADVICE r8 #2) and (b) the
+    # round-9 _spread corpus repartition: generation + decode now fan
+    # out to full parallelism instead of inheriting the source file
+    # count (ONE partition at gate SFs — the whole decode matrix was
+    # single-threaded).
     "q115_png_decode_bucket",
     "q151_gif_jpeg_decode_bucket",
     "q177_raster_decode_bucket",
@@ -86,6 +89,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q187_webp_decode_bucket",
     "q188_webp_anim_sample",
     "q190_webp_lossy_decode",
+    "q71_multimodal_decode",
+    "q72_multimodal_features",
+    "q73_tag_inference",
+    "q80_video_frame_sample",
+    "q87_audio_chunk_plan",
+    "q106_image_neardup",
+    "q178_wav_decode_chunk",
+    "q184_audio_quality_filter",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
@@ -107,8 +118,7 @@ _PRIORITY = [
     # without reshuffling), then bucketing, then the pure-SQL
     # relational family. The remainder of the window fills from the
     # round-5 block.
-    "q106_image_neardup",
-    "q72_multimodal_features",
+    # (q106/q72 moved to (a): the _spread rework touched them)
     "q112_funnel",
     "q113_cohort_retention",
     "q21_bucket_assign",

@@ -37,6 +37,20 @@ from anime_data_pipeline_spark.registry import register
 _LABELS = ["long hair", "blue eyes", "smile", "standing", "hatsune miku"]
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Fan the narrow id-projection out to full parallelism BEFORE the
+    mapInPandas corpus-generation + decode chain. A small SF's
+    documents.parquet is ONE file → one partition, and mapInPandas
+    inherits it — which single-threads the heaviest (encode + decode)
+    stage of every gate while 31 cores idle; at cluster scale the same
+    shape appears whenever upstream file count < executor count. The
+    exchange moves only the slim pre-blob rows, never image bytes.
+    (Found in round 9: q151's bench tail grew with the SOF3 slice and
+    the whole decode matrix turned out to be running on one thread.)"""
+    spark = docs.sparkSession
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, content: binary): FIMG blobs with
     deterministic dims and payload = text[:64]; every 29th row corrupt
@@ -64,7 +78,7 @@ def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_fimg(w, h, mode, (text or "")[:64].encode()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 # The oracle recomputes the expected decode output directly from
@@ -253,7 +267,7 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register(
@@ -345,7 +359,7 @@ def q87_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_faud(rate, n, 1 + i % 2, b"pcm"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    decoded = decode_audio_meta(docs.mapInPandas(gen, schema=schema))
+    decoded = decode_audio_meta(_spread(docs).mapInPandas(gen, schema=schema))
     ok = decoded.filter(F.col("audio_meta").isNotNull())
     chunked = audio_chunk_plan(ok, chunk_s=float(_CHUNK_S))
     return chunked.select(
@@ -585,7 +599,7 @@ def _png_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q115_png_decode_bucket", oracle=_q115_oracle())
@@ -823,7 +837,7 @@ def _gif_jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         blobs.append(encode_jpeg(img, 85))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q151_gif_jpeg_decode_bucket", oracle=_q151_oracle())
@@ -1036,7 +1050,7 @@ def _raster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q177_raster_decode_bucket", oracle=_q177_oracle())
@@ -1215,7 +1229,7 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_wav(np.full((n, ch), fill, dtype=dt), rate, fmt=fmt))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q178_wav_decode_chunk", oracle=_q178_oracle())
@@ -1369,7 +1383,7 @@ def _real_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(encode_gif_animation(idx_frames, gray))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q179_video_frame_sample", oracle=_q179_oracle())
@@ -1531,7 +1545,7 @@ def _perceptual_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q181_image_dedup", oracle=_q181_oracle())
@@ -1640,7 +1654,7 @@ def _square_wave_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_wav(s[:, None], 16000, fmt="pcm"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q184_audio_quality_filter", oracle=_q184_oracle())
@@ -1784,7 +1798,7 @@ def _webp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q187_webp_decode_bucket", oracle=_q187_oracle())
@@ -1931,7 +1945,7 @@ def _webp_anim_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.mapInPandas(gen, schema=schema)
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q188_webp_anim_sample", oracle=_Q188_ORACLE)

@@ -194,11 +194,21 @@ def test_contamination_broadcasts_bench_universe(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_video_frame_sample_no_exchange(spark, sf_dir):
-    """q80: frame sampling is a map-only row-multiplying stage — the
-    whole plan (synth corpus + decode + explode) must have no shuffle."""
+def test_video_frame_sample_single_fanout_exchange(spark, sf_dir):
+    """q80: frame sampling is a map-only row-multiplying stage. The
+    ONE allowed shuffle is the round-9 `_spread` id fan-out BEFORE the
+    corpus generation: it moves only narrow pre-blob rows and exists
+    because mapInPandas otherwise inherits the source file count (one
+    partition at gate SFs → the whole decode chain single-threads).
+    Anything beyond that single repartition — a post-decode shuffle
+    would move pixel blobs — stays banned."""
+    import re
+
     plan = plan_of(QUERIES["q80_video_frame_sample"](spark, sf_dir))
-    assert "Exchange" not in plan, plan[:1200]
+    # formatted explain names each node twice (tree + details) — count
+    # the detail headers, one per physical operator
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1200]
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_gopher_rules_map_only(spark, sf_dir):
