@@ -71,6 +71,13 @@ def corpus_profile(
     )
 
 
+# Audited quantile targets, shared by the sketch stage and the
+# validation stage: the gk_p{q}_ok aliases and the element_at indexes
+# into the percentile_approx array MUST come from the same list or a
+# green gate could validate the wrong percentile.
+_AUDIT_QS = (0.25, 0.5, 0.75)
+
+
 def sketch_profile_audit(
     df: DataFrame,
     group_col: str = "source",
@@ -105,7 +112,7 @@ def sketch_profile_audit(
     groups-sized profile back onto the corpus plus a second
     group-keyed aggregation — both scale-safe.
     """
-    qs = [0.25, 0.5, 0.75]
+    qs = list(_AUDIT_QS)
     prof = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(value_col).alias("min_chars"),
@@ -135,7 +142,7 @@ def audit_sketch_profile(
     out-of-band cardinality or a wrong-rank quantile) and assert the
     ok-booleans actually flip — the contract that makes q49's TRUE
     literals a real gate rather than a tautology."""
-    qs = [0.25, 0.5, 0.75]
+    qs = list(_AUDIT_QS)
     joined = df.select(group_col, value_col).join(
         F.broadcast(prof.select(group_col, "_gk")), group_col
     )

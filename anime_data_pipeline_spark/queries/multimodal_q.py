@@ -44,7 +44,10 @@ def _spread(docs: DataFrame) -> DataFrame:
     inherits it — which single-threads the heaviest (encode + decode)
     stage of every gate while 31 cores idle; at cluster scale the same
     shape appears whenever upstream file count < executor count. The
-    exchange moves only the slim pre-blob rows, never image bytes.
+    exchange moves only the slim pre-blob rows, never image bytes —
+    except for q192's driver-built foreign corpus, whose ≤256 small
+    blobs already exist before the spread (the cap bounds that
+    exchange).
     (Found in round 9: q151's bench tail grew with the SOF3 slice and
     the whole decode matrix turned out to be running on one thread.)"""
     spark = docs.sparkSession
@@ -2058,9 +2061,7 @@ def _webp_lossy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").mapInPandas(
-        gen, schema=schema
-    )
+    return _spread(docs).mapInPandas(gen, schema=schema)
 
 
 @register("q190_webp_lossy_decode", oracle=_Q190_ORACLE)
@@ -2217,9 +2218,7 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("content", T.BinaryType()),
         ]
     )
-    return spark.createDataFrame(rows, schema).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    return _spread(spark.createDataFrame(rows, schema))
 
 
 @register("q192_foreign_stream_decode", oracle=_Q192_ORACLE)
