@@ -28,9 +28,12 @@ practice: libjpeg's writer never emits it), one interleaved scan
 covering every frame component. SOF11 (arithmetic lossless) and the
 hierarchical SOFs stay None.
 
-No external lossless encoder exists in this container (ImageIO,
-libwebp and system libjpeg none write SOF3), so cross-validation is
-the encoder/decoder pair below + hand-assembled bit-exact fixtures in
+No external SOF3 implementation exists in this container in EITHER
+direction (verified round 9: JDK ImageIO raises "Unsupported JPEG
+process: SOF type 0xc3" on read and has no lossless writer; the
+system libjpeg-turbo is 2.1.5, predating the 3.0 lossless support —
+no jpeg_enable_lossless symbol), so cross-validation is the
+encoder/decoder pair below + hand-assembled bit-exact fixtures in
 tests/test_jpeg_lossless.py — the matched-pair risk the foreign-
 encoder gate (q192) exists for is mitigated by the hand decodes.
 
