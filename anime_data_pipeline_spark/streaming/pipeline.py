@@ -194,6 +194,9 @@ def run_available_now(
 # ---------------------------------------------------------------------------
 # Multi-batch replay + custom stateful operators
 # ---------------------------------------------------------------------------
+_RESPLIT_CACHE: dict[tuple[str, int], str] = {}
+
+
 def resplit_events(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:
@@ -205,8 +208,20 @@ def resplit_events(
 
     Replay-harness code (like run_available_now), not a product
     operator: at a real deployment the source is Kafka/files arriving
-    over time and this step does not exist."""
+    over time and this step does not exist.
+
+    Memoized per (sf_dir, n_files) within the process: the slices are
+    a deterministic function of the source table (rank by ts,
+    event_id), and four gate queries (q68/q69/q111/q123) replay the
+    same split — rebuilding it per query re-paid the global sort + 4
+    single-file writes three times over. Each checkpointed stream
+    still reads the files independently."""
     import os
+
+    key = (os.path.abspath(sf_dir), int(n_files))
+    cached = _RESPLIT_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
 
     out = tempfile.mkdtemp(prefix="events_split_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -233,6 +248,7 @@ def resplit_events(
         dst = os.path.join(out, f"{i:03d}.parquet")
         os.rename(os.path.join(pdir, src), dst)
         os.utime(dst, (base + i * 60, base + i * 60))
+    _RESPLIT_CACHE[key] = out
     return out
 
 
