@@ -97,6 +97,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q106_image_neardup",
     "q178_wav_decode_chunk",
     "q184_audio_quality_filter",
+    # the curation chains ride ensure_map_parallelism — the _spread
+    # finding generalized to the text flagships (fan out the corpus
+    # ONLY when the scan yields fewer splits than cores; no-op on
+    # production layouts). q88 9.7→7.3 s, q104 9.2→7.4 warm at sf0.1.
+    "q35_curation_pipeline",
+    "q88_pretraining_corpus",
+    "q104_curation_v2",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.

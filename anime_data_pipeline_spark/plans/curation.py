@@ -21,6 +21,24 @@ from anime_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
 from anime_data_pipeline_spark.operators.textstats import quality_columns
 
 
+def ensure_map_parallelism(df: DataFrame) -> DataFrame:
+    """Fan the corpus out ONLY when the scan yields fewer splits than
+    cores. The quality/langid scoring stage is the chain's largest
+    map-CPU block, and a single-row-group parquet layout (the test-SF
+    shape; in production, any source with fewer files than executors)
+    pins it to one task while the rest of the cluster idles — the
+    round-9 `_spread` finding, generalized to the text chains. The
+    guard keeps the policy scale-safe: a production scan already
+    carries >= parallelism splits, so NO shuffle is added there; in
+    the under-split regime one pass of the raw text buys full-width
+    scoring, dedup hashing, and shingling."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -36,7 +54,7 @@ def curate_corpus(
     Near-dup policy: for every verified pair (id_a < id_b) the LARGER
     id is dropped — greedy, deterministic, one anti-join.
     """
-    scored = quality_columns(df, text_col)
+    scored = quality_columns(ensure_map_parallelism(df), text_col)
     kept = scored.filter(F.col("quality_score") >= quality_threshold)
 
     # exact dedup: keep the min-id row per content-hash PAIR. Two
@@ -97,7 +115,9 @@ def prepare_pretraining_corpus(
 
     from pyspark import StorageLevel
 
-    scored = quality_columns(language_id(docs, text_col), text_col)
+    scored = quality_columns(
+        language_id(ensure_map_parallelism(docs), text_col), text_col
+    )
     kept = scored.filter(
         (F.col("pred_lang") == lang)
         & (F.col("quality_score") >= quality_threshold)

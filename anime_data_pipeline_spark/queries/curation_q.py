@@ -338,7 +338,9 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat(F.col("text"), F.lit(_Q104_SUFFIX)).alias("text"),
     )
-    corpus = d.unionByName(exact).unionByName(near)
+    from anime_data_pipeline_spark.plans.curation import ensure_map_parallelism
+
+    corpus = ensure_map_parallelism(d.unionByName(exact).unionByName(near))
 
     # A: quality hygiene
     hyg = (
