@@ -610,3 +610,80 @@ def q141_stream_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(ml) > 0).alias("blocked"),
     )
     return run_available_now(classified, "append")
+
+
+# ---------------------------------------------------------------------------
+# q195 — late-data watermark FALSIFIABILITY gate (r9 verdict #3).
+# q111/q123 run update mode with the watermark wired, but their replay
+# is time-ordered, so "no row is ever late" — the eviction/late-drop
+# semantics the watermark exists for were never falsified by a gate.
+# Here the replay is deterministically OUT OF ORDER: rows with
+# event_id % 7 == 0 whose 1-hour window closed >= 2 hours before the
+# table's max event time are carved out of their slice and arrive as a
+# FINAL 5th file, after the 30-minute watermark has passed their
+# window by >= 90 minutes. A correct watermark must drop every one of
+# them; the oracle recomputes the window counts EXCLUDING exactly that
+# set (it is computable in closed form — the horizon/delay gap leaves
+# no boundary ambiguity). Falsification is two-sided:
+#   * watermark stops dropping (not wired / not advancing): the late
+#     rows re-enter live state, counts rise -> hash mismatch;
+#   * state evicted but late rows re-admitted as FRESH state (the
+#     half-broken mode max()-reconciliation would mask): n_emissions
+#     counts sink rows per window, and any batch-5 admission adds one
+#     -> mismatch. The expected value is itself closed-form: update
+#     mode emits one row per key per batch that changed it, so
+#     n_emissions = count(DISTINCT slice) over the window's kept rows.
+# tests/test_streaming_late.py additionally runs the SAME replay with
+# the watermark effectively disabled and asserts the drop disappears —
+# proving the watermark, not the replay construction, is what gates.
+# ---------------------------------------------------------------------------
+_Q195_LATE_MOD = 7
+_Q195_HORIZON_US = 2 * _1H_US
+
+
+def _q195_oracle() -> str:
+    return f"""
+    WITH stats AS (SELECT count(*) AS c, max(epoch_us(ts)) AS max_us FROM events),
+    ranked AS (
+      SELECT ts, event_id,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events),
+    marked AS (
+      SELECT ts,
+             (rn - 1) // ((s.c + 3) // 4) AS slice,
+             (event_id % {_Q195_LATE_MOD} = 0 AND
+              (epoch_us(ts) // {_1H_US}) * {_1H_US} + {_1H_US + _Q195_HORIZON_US}
+                <= s.max_us) AS is_late
+      FROM ranked, stats s)
+    SELECT make_timestamp((epoch_us(ts) // {_1H_US}) * {_1H_US}) AS window_start,
+           count(*) AS n,
+           count(DISTINCT slice) AS n_emissions
+    FROM marked WHERE NOT is_late GROUP BY 1
+    """
+
+
+@register("q195_stream_late_data", oracle=_q195_oracle())
+def q195_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts over the LATE-DATA replay, update mode +
+    30-minute watermark: the gate is green only while the watermark
+    actually drops the deterministic late set (see block comment)."""
+    from anime_data_pipeline_spark.streaming.pipeline import (
+        read_split_stream,
+        resplit_events,
+    )
+
+    split = resplit_events(
+        spark, sf_dir, n_files=4, late_mod=_Q195_LATE_MOD,
+        late_horizon_us=_Q195_HORIZON_US,
+    )
+    s = read_split_stream(spark, split)
+    out = run_available_now(
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_w")),
+        "update",
+    )
+    return out.groupBy(F.col("w.start").alias("window_start")).agg(
+        F.max("n_w").alias("n"),
+        F.count(F.lit(1)).alias("n_emissions"),
+    )

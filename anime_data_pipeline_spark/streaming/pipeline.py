@@ -194,11 +194,38 @@ def run_available_now(
 # ---------------------------------------------------------------------------
 # Multi-batch replay + custom stateful operators
 # ---------------------------------------------------------------------------
-_RESPLIT_CACHE: dict[tuple[str, int], str] = {}
+_RESPLIT_CACHE: dict[tuple, str] = {}
+
+
+def _source_signature(path: str) -> tuple:
+    """Cheap content signature of a parquet file-or-directory —
+    (relname, size, mtime_ns) per data file. Cache keys carry it so a
+    regenerated source at the SAME path (a test fixture rebuilding a
+    tmp dir in-process) misses instead of silently replaying stale
+    derived data (ADVICE r9)."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    sig = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet") or f.endswith(".json"):
+                st = os.stat(os.path.join(root, f))
+                sig.append((os.path.relpath(os.path.join(root, f), path), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(sig))
+
+
+_1H_US = 3_600 * 1_000_000
 
 
 def resplit_events(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    late_mod: int | None = None,
+    late_horizon_us: int = 2 * _1H_US,
 ) -> str:
     """Re-split events.parquet into ``n_files`` time-ordered files with
     strictly increasing modification times, so a file-source stream
@@ -210,18 +237,57 @@ def resplit_events(
     operator: at a real deployment the source is Kafka/files arriving
     over time and this step does not exist.
 
-    Memoized per (sf_dir, n_files) within the process: the slices are
-    a deterministic function of the source table (rank by ts,
-    event_id), and four gate queries (q68/q69/q111/q123) replay the
-    same split — rebuilding it per query re-paid the global sort + 4
-    single-file writes three times over. Each checkpointed stream
-    still reads the files independently."""
+    Memoized per (sf_dir, n_files, source signature) within the
+    process: the slices are a deterministic function of the source
+    table (rank by ts, event_id), and four gate queries
+    (q68/q69/q111/q123) replay the same split — rebuilding it per
+    query re-paid the global sort + 4 single-file writes three times
+    over. Each checkpointed stream still reads the files
+    independently. The signature keys out an in-process regeneration
+    of events.parquet at the same path, and the hit path re-verifies
+    every written slice still exists — a partially cleaned temp dir
+    must rebuild, not silently stream fewer batches (ADVICE r9).
+
+    ``late_mod`` (q195's late-data falsifiability gate, r9 verdict
+    #3): when set, rows with ``event_id % late_mod == 0`` whose
+    1-hour-window END sits at least ``late_horizon_us`` before the
+    table's max event time are CARVED OUT of their time-ordered slice
+    and written as one extra FINAL file, behind an EMPTY sentinel
+    file. Replayed with maxFilesPerTrigger=1 they arrive after every
+    in-order batch — by which point any watermark with delay <
+    late_horizon_us has passed their window, so a correctly wired
+    watermark must drop every one of them (the horizon/delay gap
+    removes boundary ambiguity: the drop set is exactly computable by
+    the batch oracle). In-order slices stay globally time-ordered
+    after the carve-out, so no kept row is ever late.
+
+    The sentinel exists because since SPARK-40925 (3.4+) a stateful
+    operator filters LATE EVENTS with the PREVIOUS microbatch's
+    watermark while evicting state with the current one — without it,
+    the late batch is filtered with the watermark computed before the
+    final in-order slice was seen, and late rows from that slice's
+    time range slip through (observed: 36/143 admitted at sf0.001).
+    The empty batch advances the lagged filter watermark to
+    global-max - delay before the late rows arrive; under the older
+    single-watermark semantics it is a harmless no-op batch, so the
+    construction is version-robust either way."""
     import os
 
-    key = (os.path.abspath(sf_dir), int(n_files))
+    key = (
+        os.path.abspath(sf_dir),
+        int(n_files),
+        None if late_mod is None else (int(late_mod), int(late_horizon_us)),
+        _source_signature(os.path.join(sf_dir, "events.parquet")),
+    )
     cached = _RESPLIT_CACHE.get(key)
-    if cached is not None and os.path.isdir(cached):
-        return cached
+    if cached is not None and os.path.isdir(cached[0]):
+        slices = [
+            f
+            for f in os.listdir(cached[0])
+            if f.endswith(".parquet") and not f.startswith("slice_")
+        ]
+        if len(slices) == cached[1]:
+            return cached[0]
 
     out = tempfile.mkdtemp(prefix="events_split_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -235,11 +301,22 @@ def resplit_events(
     sliced = df.withColumn("_rn", F.row_number().over(w))
     total = sliced.count()
     per = (total + n_files - 1) // n_files
+    late = None
+    if late_mod is not None:
+        # bounded 1-row collect (same class as the dedup stats probe)
+        # parquet may carry ts as TIMESTAMP_NTZ; the cast is
+        # value-preserving under the UTC session tz (read_events_stream)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        max_us = sliced.agg(F.max(us)).collect()[0][0]
+        wend = (F.floor(us / F.lit(_1H_US)) * F.lit(_1H_US)) + F.lit(_1H_US)
+        is_late = (F.col("event_id") % late_mod == 0) & (
+            wend + F.lit(int(late_horizon_us)) <= F.lit(max_us)
+        )
+        late = sliced.filter(is_late)
+        sliced = sliced.filter(~is_late)
     base = 1_700_000_000
-    for i in range(n_files):
-        part = sliced.filter(
-            (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
-        ).drop("_rn")
+
+    def write_one(part, i: int) -> None:
         pdir = os.path.join(out, f"slice_{i}")
         part.coalesce(1).write.parquet(pdir)
         src = next(
@@ -248,7 +325,20 @@ def resplit_events(
         dst = os.path.join(out, f"{i:03d}.parquet")
         os.rename(os.path.join(pdir, src), dst)
         os.utime(dst, (base + i * 60, base + i * 60))
-    _RESPLIT_CACHE[key] = out
+
+    for i in range(n_files):
+        write_one(
+            sliced.filter(
+                (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+            ).drop("_rn"),
+            i,
+        )
+    n_written = n_files
+    if late is not None and not late.isEmpty():
+        write_one(sliced.limit(0).drop("_rn"), n_files)  # sentinel
+        write_one(late.orderBy("_rn").drop("_rn"), n_files + 1)
+        n_written += 2
+    _RESPLIT_CACHE[key] = (out, n_written)
     return out
 
 

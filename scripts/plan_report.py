@@ -33,7 +33,7 @@ SKIP = {"q36"}
 # (stateful operator names + state rows, watermark, micro-batches).
 STREAMING = {
     "q61", "q62", "q63", "q64", "q65", "q66", "q68", "q69",
-    "q90", "q108", "q111", "q123", "q141",
+    "q90", "q108", "q111", "q123", "q141", "q195",
 }
 # Scale rationale for streams whose progress shows watermark=no: the
 # availableNow gate harness can't APPEND a window the final watermark
@@ -44,6 +44,7 @@ STREAM_NOTES = {
     "q68": "state TTL seam: GroupStateTimeout (NoTimeout only for the finite replay)",
     "q111": "update mode + wired watermark over the 4-batch replay (production shape since r9); state = bins x open windows, closed windows evicted",
     "q123": "update mode + wired watermark over the 4-batch replay (production shape since r9); state = types x open windows, closed windows evicted",
+    "q195": "late-data falsifiability replay (r10): update mode, 6 batches (4 in-order + empty sentinel + late file); the watermark DROPS the whole late batch — numRowsDroppedByWatermark > 0 is the point",
 }
 
 
