@@ -11,9 +11,13 @@ Supported: baseline + extended-sequential Huffman (SOF0/SOF1) AND
 progressive Huffman (SOF2, spectral selection + successive
 approximation per T.81 Annex G), 1- or 3-component, any sampling
 factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers, 0xFF fill
-bytes before markers (B.1.1.2). Arithmetic-coded and lossless JPEGs
-return header meta only (dims are in the frame header); pixels fall
-through to the PIL seam. Malformed-but-magic-valid bytes always
+bytes before markers (B.1.1.2). Arithmetic-coded DCT JPEGs (SOF9/
+SOF10) decode via ``jpeg_arith.py`` (QM-coder, T.81 Annex D/G, since
+r8) and lossless JPEGs (SOF3) via ``jpeg_lossless.py`` (all seven
+Annex-H predictors, since r9) — dispatch in
+``operators/multimodal.py``; only the hierarchical (SOF5-7/13-15) and
+arithmetic-lossless (SOF11) exotics still return header meta only and
+fall through to the PIL seam. Malformed-but-magic-valid bytes always
 return None (dropped-with-count), never raise into the Spark task.
 
 Scale note: decode runs inside Arrow-batched ``mapInPandas`` workers

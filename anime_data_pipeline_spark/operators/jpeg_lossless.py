@@ -186,7 +186,15 @@ def decode_scan_lossless(
     out = np.asarray(flat, dtype=np.int64).reshape(h, w, nc)
     if pt:
         out = (out << pt) & 0xFFFF
-    out = np.minimum(out, 255).astype(np.uint8)
+    # Entropy-domain corruption check (ADVICE r9): in a valid 8-bit
+    # stream the mod-2^16 reconstruction (H.1.2.3) lands exactly on
+    # the encoder's sample, which is <= 255 after the point-transform
+    # upshift — any larger value means the diff stream itself is
+    # corrupt, so honor the module's null-for-corrupt contract instead
+    # of silently clamping pixels.
+    if int(out.max(initial=0)) > 255:
+        return None
+    out = out.astype(np.uint8)
     return out[:, :, 0] if nc == 1 else out
 
 

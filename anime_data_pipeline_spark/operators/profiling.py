@@ -85,7 +85,7 @@ def sketch_profile_audit(
     distinct_col: str = "lang",
     accuracy: int = 10000,
     rsd: float = 0.05,
-    sigma: float = 3.0,
+    sigma: float = 5.0,
 ) -> DataFrame:
     """Per-group profile with the sketch outputs VALIDATED in-plan.
 
@@ -95,8 +95,17 @@ def sketch_profile_audit(
 
     * ``hll_*_ok`` — |approx_count_distinct − countDistinct| ≤
       ``sigma``·``rsd``·exact (HLL++'s relative standard deviation
-      bound, 3σ by default), with an absolute floor of 2 for the
-      tiny-cardinality regime where the relative bound rounds to 0.
+      bound), with an absolute floor of 2 for the tiny-cardinality
+      regime where the relative bound rounds to 0. Default ``sigma``
+      is 5, not 3 (ADVICE r9): the audit's purpose is catching GROSS
+      sketch breakage (a broken hash, a dropped register bank — the
+      falsifiability test injects a 10× estimate), not tight
+      calibration, and HLL's bound is only probabilistic — a
+      regenerated dataset landing in the ~0.3% 3σ tail would
+      permanently fail the gate with no diagnostic distinguishing it
+      from a regression. At 5σ the residual false-alarm mass is
+      ~6e-7 per sketch while anything order-of-magnitude wrong still
+      flips the bit.
     * ``gk_p{25,50,75}_ok`` — the TRUE rank of the value
       ``percentile_approx`` returned lies within ``n/accuracy`` ranks
       of the target (Greenwald-Khanna's guarantee), ±1 discrete step.
@@ -135,7 +144,7 @@ def audit_sketch_profile(
     value_col: str = "n_chars",
     accuracy: int = 10000,
     rsd: float = 0.05,
-    sigma: float = 3.0,
+    sigma: float = 5.0,
 ) -> DataFrame:
     """Validation stage of ``sketch_profile_audit``, split out so the
     falsifiability test can inject a CORRUPTED ``prof`` (an

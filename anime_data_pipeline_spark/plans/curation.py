@@ -31,7 +31,16 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     guard keeps the policy scale-safe: a production scan already
     carries >= parallelism splits, so NO shuffle is added there; in
     the under-split regime one pass of the raw text buys full-width
-    scoring, dedup hashing, and shingling."""
+    scoring, dedup hashing, and shingling.
+
+    CAVEAT — call on pre-shuffle scans/unions only (every current call
+    site is one): ``df.rdd.getNumPartitions()`` forces physical
+    planning outside AQE, and for a plan whose FINAL stage is a
+    shuffle it reports spark.sql.shuffle.partitions, so the guard
+    would no-op even when the upstream scan is under-split. If a
+    post-shuffle call site ever appears, inspect the leaf scan's
+    input-split count instead (e.g. via the executed plan's scan
+    nodes), not the final-stage RDD partition count."""
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:

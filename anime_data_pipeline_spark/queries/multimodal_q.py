@@ -49,9 +49,22 @@ def _spread(docs: DataFrame) -> DataFrame:
     blobs already exist before the spread (the cap bounds that
     exchange).
     (Found in round 9: q151's bench tail grew with the SOF3 slice and
-    the whole decode matrix turned out to be running on one thread.)"""
+    the whole decode matrix turned out to be running on one thread.)
+
+    Guarded exactly like its generalization
+    ``plans.curation.ensure_map_parallelism`` (r9 verdict, What's
+    wrong #2): repartition ONLY when the incoming plan carries fewer
+    partitions than cores. On a production layout that already has
+    >= parallelism splits this is a no-op — no exchange of the
+    (doc_id, text) projection is forced in front of the decode chain.
+    Same caveat as the curation site: call it on pre-shuffle scans /
+    unions (getNumPartitions on a shuffle-final plan reports
+    spark.sql.shuffle.partitions, not the scan's split count)."""
     spark = docs.sparkSession
-    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    p = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        return docs.repartition(p, "doc_id")
+    return docs
 
 
 def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,7 +2164,7 @@ _Q192_ORACLE = f"""
 """
 
 
-_FOREIGN_CORPUS_CACHE: dict[str, list] = {}
+_FOREIGN_CORPUS_CACHE: dict[tuple, list] = {}
 
 
 def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2160,8 +2173,13 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The build is the gate's one driver-side sequential stage (~256
     py4j round-trips, ~80 ms each cold), so the finished row list is
-    memoized per sf dir — it is a pure function of doc_id, and the
-    bench/gate re-invoke the query in one process."""
+    memoized per sf dir — it is a pure function of the surviving
+    doc_ids, and the bench/gate re-invoke the query in one process.
+    The key also carries a cheap (size, mtime) signature of
+    documents.parquet (ADVICE r9): the ids COME from that table, so an
+    in-process regeneration at the same path (a rebuilding test
+    fixture) must miss instead of replaying a stale corpus against the
+    fresh oracle."""
     import numpy as np
 
     from anime_data_pipeline_spark.operators.imageio_bridge import (
@@ -2177,7 +2195,29 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("content", T.BinaryType()),
         ]
     )
-    cache_key = os.path.abspath(sf_dir)
+
+    def _sig(path: str) -> tuple:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    out.append(
+                        (
+                            os.path.relpath(os.path.join(root, f), path),
+                            st.st_size,
+                            st.st_mtime_ns,
+                        )
+                    )
+        return tuple(sorted(out))
+
+    cache_key = (
+        os.path.abspath(sf_dir),
+        _sig(os.path.join(sf_dir, "documents.parquet")),
+    )
     cached = _FOREIGN_CORPUS_CACHE.get(cache_key)
     if cached is not None:
         return _spread(spark.createDataFrame(cached, schema))

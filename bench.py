@@ -196,14 +196,22 @@ def main() -> None:
         "median_total": verbose["median_total"],
         "extra_total": verbose["extra_total"],
         "queries": timings,
+        # per-query medians on the parsed line (r9 verdict #8): a
+        # best-vs-median gap pins a swing on host noise without
+        # cross-referencing BENCH_LOCAL.json
+        "queries_median": medians,
         "sf": sf,
     }
     line = json.dumps(compact)
     if len(line) > 1500:
         # degrade, don't die: a crashed assert here would leave the
         # oversized verbose record as the final stdout line — the exact
-        # parsed:null failure this block exists to prevent. The totals
-        # alone still feed the regression gate.
+        # parsed:null failure this block exists to prevent. Medians go
+        # first, then per-query bests; the totals alone still feed the
+        # regression gate.
+        compact.pop("queries_median")
+        line = json.dumps(compact)
+    if len(line) > 1500:
         compact.pop("queries")
         line = json.dumps(compact)
     print(line)

@@ -97,6 +97,44 @@ def test_hand_assembled_predictor_2_rb_chain():
     assert out.tolist() == [[130, 129, 131], [131, 130, 132]]
 
 
+def test_entropy_domain_overflow_maps_to_none():
+    """ADVICE r9: a structurally valid scan whose decoded sample
+    leaves the 8-bit domain is entropy-domain corruption (a valid
+    8-bit encoder's mod-2^16 reconstruction always lands on the true
+    sample ≤ 255) and must honor the null-for-corrupt contract, not
+    silently clamp. Hand-built 1×1 stream: DHT 2-bit codes 00→cat0,
+    01→cat1, 10→cat9; scan = code 10 + nine value bits 100000000
+    (diff +256) → sample (128+256) mod 65536 = 384 > 255 → None.
+    Bits 10 100000000 + 1-padding = A0 1F."""
+    sof = bytes([8]) + struct.pack(">HH", 1, 1) + bytes([1, 1, 0x11, 0])
+    dht = bytes([0x00]) + bytes([0, 3] + [0] * 14) + bytes([0, 1, 9])
+    sos = bytes([1, 1, 0x00, 1, 0, 0])
+    stream = (
+        b"\xff\xd8"
+        + _seg(0xC3, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes([0xA0, 0x1F])
+        + b"\xff\xd9"
+    )
+    assert decode_jpeg(stream) is None
+    # the same stream with an in-domain cat-1 diff (+1: code 01 +
+    # value bit 1, padded → 7F → sample 129) decodes — the overflow
+    # check, not some structural guard, is what nulled the stream
+    # above (cat 9's ±(256..511) range can never stay in-domain from
+    # the 128 default prediction, so the control drops a category)
+    ok = (
+        b"\xff\xd8"
+        + _seg(0xC3, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes([0x7F])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(ok)
+    assert out is not None and out.tolist() == [[129]]
+
+
 def test_corrupt_and_out_of_scope_map_to_none():
     arr = _rng(17).integers(0, 256, (6, 8, 3), dtype=np.uint8)
     good = encode_jpeg_lossless(arr)

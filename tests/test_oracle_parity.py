@@ -18,12 +18,18 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert_parity(df, ORACLES[name], duck)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only(name, spark, sf_dir):
-    """Queries without an oracle must at least run and return a schema."""
-    df = QUERIES[name](spark, sf_dir)
-    assert df.columns
-    df.collect()
+def test_no_rows_only_queries():
+    """EVERY registered query carries a DuckDB oracle — the state q49
+    (the registry's last rows-only row) reached in round 9 via the
+    in-plan sketch-contract audit, pinned positively here. This
+    replaces the old ``test_rows_only`` parametrization, which with an
+    empty rows-only set collected nothing and reported a permanent
+    '1 skipped' (r9 verdict, What's wrong #3). A future oracle-less
+    query must either gain an oracle or consciously revert this."""
+    assert set(QUERIES) == set(ORACLES), (
+        f"queries without an oracle: {sorted(set(QUERIES) - set(ORACLES))}; "
+        f"oracles without a query: {sorted(set(ORACLES) - set(QUERIES))}"
+    )
 
 
 def test_entry_smoke(spark):
