@@ -52,35 +52,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # (Round 6's q90 rework slipped through the old hand list — shared-
 # source changes are exactly what hand lists miss.)
 
-# (a) changed in round 9 (fingerprint diff vs the r8-end snapshot,
-# QUERY_FINGERPRINTS.json refreshed at cc04b26):
-# q49 gained the in-plan sketch-contract audit + its first oracle
-# (r8 verdict #3 — the registry's last rows-only row is now gated).
+# (a) changed in round 10 (fingerprint diff vs the r9-end snapshot,
+# QUERY_FINGERPRINTS.json refreshed at f9249b6):
 _CHANGED_THIS_ROUND: list[str] = [
+    # q49 rides the HLL audit sigma widening 3->5 (ADVICE r9: the
+    # audit gates gross sketch breakage, not calibration; the 3-sigma
+    # tail could redden a regenerated dataset with no code change).
     "q49_corpus_profile_approx",
-    # q111 promoted to production shape: update mode + wired watermark
-    # over the 4-batch time-ordered replay (r8 verdict #5); q68/q69
-    # ride the read_split_stream TIMESTAMP_NTZ→TIMESTAMP cast that
-    # promotion needed (value-preserving under the UTC session tz).
+    # the streaming replay family rides the resplit_events rework:
+    # source-signature cache keys + slice-count revalidation (ADVICE
+    # r9) and the late-data carve-out machinery (r9 verdict #3).
     "q111_stream_window_drift",
-    # q123 rides the same promotion (types × open-windows state)
     "q123_stream_heavy_hitters",
     "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
-    # q192's foreign-encoder matrix gained the JVM ImageIO JPEG writer
-    # as variant 4 (r8 verdict #6) — the baseline Huffman decoder now
-    # sits under the driver gate against a foreign encoder.
-    "q192_foreign_stream_decode",
-    # q194 rides the ADVICE r8 gram-mass alignment: n-gram char mass is
-    # now sum(len(word)) without join spaces, the Dolma/FineWeb/RPv2
-    # convention (Spark + oracle + property reference moved together).
-    "q194_repetition_signals",
-    # the decode/audio corpus family rides (a) the jpeg_codec DAC
-    # odd-length null-for-corrupt fix (ADVICE r8 #2) and (b) the
-    # round-9 _spread corpus repartition: generation + decode now fan
-    # out to full parallelism instead of inheriting the source file
-    # count (ONE partition at gate SFs — the whole decode matrix was
-    # single-threaded).
+    # the decode/audio corpus family rides the _spread under-split
+    # guard (r9 verdict #2 -- repartition only when scan splits <
+    # cores, the ensure_map_parallelism policy applied to the second
+    # site; gate-SF plans unchanged) and jpeg_lossless's
+    # entropy-domain overflow now honoring null-for-corrupt instead
+    # of clamping (ADVICE r9).
     "q115_png_decode_bucket",
     "q151_gif_jpeg_decode_bucket",
     "q177_raster_decode_bucket",
@@ -97,63 +88,37 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q106_image_neardup",
     "q178_wav_decode_chunk",
     "q184_audio_quality_filter",
-    # the curation chains ride ensure_map_parallelism — the _spread
-    # finding generalized to the text flagships (fan out the corpus
-    # ONLY when the scan yields fewer splits than cores; no-op on
-    # production layouts). q88 9.7→7.3 s, q104 9.2→7.4 warm at sf0.1.
-    "q35_curation_pipeline",
-    "q88_pretraining_corpus",
-    "q104_curation_v2",
+    # q192 additionally rides the foreign-corpus cache now keyed on a
+    # documents.parquet (size, mtime) signature (ADVICE r9).
+    "q192_foreign_stream_decode",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
-_NEVER_ROWED: list[str] = []
+_NEVER_ROWED: list[str] = [
+    # NEW r10: late-data watermark falsifiability gate (r9 verdict
+    # #3) -- deterministic out-of-order replay, oracle excludes the
+    # exact closed-form drop set, n_emissions pins the
+    # evict-but-readmit half-failure. tests/test_streaming_late.py
+    # proves a disabled watermark re-admits the set.
+    "q195_stream_late_data",
+]
 
-# (c) reworked last round with only pre-rework rows: none — all 23
-# round-8 changed + 5 new queries got green r8 rows (50/50 in
-# CORRECTNESS_r08.json).
+# (c) reworked last round with only pre-rework rows: none -- all 23
+# round-9 changed queries got green r9 rows (50/50 in
+# CORRECTNESS_r09.json).
 _REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first. The 21 round-4-rowed queries lead (the r8
-    # verdict's #1 ask — after this round every row in the registry is
-    # ≤r5-stale): decode/temporal first (they share frequently-touched
-    # operator modules, so a rework this round folds them into (a)
-    # without reshuffling), then bucketing, then the pure-SQL
-    # relational family. The remainder of the window fills from the
-    # round-5 block.
-    # (q106/q72 moved to (a): the _spread rework touched them)
-    "q112_funnel",
-    "q113_cohort_retention",
-    "q21_bucket_assign",
-    "q22_bucket_assign_noupscale",
-    "q23_bucket_stats",
-    "q01_pricing_summary",
-    "q02_threshold_filter",
-    "q03_inner_join_agg",
-    "q04_left_join_nulls",
-    "q05_semi_join",
-    "q06_anti_join_count",
-    "q07_union_dedup_last_wins",
-    "q08_conditional_audit",
-    "q09_distinct_pairs",
-    "q10_topk_global",
-    "q11_topk_per_group",
-    "q12_argmax_per_group",
-    "q13_star_join_revenue",
-    "q14_monthly_orders",
-    # round-5 block (43 rows total; the 50-row driver cutoff lands
-    # inside it, sliding up as (a)/(b) grow): operator-heavy families
-    # first — ANN/graph/dedup share the most-touched modules — then
-    # text/temporal, then pure-SQL last.
-    "q130_pq_adc_topk",
-    "q116_density_prune",
-    "q131_hard_negatives",
-    "q136_margin_bitext_mining",
-    "q139_ann_recall_audit",
+    # (d) stalest first: the round-5 block, 38 rows remaining after
+    # r9's flush. (a)+(b) take 23 slots this round (the _spread guard
+    # is one policy change fanning across the whole decode family --
+    # computed, not chosen), so the 50-row window reaches 27 of the
+    # 38; the 11 past the cutoff stay in round-5-stale order at
+    # positions 51+ and MUST lead round 11's (d) block. After r10,
+    # every other row in the registry is <=r9-rowed.
     "q142_ivf_drift_audit",
     "q161_containment_dedup",
     "q148_label_propagation",
@@ -181,6 +146,7 @@ _PRIORITY = [
     "q163_hierarchy_flatten",
     "q164_daily_max_concurrency",
     "q165_calibration_bins",
+    # ---- 50-row driver cutoff lands here ----
     "q166_time_decay_attribution",
     "q167_rfm_segmentation",
     "q168_ht_sample_audit",
