@@ -111,8 +111,23 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             rows.append((name, "ERR", str(e)[:60], "—"))
             continue
-        exchanges = len(re.findall(r"\bExchange\b", plan))
-        joins = [k for k in JOIN_KINDS for _ in re.findall(k, plan)]
+        # Count PHYSICAL operator nodes — the "(N) OpName" headers the
+        # formatted explain assigns once per node in the main plan and
+        # once per node of each InMemoryRelation's cached plan. A raw
+        # \bExchange\b count additionally matches the details section
+        # (every node prints twice) and re-matches cached subtrees
+        # replicated at every reuse site, inflating a 17-exchange plan
+        # (q104) to 118 "matches" — discovered in r10 when the
+        # ensure_map_parallelism repartition's single extra exchange
+        # moved the old metric by +31. Dedup by node number within
+        # each plan section keeps reused cached plans from
+        # multi-counting while still counting genuinely distinct nodes.
+        exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+        joins = [
+            k
+            for k in JOIN_KINDS
+            for _ in set(re.findall(r"\((\d+)\) " + k, plan))
+        ]
         join_summary = (
             ", ".join(f"{joins.count(k)}×{k}" for k in dict.fromkeys(joins)) or "none"
         )
@@ -122,7 +137,12 @@ def main() -> None:
     lines = [
         "# PLANS — physical-plan audit (generated by scripts/plan_report.py)",
         "",
-        f"Scale factor dir: `{SF_DIR}`. Exchange = shuffle boundary.",
+        f"Scale factor dir: `{SF_DIR}`. Exchange = DISTINCT physical",
+        "shuffle-boundary nodes (deduped by the formatted explain's node",
+        "number — r10 metric fix: the old raw-substring count re-matched",
+        "every node in the details section and in each InMemoryRelation",
+        "cached-plan reprint, inflating q104's 17 real exchanges to 118).",
+        "Join counts are deduped the same way.",
         "`tests/test_plan_shape.py` pins the load-bearing properties in CI.",
         "",
         "| query | exchanges | joins | pushed filters |",

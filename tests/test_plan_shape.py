@@ -444,3 +444,23 @@ def test_streaming_queries_run_stateful_ops_with_watermark(spark, sf_dir):
 
     cell = summarize_streaming(audits["q68_stream_stateful_stats"])
     assert "applyInPandasWithState" in cell and "micro-batch" in cell
+
+
+def test_spread_and_ensure_map_parallelism_guard_production_layouts(spark):
+    """r9 verdict #2 ('one policy, two sites, same guard'): both
+    fan-out helpers repartition ONLY in the under-split regime. A
+    plan already carrying >= defaultParallelism partitions — the
+    production layout — must pass through UNTOUCHED (no forced
+    exchange in front of the decode/scoring chains), while a
+    single-partition scan fans out to full width."""
+    from anime_data_pipeline_spark.plans.curation import ensure_map_parallelism
+    from anime_data_pipeline_spark.queries.multimodal_q import _spread
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).withColumnRenamed("id", "doc_id").repartition(p + 3)
+    narrow = spark.range(0, 1000).withColumnRenamed("id", "doc_id").coalesce(1)
+
+    assert _spread(wide) is wide or _spread(wide).rdd.getNumPartitions() == p + 3
+    assert ensure_map_parallelism(wide).rdd.getNumPartitions() == p + 3
+    assert _spread(narrow).rdd.getNumPartitions() == p
+    assert ensure_map_parallelism(narrow).rdd.getNumPartitions() == p
