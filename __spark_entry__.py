@@ -91,6 +91,18 @@ _CHANGED_THIS_ROUND: list[str] = [
     # q192 additionally rides the foreign-corpus cache now keyed on a
     # documents.parquet (size, mtime) signature (ADVICE r9).
     "q192_foreign_stream_decode",
+    # the bucketing family rides a REAL correctness fix the r10 100x
+    # exact sweep caught: DuckDB typed the oracle's bare float VALUES
+    # literals DECIMAL(18,17), whose non-double arithmetic silently
+    # flipped an EXACT aspect-ratio tie ((45,92): both candidate
+    # errors are 1/92) away from the reference's np.argmin answer;
+    # the reso table is now CAST AS DOUBLE
+    # (operators/bucketing.py bucket_oracle_sql, pinned by
+    # tests/test_bucketing_golden.py). q22 (no-upscale builder,
+    # untouched) correctly does NOT drift — function-level slicing.
+    "q21_bucket_assign",
+    "q23_bucket_stats",
+    "q28_crop_ltrb",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
@@ -113,12 +125,13 @@ _PRIORITY = [
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
     # (d) stalest first: the round-5 block, 38 rows remaining after
-    # r9's flush. (a)+(b) take 23 slots this round (the _spread guard
-    # is one policy change fanning across the whole decode family --
-    # computed, not chosen), so the 50-row window reaches 27 of the
-    # 38; the 11 past the cutoff stay in round-5-stale order at
-    # positions 51+ and MUST lead round 11's (d) block. After r10,
-    # every other row in the registry is <=r9-rowed.
+    # r9's flush. (a)+(b) take 26 slots this round (the _spread guard
+    # fans across the whole decode family and the oracle DECIMAL fix
+    # across the bucketing family -- computed, not chosen), so the
+    # 50-row window reaches 24 of the 38; the 14 past the cutoff stay
+    # in round-5-stale order at positions 51+ and MUST lead round
+    # 11's (d) block. After r10, every other row in the registry is
+    # <=r9-rowed.
     "q142_ivf_drift_audit",
     "q161_containment_dedup",
     "q148_label_propagation",
@@ -143,10 +156,10 @@ _PRIORITY = [
     "q147_last_touch_attribution",
     "q155_markov_transitions",
     "q156_source_js_divergence",
+    # ---- 50-row driver cutoff lands here ----
     "q163_hierarchy_flatten",
     "q164_daily_max_concurrency",
     "q165_calibration_bins",
-    # ---- 50-row driver cutoff lands here ----
     "q166_time_decay_attribution",
     "q167_rfm_segmentation",
     "q168_ht_sample_audit",

@@ -319,8 +319,19 @@ def bucket_oracle_sql(imgs_select: str, cfg: BucketConfig | None = None) -> str:
     """
     cfg = cfg or BucketConfig()
     resos = make_bucket_resolutions(cfg)
+    # The CAST forces DOUBLE: a bare float literal in a VALUES
+    # table types as DECIMAL(18,17) in DuckDB, which makes
+    # abs(bar - ar) non-double arithmetic. Found at the 100x tier in
+    # r10: (w,h)=(45,92) ties EXACTLY between 704x1408 and 704x1472
+    # (both errors are 1/92 in rationals, and equal as IEEE doubles),
+    # so the reference semantics (np.argmin over doubles — first
+    # minimum in reso order, bucket_manager.py:205-207) pick 704x1408;
+    # the DECIMAL path computed unequal errors and silently flipped
+    # the tie to 704x1472. Gate-SF doc_ids never produce the tie, so
+    # only the stress sweep caught it.
     values = ",\n      ".join(
-        f"({i}, {bw}, {bh}, {bw / bh!r})" for i, (bw, bh) in enumerate(resos)
+        f"({i}, {bw}, {bh}, CAST({bw / bh!r} AS DOUBLE))"
+        for i, (bw, bh) in enumerate(resos)
     )
     return f"""
     WITH imgs AS ({imgs_select}),

@@ -115,7 +115,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # directory-of-parts shape (the 100x stress tier, any real
+            # ingest drop zone) — DuckDB needs the glob form
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = ent.queries(), ent.oracle_sql()

@@ -91,3 +91,38 @@ def test_crop_ltrb_matches_python_spec(spark):
         exp = crop_ltrb_py(r["bucket_w"], r["bucket_h"], r["width"], r["height"])
         act = (r["crop_left"], r["crop_top"], r["crop_right"], r["crop_bottom"])
         assert act == pytest.approx(exp, abs=0, rel=0), (r["width"], r["height"])
+
+
+def test_exact_ar_tie_matches_reference_in_all_three_engines(spark):
+    """(45, 92) ties EXACTLY between 704x1408 and 704x1472: both
+    errors are 1/92 in rationals AND equal as IEEE doubles, so the
+    reference's np.argmin (bucket_manager.py:108-109, first minimal
+    index over the sorted reso order) picks 704x1408. Found at the
+    r10 100x sweep: DuckDB typed the oracle's bare float VALUES
+    literals DECIMAL(18,17), its non-double subtraction made the
+    errors unequal, and the tie silently flipped to 704x1472 — the
+    oracle now CASTs the reso table to DOUBLE. Pins all three
+    implementations (python spec, Spark columns, DuckDB oracle) on
+    the tie and on a near-tie neighbor."""
+    import duckdb
+
+    from anime_data_pipeline_spark.operators.bucketing import bucket_oracle_sql
+
+    cfg = BucketConfig()
+    exp = select_bucket_py(45, 92, cfg)
+    assert (exp["bucket_w"], exp["bucket_h"]) == (704, 1408)
+
+    df = spark.createDataFrame([(1, 45, 92)], "image_key int, width int, height int")
+    act = assign_bucket_columns(df, cfg=cfg).collect()[0]
+    assert (act["bucket_w"], act["bucket_h"]) == (704, 1408)
+
+    sql = bucket_oracle_sql(
+        "SELECT 1 AS image_key, CAST(45 AS INTEGER) AS width,"
+        " CAST(92 AS INTEGER) AS height", cfg
+    )
+    row = duckdb.sql(sql).fetchall()[0]
+    assert (row[1], row[2]) == (704, 1408), row
+    # and the generated SQL must carry the DOUBLE cast that keeps the
+    # errors in IEEE-double arithmetic (reverting it flips the row
+    # assertion above too — this names the mechanism in the failure)
+    assert "AS DOUBLE))" in sql
