@@ -103,6 +103,19 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q21_bucket_assign",
     "q23_bucket_stats",
     "q28_crop_ltrb",
+    # three more r10 100x-sweep correctness fixes (the full-registry
+    # exact sweep at the stress tier read 192/195):
+    # q163 -- the synthesized forest was only well-formed at DENSE id
+    # spaces; at sparse rotated ids every interior ancestor dangled
+    # and the pointer-jump inner join silently dropped 90% of rows.
+    # The node set is now the ancestor closure (identical result at
+    # gate SFs, where closure == doc_id set).
+    "q163_hierarchy_flatten",
+    # q174/q175 -- money now sums in exact integer ten-thousandths
+    # (BIGINT) instead of per-row-rounded doubles: the double sum
+    # flipped a .xx5 boundary at 100x volume (order-sensitive).
+    "q174_local_supplier_volume",
+    "q175_brand_market_share",
 ]
 
 # (b) never rowed: new queries land here until their first driver row.
@@ -125,12 +138,14 @@ _PRIORITY = [
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
     # (d) stalest first: the round-5 block, 38 rows remaining after
-    # r9's flush. (a)+(b) take 26 slots this round (the _spread guard
-    # fans across the whole decode family and the oracle DECIMAL fix
-    # across the bucketing family -- computed, not chosen), so the
-    # 50-row window reaches 24 of the 38; the 14 past the cutoff stay
-    # in round-5-stale order at positions 51+ and MUST lead round
-    # 11's (d) block. After r10, every other row in the registry is
+    # r9's flush. (a)+(b) take 29 slots this round (the _spread guard
+    # fans across the decode family, the oracle DECIMAL fix across
+    # the bucketing family, and the three 100x-sweep fixes above are
+    # themselves round-5-stale rows now front-loaded -- computed, not
+    # chosen), so the window covers 21 more of the 38 here plus the 3
+    # in (a) = 24 total; the 14 past the cutoff stay in
+    # round-5-stale order at positions 51+ and MUST lead round 11's
+    # (d) block. After r10, every other row in the registry is
     # <=r9-rowed.
     "q142_ivf_drift_audit",
     "q161_containment_dedup",
@@ -153,11 +168,10 @@ _PRIORITY = [
     "q144_ab_test_ztest",
     "q145_event_cooccurrence_lift",
     "q146_level_shift",
+    # ---- 50-row driver cutoff lands here ----
     "q147_last_touch_attribution",
     "q155_markov_transitions",
     "q156_source_js_divergence",
-    # ---- 50-row driver cutoff lands here ----
-    "q163_hierarchy_flatten",
     "q164_daily_max_concurrency",
     "q165_calibration_bins",
     "q166_time_decay_attribution",
@@ -166,8 +180,6 @@ _PRIORITY = [
     "q169_dau_wau_stickiness",
     "q170_scd2_dimension",
     "q171_top_event_paths",
-    "q174_local_supplier_volume",
-    "q175_brand_market_share",
     "q176_conversion_latency_quantiles",
     "q162_correlated_above_nation_avg",
     "q117_sql_shipping_priority",

@@ -128,9 +128,25 @@ def q157_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle IS the recursive CTE, so the hash-match proves the doubling
 # algebra equals the textbook recursion.
 # ---------------------------------------------------------------------------
+# The node SET is the ancestor CLOSURE of the doc_ids (every doc_id
+# plus each division-chain ancestor down to the <10 roots) — a
+# (node, parent) TABLE walk can only follow pointers through rows
+# that exist, so the forest must be well-formed. At the dense gate-SF
+# id spaces the closure equals the doc_id set (every div-10 ancestor
+# of 0..N-1 is itself < N), which is why three rounds of sf0.01/sf0.1
+# sweeps never saw the difference; the r10 100x exact sweep's SPARSE
+# rotated ids made every interior ancestor dangle and the inner
+# pointer-jump join silently dropped 90% of the rows (5,000 of
+# 50,000 survived). Closure in SQL is the nodeset recursion below;
+# closure in Spark is one explode over the <=19 decimal levels.
 _Q163_ORACLE = """
-    WITH RECURSIVE up(node, cur, d) AS (
-      SELECT doc_id, doc_id, 0 FROM documents
+    WITH RECURSIVE nodeset(n) AS (
+      SELECT DISTINCT doc_id FROM documents
+      UNION
+      SELECT n // 10 FROM nodeset WHERE n >= 10
+    ),
+    up(node, cur, d) AS (
+      SELECT n, n, 0 FROM nodeset
       UNION ALL
       SELECT node, cur // 10, d + 1 FROM up WHERE cur >= 10
     )
@@ -143,10 +159,25 @@ _Q163_ORACLE = """
 def q163_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.operators.graph import pointer_jump_roots
 
-    nodes = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node"),
-        F.when(F.col("doc_id") < 10, F.lit(None).cast("long"))
-        .otherwise(F.expr("doc_id div 10"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # ancestor closure: doc_id div 10^k for k=0..18 (10^18 = 2^18*5^18
+    # is double-exact and covers the 63-bit id space), keeping level k
+    # only while level k-1 had not already reached a root
+    closure = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(18))).alias("k"), "doc_id"
+        )
+        .filter(
+            (F.col("k") == 0)
+            | (F.expr("doc_id div CAST(power(10, k - 1) AS BIGINT)") >= 10)
+        )
+        .select(F.expr("doc_id div CAST(power(10, k) AS BIGINT)").alias("node"))
+        .distinct()
+    )
+    nodes = closure.select(
+        "node",
+        F.when(F.col("node") < 10, F.lit(None).cast("long"))
+        .otherwise(F.expr("node div 10"))
         .alias("parent"),
     )
     out = pointer_jump_roots(nodes, "node", "parent", n_rounds=5)

@@ -1073,14 +1073,24 @@ def q173_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stress (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier
 # + the same-nation equi constraint). All four dimension sides
 # broadcast; the only shuffles are the orders⋈lineitem fact join and
-# the final 2-level agg. The per-row revenue product is dround-ed to
-# 4 digits identically on both sides before the dround-2 aggregate
-# (q01's convention, with the per-row term pinned first).
+# the final 2-level agg.
+#
+# MONEY IN INTEGER UNITS (r10 100x-sweep fix): the old per-row
+# dround-4 + double-sum + dround-2 convention flipped a .xx5 boundary
+# at the 100x tier (463797812.935 summed in different orders lands on
+# either side of the half). The per-row product is pinned to integer
+# TEN-THOUSANDTHS with dround's own numerator (floor(x*1e4 + 0.5) —
+# bit-identical in both engines), summed EXACTLY as BIGINT, and only
+# then converted to rounded-cents via integer arithmetic — no
+# order-sensitive double sum anywhere. (sum+50) div 100 is
+# floor-division on nonnegative revenue, i.e. round-half-up cents.
 # ---------------------------------------------------------------------------
+_REV_UNITS_SQL = "CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)"
+
 _Q174_ORACLE = f"""
     SELECT r.r_name AS region, n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_items,
-           {dround_sql("sum(" + dround_sql("l.l_extendedprice * (1 - l.l_discount)", 4) + ")", 2)} AS revenue
+           ((CAST(sum({_REV_UNITS_SQL}) AS BIGINT) + 50) // 100) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o    ON o.o_orderkey = l.l_orderkey
     JOIN customer c  ON c.c_custkey = o.o_custkey
@@ -1096,7 +1106,10 @@ _Q174_ORACLE = f"""
 def q174_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey",
-        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("_rev"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("_rev_u"),
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1117,7 +1130,10 @@ def q174_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("region"), F.col("n_name").alias("nation")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        dround(F.sum("_rev"), 2).alias("revenue"),
+        F.sum("_rev_u").alias("_su"),
+    ).select(
+        "region", "nation", "n_items",
+        (F.expr("(_su + 50) div 100") / F.lit(100.0)).alias("revenue"),
     )
 
 
@@ -1126,21 +1142,22 @@ def q174_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the share of brand-'B1' revenue in total part revenue — the
 # conditional-share aggregation (sum(CASE)/sum) over the
 # part ⋈ lineitem ⋈ orders chain. Part broadcasts; the share division
-# runs AFTER both sums are dround-ed, so the quotient's inputs are
-# identical in both engines (no raw-double division of
-# order-sensitive sums).
+# runs AFTER both sums are reduced to rounded cents, so the
+# quotient's inputs are identical in both engines. Money rides the
+# q174 integer-units convention (r10 100x-sweep fix — the old
+# double-sum flipped a .xx5 boundary at the tier).
 # ---------------------------------------------------------------------------
 _Q175_ORACLE = f"""
     WITH j AS (
       SELECT CAST(substr(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS VARCHAR) AS month,
              p.p_brand,
-             {dround_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS rev
+             {_REV_UNITS_SQL} AS rev_u
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN part p   ON p.p_partkey = l.l_partkey),
     s AS (SELECT month,
-                 {dround_sql("sum(CASE WHEN p_brand = 'Brand#1' THEN rev ELSE 0.0 END)", 2)} AS brand_rev,
-                 {dround_sql("sum(rev)", 2)} AS total_rev
+                 ((CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN rev_u ELSE 0 END) AS BIGINT) + 50) // 100) / 100.0 AS brand_rev,
+                 ((CAST(sum(rev_u) AS BIGINT) + 50) // 100) / 100.0 AS total_rev
           FROM j GROUP BY month)
     SELECT month, brand_rev, total_rev,
            {dround_sql("brand_rev / total_rev", 6)} AS brand_share
@@ -1152,7 +1169,10 @@ _Q175_ORACLE = f"""
 def q175_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey",
-        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("rev_u"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
@@ -1162,11 +1182,14 @@ def q175_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part), li["l_partkey"] == part["p_partkey"]
     )
     s = j.groupBy("month").agg(
-        dround(
-            F.sum(F.when(F.col("p_brand") == "Brand#1", F.col("rev")).otherwise(0.0)),
-            2,
-        ).alias("brand_rev"),
-        dround(F.sum("rev"), 2).alias("total_rev"),
+        F.sum(
+            F.when(F.col("p_brand") == "Brand#1", F.col("rev_u")).otherwise(F.lit(0))
+        ).alias("_bu"),
+        F.sum("rev_u").alias("_tu"),
+    ).select(
+        "month",
+        (F.expr("(_bu + 50) div 100") / F.lit(100.0)).alias("brand_rev"),
+        (F.expr("(_tu + 50) div 100") / F.lit(100.0)).alias("total_rev"),
     )
     return s.select(
         "month", "brand_rev", "total_rev",
