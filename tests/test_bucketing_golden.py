@@ -126,3 +126,51 @@ def test_exact_ar_tie_matches_reference_in_all_three_engines(spark):
     # errors in IEEE-double arithmetic (reverting it flips the row
     # assertion above too — this names the mechanism in the failure)
     assert "AS DOUBLE))" in sql
+
+
+def test_full_input_lattice_three_way_parity(spark):
+    """EXHAUSTIVE sweep of the entire (w, h) input space the decode
+    gates can synthesize (dims cycle with doc_id mod 113 / mod 103 →
+    the full 113×103 rectangle [16..128]×[16..118]) — no SF, however
+    large, covers more of this lattice than all of it. The r10 100×
+    sweep caught ONE exact-tie point ((45, 92)); this pins every
+    point across all three implementations: the python spec (=
+    reference np.argmin semantics), the Spark column expressions, and
+    the DuckDB oracle SQL."""
+    import duckdb
+
+    from anime_data_pipeline_spark.operators.bucketing import bucket_oracle_sql
+
+    cfg = BucketConfig()
+    pairs = [(w, h) for w in range(16, 129) for h in range(16, 119)]
+    resos = make_bucket_resolutions(cfg)
+    exp = {
+        (w, h): select_bucket_py(w, h, cfg, resos) for (w, h) in pairs
+    }
+
+    imgs = "SELECT (width * 1000 + height) AS image_key, width, height FROM lattice_in"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lattice_in(width INTEGER, height INTEGER)")
+    con.executemany("INSERT INTO lattice_in VALUES (?, ?)", pairs)
+    sql = bucket_oracle_sql(imgs, cfg)
+    bad = []
+    for row in con.execute(sql).fetchall():
+        key, bw, bh, rw, rh = row[0], row[1], row[2], row[3], row[4]
+        w, h = divmod(key, 1000)
+        e = exp[(w, h)]
+        if (bw, bh, rw, rh) != (
+            e["bucket_w"], e["bucket_h"], e["resized_w"], e["resized_h"]
+        ):
+            bad.append(((w, h), (bw, bh, rw, rh), e))
+    assert not bad, f"{len(bad)} oracle deviations, first: {bad[:3]}"
+
+    df = spark.createDataFrame(pairs, "width int, height int")
+    got = assign_bucket_columns(df, cfg=cfg).collect()
+    bad = []
+    for r in got:
+        e = exp[(r["width"], r["height"])]
+        if (r["bucket_w"], r["bucket_h"], r["resized_w"], r["resized_h"]) != (
+            e["bucket_w"], e["bucket_h"], e["resized_w"], e["resized_h"]
+        ):
+            bad.append(((r["width"], r["height"]), r, e))
+    assert not bad, f"{len(bad)} Spark deviations, first: {bad[:3]}"
