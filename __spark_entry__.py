@@ -52,126 +52,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # (Round 6's q90 rework slipped through the old hand list — shared-
 # source changes are exactly what hand lists miss.)
 
-# (a) changed in round 10 (fingerprint diff vs the r9-end snapshot,
-# QUERY_FINGERPRINTS.json refreshed at f9249b6):
+# (a) changed in round 11 (fingerprint diff vs the r10-end snapshot,
+# QUERY_FINGERPRINTS.json refreshed at 32453d7): the registry-wide
+# retirement of the order-sensitive dround(sum(double)) money
+# convention (r10 verdict #2). Every 2-decimal money/value SUM now
+# rides the q174/q175 integer-units convention (functions/compat.py
+# money_units/units_money): per-row exact BIGINT quantization, exact
+# integer sum, one shared IEEE conversion — engine and oracle moved
+# together, so gate-SF values are unchanged except possibly at .xx5
+# boundaries the old convention resolved by summation order.
 _CHANGED_THIS_ROUND: list[str] = [
-    # q49 rides the HLL audit sigma widening 3->5 (ADVICE r9: the
-    # audit gates gross sketch breakage, not calibration; the 3-sigma
-    # tail could redden a regenerated dataset with no code change).
-    "q49_corpus_profile_approx",
-    # the streaming replay family rides the resplit_events rework:
-    # source-signature cache keys + slice-count revalidation (ADVICE
-    # r9) and the late-data carve-out machinery (r9 verdict #3).
+    "q01_pricing_summary",
+    "q03_inner_join_agg",
+    "q04_left_join_nulls",
+    "q06_anti_join_count",
+    "q13_star_join_revenue",
+    "q14_monthly_orders",
+    "q15_rollup",
+    "q16_pivot_status",
+    "q19_sessionize",
+    "q20_tumbling_window",
+    "q47_running_window",
+    # the streaming window/stateful family: the BIGINT units now live
+    # INSIDE the state store (streaming/pipeline.py tumbling_agg /
+    # sliding_agg / session_agg, streaming/stateful.py), so the
+    # emitted totals are batch-split- and arrival-order-insensitive.
+    "q61_stream_tumbling",
+    "q62_stream_sliding",
+    "q63_stream_sessions",
+    "q66_stream_static_enrich",
+    "q68_stream_stateful_stats",
+    "q76_salted_join_hot_key",
+    # riders of the ensure_map_parallelism probe rework (r10 verdict
+    # #5: leaf-scan split math instead of rdd.getNumPartitions —
+    # shuffle-final-safe, no physical planning outside AQE; behavior
+    # at these call sites unchanged, pinned by test_plan_shape.py):
+    "q35_curation_pipeline",
+    "q88_pretraining_corpus",
+    "q104_curation_v2",
+    # ADVICE r10 #1: the ancestor-closure filter's k=0 operand no
+    # longer computes power(10, -1) (greatest-clamped) — correctness
+    # no longer leans on Or short-circuiting under ANSI mode.
+    "q163_hierarchy_flatten",
+    # riders of the resplit_events one-pass rework (r10 verdict #6:
+    # all in-order slices land in one parallel partitionBy write over
+    # a persisted ranked frame — q195's gate wall roughly halved;
+    # slice contents byte-identical, streaming tests green):
+    "q69_stream_foreachbatch_upsert",
     "q111_stream_window_drift",
     "q123_stream_heavy_hitters",
-    "q68_stream_stateful_stats",
-    "q69_stream_foreachbatch_upsert",
-    # the decode/audio corpus family rides the _spread under-split
-    # guard (r9 verdict #2 -- repartition only when scan splits <
-    # cores, the ensure_map_parallelism policy applied to the second
-    # site; gate-SF plans unchanged) and jpeg_lossless's
-    # entropy-domain overflow now honoring null-for-corrupt instead
-    # of clamping (ADVICE r9).
-    "q115_png_decode_bucket",
-    "q151_gif_jpeg_decode_bucket",
-    "q177_raster_decode_bucket",
-    "q179_video_frame_sample",
-    "q181_image_dedup",
-    "q187_webp_decode_bucket",
-    "q188_webp_anim_sample",
-    "q190_webp_lossy_decode",
-    "q71_multimodal_decode",
-    "q72_multimodal_features",
-    "q73_tag_inference",
-    "q80_video_frame_sample",
-    "q87_audio_chunk_plan",
-    "q106_image_neardup",
-    "q178_wav_decode_chunk",
-    "q184_audio_quality_filter",
-    # q192 additionally rides the foreign-corpus cache now keyed on a
-    # documents.parquet (size, mtime) signature (ADVICE r9).
-    "q192_foreign_stream_decode",
-    # the bucketing family rides a REAL correctness fix the r10 100x
-    # exact sweep caught: DuckDB typed the oracle's bare float VALUES
-    # literals DECIMAL(18,17), whose non-double arithmetic silently
-    # flipped an EXACT aspect-ratio tie ((45,92): both candidate
-    # errors are 1/92) away from the reference's np.argmin answer;
-    # the reso table is now CAST AS DOUBLE
-    # (operators/bucketing.py bucket_oracle_sql, pinned by
-    # tests/test_bucketing_golden.py). q22 (no-upscale builder,
-    # untouched) correctly does NOT drift — function-level slicing.
-    "q21_bucket_assign",
-    "q23_bucket_stats",
-    "q28_crop_ltrb",
-    # three more r10 100x-sweep correctness fixes (the full-registry
-    # exact sweep at the stress tier read 192/195):
-    # q163 -- the synthesized forest was only well-formed at DENSE id
-    # spaces; at sparse rotated ids every interior ancestor dangled
-    # and the pointer-jump inner join silently dropped 90% of rows.
-    # The node set is now the ancestor closure (identical result at
-    # gate SFs, where closure == doc_id set).
-    "q163_hierarchy_flatten",
-    # q174/q175 -- money now sums in exact integer ten-thousandths
-    # (BIGINT) instead of per-row-rounded doubles: the double sum
-    # flipped a .xx5 boundary at 100x volume (order-sensitive).
-    "q174_local_supplier_volume",
-    "q175_brand_market_share",
-]
-
-# (b) never rowed: new queries land here until their first driver row.
-_NEVER_ROWED: list[str] = [
-    # NEW r10: late-data watermark falsifiability gate (r9 verdict
-    # #3) -- deterministic out-of-order replay, oracle excludes the
-    # exact closed-form drop set, n_emissions pins the
-    # evict-but-readmit half-failure. tests/test_streaming_late.py
-    # proves a disabled watermark re-admits the set.
     "q195_stream_late_data",
+    # ADVICE r10 #4: q192's foreign-corpus cache key now reuses the
+    # streaming replay's _source_signature (one signature contract).
+    "q192_foreign_stream_decode",
 ]
 
-# (c) reworked last round with only pre-rework rows: none -- all 23
-# round-9 changed queries got green r9 rows (50/50 in
-# CORRECTNESS_r09.json).
+# (b) never rowed: none — q195 (the only r10 addition) got its green
+# r10 row; registry growth is frozen per the r8 rule.
+_NEVER_ROWED: list[str] = []
+
+# (c) reworked last round with only pre-rework rows: none — all 29
+# round-10 changed queries got green r10 rows (50/50 in
+# CORRECTNESS_r10.json).
 _REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first: the round-5 block, 38 rows remaining after
-    # r9's flush. (a)+(b) take 29 slots this round (the _spread guard
-    # fans across the decode family, the oracle DECIMAL fix across
-    # the bucketing family, and the three 100x-sweep fixes above are
-    # themselves round-5-stale rows now front-loaded -- computed, not
-    # chosen), so the window covers 21 more of the 38 here plus the 3
-    # in (a) = 24 total; the 14 past the cutoff stay in
-    # round-5-stale order at positions 51+ and MUST lead round 11's
-    # (d) block. After r10, every other row in the registry is
-    # <=r9-rowed.
-    "q142_ivf_drift_audit",
-    "q161_containment_dedup",
-    "q148_label_propagation",
-    "q154_pagerank",
-    "q157_hits",
-    "q132_bpe_merge_pairs",
-    "q134_vocab_coverage",
-    "q137_blocklist_filter",
-    "q149_rake_keywords",
-    "q150_doremi_reweight",
-    "q158_readability",
-    "q159_zipf_slope",
-    "q160_top_bigram_positions",
-    "q133_cluster_balanced_sample",
-    "q135_doc_stitching",
-    "q138_teacher_majority_vote",
-    "q140_source_lang_chi2",
-    "q143_json_schema_profile",
-    "q144_ab_test_ztest",
-    "q145_event_cooccurrence_lift",
-    "q146_level_shift",
-    # ---- 50-row driver cutoff lands here ----
+    # (d) stalest first: the FINAL 14 round-5 rows (r10 verdict #1 —
+    # this completes the flush r9 ordered: after these, every row in
+    # the registry union is >=r6). (a) takes 26 slots, these take 14,
+    # so 10 round-6 rows also fit the 50-row window.
+    "q117_sql_shipping_priority",
     "q147_last_touch_attribution",
     "q155_markov_transitions",
     "q156_source_js_divergence",
+    "q162_correlated_above_nation_avg",
     "q164_daily_max_concurrency",
     "q165_calibration_bins",
     "q166_time_decay_attribution",
@@ -181,8 +138,35 @@ _PRIORITY = [
     "q170_scd2_dimension",
     "q171_top_event_paths",
     "q176_conversion_latency_quantiles",
-    "q162_correlated_above_nation_avg",
-    "q117_sql_shipping_priority",
+    # round-6 rows (35 total; the 10 below fill the window, the rest
+    # queue in the same stale order at 51+ for round 12's (d) block).
+    "q100_bloom_contamination",
+    "q102_incremental_dedup",
+    "q107_bm25_topk",
+    "q109_pmi_collocations",
+    "q110_bm25_rerank",
+    "q118_span_decontaminate",
+    "q119_json_props_extract",
+    "q120_minhash_quality_audit",
+    "q121_embedding_dim_profile",
+    "q122_source_overlap_matrix",
+    # ---- 50-row driver cutoff lands here ----
+    "q124_group_quantiles",
+    "q125_signature_sidetable",
+    "q126_curation_report",
+    "q127_cdc_chunks",
+    "q128_length_buckets",
+    "q129_robust_outliers",
+    "q152_url_canonical_dedup",
+    "q153_normalized_dedup",
+    "q172_grouping_sets",
+    "q173_referential_integrity",
+    "q180_html_extract",
+    "q27_upsert_merge",
+    "q29_seeded_shuffle",
+    "q30_map_zip_filter",
+    "q31_exact_dedup",
+    "q33_simhash_fingerprint",
 ]
 
 

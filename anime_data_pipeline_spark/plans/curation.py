@@ -21,6 +21,77 @@ from anime_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
 from anime_data_pipeline_spark.operators.textstats import quality_columns
 
 
+def _parse_bytes(v: str | int) -> int:
+    """Spark size-string → bytes ("128MB", "4194304b", "1g", 42)."""
+    if isinstance(v, int):
+        return v
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def scan_input_splits(df: DataFrame) -> int | None:
+    """The number of input splits Spark's file-scan partitioning will
+    give this plan's LEAF scans — computed from the logical plan's
+    input files and the FilePartition split formula, WITHOUT forcing
+    physical planning (AQE-safe) and independent of whether the plan's
+    final stage is a shuffle.
+
+    Returns None when it can't know: no file-scan leaves (local
+    relation, memory sink) or non-local/unstat-able paths — callers
+    fall back to the partition-count heuristic there.
+
+    Formula mirror (FilePartition.maxSplitBytes): maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPart));
+    splits = Σ ceil(size/maxSplitBytes) over files (parquet/orc are
+    splittable; an under-estimate for non-splittable formats is safe —
+    it can only widen). A multi-source plan (joined dims) counts every
+    side's files, so the guard is for scan/union-shaped inputs."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        path = unquote(u.path)
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    spark = df.sparkSession
+
+    def _conf(key: str, fallback: str) -> str:
+        # conf.get type-validates even the DEFAULT, so an unset
+        # optional conf probed with "" raises — catch instead.
+        try:
+            return spark.conf.get(key, fallback)
+        except Exception:
+            return fallback
+
+    max_part = _parse_bytes(_conf("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _parse_bytes(_conf("spark.sql.files.openCostInBytes", "4MB"))
+    raw_min = _conf("spark.sql.files.minPartitionNum", "")
+    min_part = int(raw_min) if raw_min else spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    bytes_per_core = total // max(min_part, 1)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return sum(max(1, math.ceil(s / max_split)) for s in sizes)
+
+
 def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     """Fan the corpus out ONLY when the scan yields fewer splits than
     cores. The quality/langid scoring stage is the chain's largest
@@ -33,17 +104,20 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     the under-split regime one pass of the raw text buys full-width
     scoring, dedup hashing, and shingling.
 
-    CAVEAT — call on pre-shuffle scans/unions only (every current call
-    site is one): ``df.rdd.getNumPartitions()`` forces physical
-    planning outside AQE, and for a plan whose FINAL stage is a
-    shuffle it reports spark.sql.shuffle.partitions, so the guard
-    would no-op even when the upstream scan is under-split. If a
-    post-shuffle call site ever appears, inspect the leaf scan's
-    input-split count instead (e.g. via the executed plan's scan
-    nodes), not the final-stage RDD partition count."""
+    The under-split probe is ``scan_input_splits`` — the LEAF scans'
+    split count from file sizes + the FilePartition formula — not
+    ``df.rdd.getNumPartitions()`` (r10 verdict #5): the RDD probe
+    forced physical planning outside AQE, and on a shuffle-final plan
+    it reports spark.sql.shuffle.partitions, silently no-opping even
+    when the upstream scan is one split. File-less plans (local
+    relations) fall back to the RDD probe, where partition count IS
+    the honest answer."""
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    splits = scan_input_splits(df)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < p:
         return df.repartition(p)
     return df
 

@@ -10,7 +10,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
-from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.compat import (
+    dround,
+    dround_sql,
+    money_sum,
+    money_sum_sql,
+)
 from anime_data_pipeline_spark.functions.hashing import P, polyhash, polyhash_sql
 from anime_data_pipeline_spark.operators.ordering import bucketed_global_rank
 from anime_data_pipeline_spark.operators.profiling import (
@@ -404,7 +409,7 @@ _HOT_KEY = 1
            {{dround}} AS revenue
     FROM li JOIN orders o ON li.okey = o.o_orderkey
     GROUP BY o.o_orderstatus
-    """.replace("{dround}", dround_sql("sum(l_extendedprice)", 2)),
+    """.replace("{dround}", money_sum_sql("l_extendedprice")),
 )
 def q76_salted_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anime_data_pipeline_spark.operators.skew import salted_join
@@ -431,5 +436,5 @@ def q76_salted_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+        money_sum(F.col("l_extendedprice")).alias("revenue"),
     )

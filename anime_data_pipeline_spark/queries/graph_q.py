@@ -167,9 +167,16 @@ def q163_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.explode(F.sequence(F.lit(0), F.lit(18))).alias("k"), "doc_id"
         )
+        # greatest(k-1, 0): at k=0 the first disjunct already admits
+        # the row, but the old `power(10, k - 1)` operand evaluated
+        # power(10,-1) -> CAST -> 0, leaving correctness to Or
+        # short-circuiting under ANSI mode's DIVIDE_BY_ZERO — fragile
+        # against predicate rewrites (ADVICE r10). With the clamp the
+        # k=0 operand is `doc_id div 1`, safe under any evaluation
+        # order and semantically inert (the k==0 branch wins).
         .filter(
             (F.col("k") == 0)
-            | (F.expr("doc_id div CAST(power(10, k - 1) AS BIGINT)") >= 10)
+            | (F.expr("doc_id div CAST(power(10, greatest(k - 1, 0)) AS BIGINT)") >= 10)
         )
         .select(F.expr("doc_id div CAST(power(10, k) AS BIGINT)").alias("node"))
         .distinct()

@@ -57,9 +57,15 @@ def _spread(docs: DataFrame) -> DataFrame:
     partitions than cores. On a production layout that already has
     >= parallelism splits this is a no-op — no exchange of the
     (doc_id, text) projection is forced in front of the decode chain.
-    Same caveat as the curation site: call it on pre-shuffle scans /
-    unions (getNumPartitions on a shuffle-final plan reports
-    spark.sql.shuffle.partitions, not the scan's split count)."""
+    Every call site here is a pre-shuffle scan or a driver-built
+    local relation, so the RDD partition-count probe is exact for
+    this module; the r11 split-math probe
+    (``plans.curation.scan_input_splits``, shuffle-final-safe and
+    AQE-free) deliberately lands here with the decode family's
+    planned round-12 re-row — swapping it mid-flush would flag all
+    ~20 consumer queries into the changed set and push the final
+    round-5-stale rows out of the 50-row driver window (README
+    "Known-next")."""
     spark = docs.sparkSession
     p = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < p:
@@ -2196,27 +2202,15 @@ def _foreign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def _sig(path: str) -> tuple:
-        if os.path.isfile(path):
-            st = os.stat(path)
-            return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
-        out = []
-        for root, _dirs, files in os.walk(path):
-            for f in sorted(files):
-                if f.endswith(".parquet"):
-                    st = os.stat(os.path.join(root, f))
-                    out.append(
-                        (
-                            os.path.relpath(os.path.join(root, f), path),
-                            st.st_size,
-                            st.st_mtime_ns,
-                        )
-                    )
-        return tuple(sorted(out))
+    # one cache-signature contract, one implementation (ADVICE r10
+    # #4): reuse the streaming replay's source signature instead of a
+    # local near-duplicate that could drift (it covers .json too —
+    # harmless extra sensitivity for a parquet table path).
+    from anime_data_pipeline_spark.streaming.pipeline import _source_signature
 
     cache_key = (
         os.path.abspath(sf_dir),
-        _sig(os.path.join(sf_dir, "documents.parquet")),
+        _source_signature(os.path.join(sf_dir, "documents.parquet")),
     )
     cached = _FOREIGN_CORPUS_CACHE.get(cache_key)
     if cached is not None:

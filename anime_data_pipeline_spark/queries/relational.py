@@ -25,7 +25,15 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
-from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.compat import (
+    dround,
+    dround_sql,
+    money_sum,
+    money_sum_sql,
+    money_units,
+    units_money,
+    units_money_sql,
+)
 from anime_data_pipeline_spark.registry import register
 
 # DuckDB-side spelling of dround (functions/compat.py): identical IEEE ops.
@@ -46,10 +54,10 @@ _K_EXPR = "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
     "q01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_R2.format("sum(l_quantity)")}                                       AS sum_qty,
-           {_R2.format("sum(l_extendedprice)")}                                  AS sum_base_price,
-           {_R2.format("sum(l_extendedprice * (1 - l_discount))")}               AS sum_disc_price,
-           {_R2.format("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+           {money_sum_sql("l_quantity")}                                       AS sum_qty,
+           {money_sum_sql("l_extendedprice")}                                  AS sum_base_price,
+           {money_sum_sql("l_extendedprice * (1 - l_discount)")}               AS sum_disc_price,
+           {money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1e6)} AS sum_charge,
            {_R4.format("avg(l_quantity)")}                                       AS avg_qty,
            {_R4.format("avg(l_extendedprice)")}                                  AS avg_price,
            {_R4.format("avg(l_discount)")}                                       AS avg_disc,
@@ -66,10 +74,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax")), 1e6).alias("sum_charge"),
             dround(F.avg("l_quantity"), 4).alias("avg_qty"),
             dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
             dround(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -115,7 +123,7 @@ def q02_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_mktsegment,
            count(*)                                AS n_orders,
-           {_R2.format("sum(o.o_totalprice)")}     AS total_revenue,
+           {money_sum_sql("o.o_totalprice")}       AS total_revenue,
            {_R4.format("avg(o.o_totalprice)")}     AS avg_order_value
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -129,7 +137,7 @@ def q03_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            money_sum(F.col("o_totalprice")).alias("total_revenue"),
             dround(F.avg("o_totalprice"), 4).alias("avg_order_value"),
         )
     )
@@ -144,7 +152,9 @@ def q03_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_custkey,
            count(o.o_orderkey)                                  AS n_orders,
-           {_R2.format("coalesce(sum(o.o_totalprice), 0)")}     AS total_spend
+           {units_money_sql(
+               "coalesce(sum(CAST(floor((o.o_totalprice) * 10000.0 + 0.5) AS BIGINT)), 0)"
+           )} AS total_spend
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
     """,
@@ -157,7 +167,9 @@ def q04_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            units_money(
+                F.coalesce(F.sum(money_units(F.col("o_totalprice"))), F.lit(0))
+            ).alias("total_spend"),
         )
     )
 
@@ -192,7 +204,9 @@ def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_anti_join_count",
     oracle=f"""
     SELECT count(*) AS n_customers_without_orders,
-           {_R2.format("coalesce(sum(c_acctbal), 0)")} AS missing_acctbal
+           {units_money_sql(
+               "coalesce(sum(CAST(floor((c_acctbal) * 10000.0 + 0.5) AS BIGINT)), 0)"
+           )} AS missing_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
@@ -204,7 +218,11 @@ def q06_anti_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .agg(
             F.count(F.lit(1)).alias("n_customers_without_orders"),
-            dround(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("missing_acctbal"),
+            # acctbal is SIGNED — units_money floors in double on both
+            # sides, so negative sums round identically (see compat.py).
+            units_money(
+                F.coalesce(F.sum(money_units(F.col("c_acctbal"))), F.lit(0))
+            ).alias("missing_acctbal"),
         )
     )
 
@@ -392,7 +410,7 @@ def q12_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_star_join_revenue",
     oracle=f"""
     SELECT r.r_name, n.n_name,
-           {_R2.format("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue,
+           {money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -415,7 +433,7 @@ def q13_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -432,7 +450,7 @@ def q13_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT date_trunc('month', o_orderdate) AS order_month,
            count(*)                         AS n_orders,
-           {_R2.format("sum(o_totalprice)")} AS revenue
+           {money_sum_sql("o_totalprice")} AS revenue
     FROM orders
     GROUP BY 1
     """,
@@ -444,7 +462,7 @@ def q14_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -459,7 +477,7 @@ def q14_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INTEGER) AS gid,
            count(*)                           AS n,
-           {_R2.format("sum(l_quantity)")}    AS sum_qty
+           {money_sum_sql("l_quantity")}      AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -472,7 +490,7 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(2) * F.grouping("l_linestatus").cast("int")
         ).alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
     )
 
 
@@ -483,8 +501,8 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_pivot_status",
     oracle=f"""
     SELECT l_returnflag,
-           {_R2.format("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)")} AS qty_o,
-           {_R2.format("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)")} AS qty_f,
+           {money_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_o,
+           {money_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_f,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -493,11 +511,11 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        dround(
-            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+        money_sum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)
         ).alias("qty_o"),
-        dround(
-            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+        money_sum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)
         ).alias("qty_f"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -590,7 +608,7 @@ def q18_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           count(*) AS n_events, {_R2.format("sum(value)")} AS session_value
+           count(*) AS n_events, {money_sum_sql("value")} AS session_value
     FROM sess
     GROUP BY user_id, session_id
     """,
@@ -609,7 +627,7 @@ def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dround(F.sum("value"), 2).alias("session_value"),
+            money_sum(F.col("value")).alias("session_value"),
         )
     )
 
@@ -625,7 +643,7 @@ def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
            event_type,
            count(*)                  AS n,
-           {_R2.format("sum(value)")} AS total_value
+           {money_sum_sql("value")} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -640,7 +658,7 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dround(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -658,8 +676,8 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q47_running_window",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           {_R2.format(
-               "sum(o_totalprice) OVER ("
+           {units_money_sql(
+               "sum(CAST(floor((o_totalprice) * 10000.0 + 0.5) AS BIGINT)) OVER ("
                "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
            )} AS running_spend,
@@ -679,7 +697,11 @@ def q47_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        dround(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        # running money: exact BIGINT prefix sums — every prefix, not
+        # just the final total, is order-insensitive (see compat.py).
+        units_money(F.sum(money_units(F.col("o_totalprice"))).over(running)).alias(
+            "running_spend"
+        ),
         F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
         .cast("long")
         .alias("days_since_prev"),

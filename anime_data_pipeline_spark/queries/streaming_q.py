@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.compat import dround, dround_sql
+from anime_data_pipeline_spark.functions.compat import (
+    dround,
+    dround_sql,
+    money_sum_sql,
+    money_units,
+    units_money,
+)
 from anime_data_pipeline_spark.registry import register
 from anime_data_pipeline_spark.streaming.pipeline import (
     dedup_stream,
@@ -38,15 +44,16 @@ _5M = 300_000_000  # microseconds
     SELECT make_timestamp((epoch_us(ts) // {_5M}) * {_5M}) AS window_start,
            event_type,
            count(*) AS n,
-           {dround_sql("sum(value)", 2)} AS total_value
+           {money_sum_sql("value")} AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q61_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = run_available_now(
+    # total_value already rides the integer-units money convention
+    # inside tumbling_agg (exact BIGINT state) — no post-round needed.
+    return run_available_now(
         tumbling_agg(read_events_stream(spark, sf_dir), "5 minutes"), "complete"
     )
-    return out.withColumn("total_value", dround(F.col("total_value"), 2))
 
 
 # ---------------------------------------------------------------------------
@@ -63,16 +70,15 @@ def q61_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT make_timestamp((epoch_us(ts) // {_5M}) * {_5M} - {_5M}) AS window_start, value
       FROM events
     )
-    SELECT window_start, count(*) AS n, {dround_sql("sum(value)", 2)} AS total_value
+    SELECT window_start, count(*) AS n, {money_sum_sql("value")} AS total_value
     FROM starts GROUP BY 1
     """,
 )
 def q62_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = run_available_now(
+    return run_available_now(
         sliding_agg(read_events_stream(spark, sf_dir), "10 minutes", "5 minutes"),
         "complete",
     )
-    return out.withColumn("total_value", dround(F.col("total_value"), 2))
 
 
 # ---------------------------------------------------------------------------
@@ -97,15 +103,14 @@ def q62_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps
     )
     SELECT min(ts) AS session_start, user_id,
-           count(*) AS n_events, {dround_sql("sum(value)", 2)} AS session_value
+           count(*) AS n_events, {money_sum_sql("value")} AS session_value
     FROM sess GROUP BY user_id, sid
     """,
 )
 def q63_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = run_available_now(
+    return run_available_now(
         session_agg(read_events_stream(spark, sf_dir), "30 minutes"), "complete"
     )
-    return out.withColumn("session_value", dround(F.col("session_value"), 2))
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +162,7 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q66_stream_static_enrich",
     oracle=f"""
     SELECT c.c_mktsegment, e.event_type,
-           count(*) AS n, {dround_sql("sum(e.value)", 2)} AS total_value
+           count(*) AS n, {money_sum_sql("e.value")} AS total_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
     GROUP BY 1, 2
     """,
@@ -172,11 +177,20 @@ def q66_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = events.join(
         customers, customers.c_custkey == events.user_id + 1, "inner"
     )
-    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value")
+    # money in exact integer units through the streaming agg state
+    # (compat.py convention — same as tumbling_agg).
+    agg = (
+        enriched.withColumn("value_u", money_units(F.col("value")))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_u").alias("total_u"))
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "n",
+            units_money(F.col("total_u")).alias("total_value"),
+        )
     )
-    out = run_available_now(agg, "complete")
-    return out.withColumn("total_value", dround(F.col("total_value"), 2))
+    return run_available_now(agg, "complete")
 
 
 @register(
@@ -202,7 +216,7 @@ def q64_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            count(*) AS n_events,
-           {dround_sql("sum(value)", 2)} AS total_value
+           {money_sum_sql("value")} AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -223,11 +237,9 @@ def q68_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            dround(F.col("total_value"), 2).alias("total_value"),
-        )
+        # total_value is already converted from the exact BIGINT units
+        # state inside running_user_totals — no post-round needed.
+        .select("user_id", "n_events", "total_value")
     )
 
 

@@ -30,6 +30,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from anime_data_pipeline_spark.functions.compat import money_units, units_money
+
 # Streaming-plan audit trail: every completed streaming query appends
 # its final StreamingQueryProgress here (scripts/plan_report.py clears
 # it, runs a gate query, and reads the stateful-operator names +
@@ -90,13 +92,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tumbling_agg(
     stream: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Watermarked tumbling-window count + value sum per event_type."""
+    """Watermarked tumbling-window count + value sum per event_type.
+
+    Money rides the integer-units convention (compat.py): the state
+    store accumulates an exact BIGINT, so the emitted total is
+    independent of the arrival order AND the micro-batch split — the
+    double-sum it replaces could flip a .xx5 cent boundary between a
+    streaming replay and the batch oracle."""
     return (
-        stream.withWatermark("ts", watermark)
+        stream.withColumn("value_u", money_units(F.col("value")))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_u").alias("total_u"))
         .select(
-            F.col("win.start").alias("window_start"), "event_type", "n", "total_value"
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            units_money(F.col("total_u")).alias("total_value"),
         )
     )
 
@@ -107,12 +119,18 @@ def sliding_agg(
     slide: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Watermarked sliding-window count + value sum (overlapping)."""
+    """Watermarked sliding-window count + value sum (overlapping).
+    Money in exact integer units — see tumbling_agg."""
     return (
-        stream.withWatermark("ts", watermark)
+        stream.withColumn("value_u", money_units(F.col("value")))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
-        .select(F.col("win.start").alias("window_start"), "n", "total_value")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_u").alias("total_u"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n",
+            units_money(F.col("total_u")).alias("total_value"),
+        )
     )
 
 
@@ -120,16 +138,18 @@ def session_agg(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Gap-based session windows per user (session_window merges events
-    closer than ``gap``; the stateful analogue of batch q19)."""
+    closer than ``gap``; the stateful analogue of batch q19).
+    Money in exact integer units — see tumbling_agg."""
     return (
-        stream.withWatermark("ts", watermark)
+        stream.withColumn("value_u", money_units(F.col("value")))
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value_u").alias("total_u"))
         .select(
             F.col("win.start").alias("session_start"),
             "user_id",
             "n_events",
-            "session_value",
+            units_money(F.col("total_u")).alias("session_value"),
         )
     )
 
@@ -298,8 +318,14 @@ def resplit_events(
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.col("ts"), F.col("event_id"))
-    sliced = df.withColumn("_rn", F.row_number().over(w))
-    total = sliced.count()
+    # persist the ranked frame: the late filter, the slice write and
+    # the late write all reuse it — one global sort, not three (the
+    # r10 verdict-#6 wall was exactly this recomputation). The frame
+    # is replay-harness-sized (the gate SF events table), not a
+    # production operator input.
+    ranked = df.withColumn("_rn", F.row_number().over(w)).persist()
+    sliced = ranked
+    total = df.count()  # no window needed for the row count
     per = (total + n_files - 1) // n_files
     late = None
     if late_mod is not None:
@@ -326,18 +352,41 @@ def resplit_events(
         os.rename(os.path.join(pdir, src), dst)
         os.utime(dst, (base + i * 60, base + i * 60))
 
-    for i in range(n_files):
-        write_one(
-            sliced.filter(
-                (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
-            ).drop("_rn"),
-            i,
+    # All in-order slices land in ONE parallel write (r10 verdict #6:
+    # the old per-slice filter + coalesce(1) loop re-scanned the
+    # sorted frame n_files times in sequence and was ~90% of q195's
+    # gate wall). repartition on the slice id gives every slice its
+    # own partition, so partitionBy emits exactly one part-file per
+    # slice directory — same one-file-per-micro-batch contract, one
+    # job. Within-file row order is irrelevant to the replay: a file
+    # IS a micro-batch, and every consumer is order-insensitive
+    # within a batch (event_id is unique, aggs are commutative).
+    pdir = os.path.join(out, "slice_all")
+    (
+        sliced.withColumn(
+            "_slice", F.expr(f"CAST((_rn - 1) DIV {int(per)} AS INT)")
         )
+        .drop("_rn")
+        .repartition(n_files, "_slice")
+        .write.partitionBy("_slice")
+        .parquet(pdir)
+    )
+    for i in range(n_files):
+        sdir = os.path.join(pdir, f"_slice={i}")
+        parts = [
+            f for f in os.listdir(sdir)
+            if f.endswith(".parquet") and f.startswith("part-")
+        ]
+        assert len(parts) == 1, f"slice {i}: {len(parts)} files (want 1)"
+        dst = os.path.join(out, f"{i:03d}.parquet")
+        os.rename(os.path.join(sdir, parts[0]), dst)
+        os.utime(dst, (base + i * 60, base + i * 60))
     n_written = n_files
     if late is not None and not late.isEmpty():
         write_one(sliced.limit(0).drop("_rn"), n_files)  # sentinel
-        write_one(late.orderBy("_rn").drop("_rn"), n_files + 1)
+        write_one(late.drop("_rn"), n_files + 1)
         n_written += 2
+    ranked.unpersist()
     _RESPLIT_CACHE[key] = (out, n_written)
     return out
 

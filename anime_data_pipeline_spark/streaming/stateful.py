@@ -22,17 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, total_u bigint"
 
 
 def _update_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    # Money in exact integer ten-thousandths (compat.py convention):
+    # the state cell is a BIGINT, so the running total is independent
+    # of batch split and arrival order; the emitted dollars use the
+    # same IEEE conversion as units_money / the DuckDB oracle.
+    import numpy as np
+
+    n, total_u = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        v = pdf["value"].to_numpy(dtype="float64")
+        total_u += int(np.floor(v * 10000.0 + 0.5).astype("int64").sum())
+    state.update((n, total_u))
+    total = float(np.floor(np.float64(total_u) / 100.0 + 0.5) / 100.0)
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )

@@ -106,6 +106,50 @@ EXTRA_QUERIES = [
 ]
 
 
+def env_fingerprint(spark, sf_dir: str) -> dict:
+    """Environment fingerprint for bench attribution (r10 verdict #4):
+    two consecutive rounds saw +7-12% same-box drift on
+    fingerprint-UNCHANGED code, making bench deltas unattributable.
+    Recording host shape + contention + runtime versions + a testdata
+    signature lets the next reader separate code from environment in
+    one file read."""
+    import hashlib
+    import multiprocessing
+    import platform
+
+    cpu_model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    cpu_model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns};".encode()
+                )
+    try:
+        java = spark.sparkContext._jvm.System.getProperty("java.version")
+    except Exception:
+        java = None
+    return {
+        "cpu_model": cpu_model,
+        "n_cpus": multiprocessing.cpu_count(),
+        "load_avg_start": [round(x, 2) for x in os.getloadavg()],
+        "spark": spark.version,
+        "java": java,
+        "python": platform.python_version(),
+        "testdata_sig": h.hexdigest()[:12],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -119,6 +163,7 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = all_queries()
+    env = env_fingerprint(spark, sf_dir)
 
     # Warm the session (JVM/codegen/parquet footer caches) so the first
     # query's timing measures the query, not session startup.
@@ -177,6 +222,9 @@ def main() -> None:
         "extra_cold": extra_cold,
         "extra_total": round(sum(extra.values()), 3),
         "sf": sf,
+        "env": dict(
+            env, load_avg_end=[round(x, 2) for x in os.getloadavg()]
+        ),
     }
     # The driver keeps only the LAST 2000 bytes of stdout, and the
     # verbose dict (~3.3 KB by round 7) overflowed that tail two rounds
@@ -201,6 +249,18 @@ def main() -> None:
         # cross-referencing BENCH_LOCAL.json
         "queries_median": medians,
         "sf": sf,
+        # compact env digest (r10 verdict #4): cores, load at
+        # start/end (1-min), testdata signature — enough to attribute
+        # a cross-round swing to contention or regenerated data
+        # without the full BENCH_LOCAL.json record.
+        "env": {
+            "cpus": env["n_cpus"],
+            "load1": [
+                env["load_avg_start"][0],
+                round(os.getloadavg()[0], 2),
+            ],
+            "data": env["testdata_sig"],
+        },
     }
     line = json.dumps(compact)
     if len(line) > 1500:

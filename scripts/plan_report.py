@@ -27,6 +27,45 @@ JOIN_KINDS = (
 # static plan to explain; their per-round shapes are audited in
 # SCALE.md instead.
 SKIP = {"q36"}
+
+# The formatted explain's details region prints one "(N) OpName"
+# header per physical node, numbered 1..K within each SECTION (the
+# main plan, each subquery, each InMemoryRelation cached plan).
+_NODE_RE = re.compile(r"^\((\d+)\) (\w+)", re.M)
+
+
+def count_distinct_nodes(plan: str, ops: tuple[str, ...]) -> dict[str, int]:
+    """Distinct physical nodes per op name, SECTION-aware (ADVICE r10
+    #2): node numbers are strictly increasing within one details
+    section, so a match whose number is <= its predecessor starts a
+    new section. Distinct-per-section counting keeps same-numbered
+    nodes in different sections apart; identical sections (the same
+    cached plan's details reprinted at another reuse site) are deduped
+    wholesale so a reused InMemoryRelation still counts once.
+
+    Residual limitation (documented in the PLANS.md header): cached
+    subtrees reprinted WITHOUT their own "(N)" details headers are
+    invisible to this metric — their nodes are the same physical
+    exchanges already counted at the first site, so undercounting is
+    the safe direction for a "distinct shuffle boundaries" audit."""
+    sections: list[tuple[tuple[int, str], ...]] = []
+    cur: list[tuple[int, str]] = []
+    prev = 0
+    for m in _NODE_RE.finditer(plan):
+        n, op = int(m.group(1)), m.group(2)
+        if n <= prev and cur:
+            sections.append(tuple(cur))
+            cur = []
+        prev = n
+        cur.append((n, op))
+    if cur:
+        sections.append(tuple(cur))
+    counts: dict[str, int] = {}
+    for sec in dict.fromkeys(sections):  # identical reprints count once
+        for _n, op in sec:
+            if op in ops:
+                counts[op] = counts.get(op, 0) + 1
+    return counts
 # Streaming queries execute through the StreamingQuery runtime — a
 # memory-sink batch read shows nothing, so they are audited from the
 # final StreamingQueryProgress that streaming.pipeline.AUDIT captures
@@ -114,20 +153,18 @@ def main() -> None:
         # Count PHYSICAL operator nodes — the "(N) OpName" headers the
         # formatted explain assigns once per node in the main plan and
         # once per node of each InMemoryRelation's cached plan. A raw
-        # \bExchange\b count additionally matches the details section
+        # \bExchange\b count additionally matches the tree region
         # (every node prints twice) and re-matches cached subtrees
         # replicated at every reuse site, inflating a 17-exchange plan
         # (q104) to 118 "matches" — discovered in r10 when the
         # ensure_map_parallelism repartition's single extra exchange
-        # moved the old metric by +31. Dedup by node number within
-        # each plan section keeps reused cached plans from
-        # multi-counting while still counting genuinely distinct nodes.
-        exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
-        joins = [
-            k
-            for k in JOIN_KINDS
-            for _ in set(re.findall(r"\((\d+)\) " + k, plan))
-        ]
+        # moved the old metric by +31. Deduped SECTION-AWARE (ADVICE
+        # r10 #2): numbering restarts per section (subqueries, cached
+        # plans), so a global set() collapses genuinely distinct nodes
+        # that happen to share a number across sections.
+        node_counts = count_distinct_nodes(plan, ("Exchange", *JOIN_KINDS))
+        exchanges = node_counts.get("Exchange", 0)
+        joins = [k for k in JOIN_KINDS for _ in range(node_counts.get(k, 0))]
         join_summary = (
             ", ".join(f"{joins.count(k)}×{k}" for k in dict.fromkeys(joins)) or "none"
         )
@@ -138,11 +175,15 @@ def main() -> None:
         "# PLANS — physical-plan audit (generated by scripts/plan_report.py)",
         "",
         f"Scale factor dir: `{SF_DIR}`. Exchange = DISTINCT physical",
-        "shuffle-boundary nodes (deduped by the formatted explain's node",
-        "number — r10 metric fix: the old raw-substring count re-matched",
-        "every node in the details section and in each InMemoryRelation",
-        "cached-plan reprint, inflating q104's 17 real exchanges to 118).",
-        "Join counts are deduped the same way.",
+        "shuffle-boundary nodes, deduped SECTION-aware by the formatted",
+        "explain's details numbering (r10 metric fix + ADVICE r10 #2:",
+        "numbering restarts per subquery/cached-plan section, so nodes",
+        "are distinct within a section, identical reprinted sections",
+        "count once, and same-numbered nodes in different sections stay",
+        "apart). Join counts are deduped the same way. Residual",
+        "limitation: a cached subtree reprinted WITHOUT its own (N)",
+        "details headers is not re-counted — its nodes are the same",
+        "physical exchanges already counted at their first site.",
         "`tests/test_plan_shape.py` pins the load-bearing properties in CI.",
         "",
         "| query | exchanges | joins | pushed filters |",

@@ -260,12 +260,26 @@ def test_priority_stale_section_is_stalest_first():
             return True
 
     newest: dict[str, int] = {}
+    uncommitted: list[str] = []
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         if not committed_at_head(f):
+            uncommitted.append(os.path.basename(f))
             continue
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for q in json.load(open(f)):
             newest[q] = max(newest.get(q, 0), rnd)
+    # ADVICE r10 #3: the exclusion is sound only while it covers at
+    # most the CURRENT round's file (the driver writes it after the
+    # final commit; the next round's ritual commits it). A backlog of
+    # >1 uncommitted files means some round's evidence permanently
+    # escaped the invariant — fail loudly instead of silently
+    # weakening it.
+    assert len(uncommitted) <= 1, (
+        f"{len(uncommitted)} CORRECTNESS files not committed at HEAD "
+        f"({sorted(uncommitted)}) — only the current round's may be "
+        f"pending; commit the backlog so the stalest-first invariant "
+        f"sees every round's evidence"
+    )
     front = set(ent._CHANGED_THIS_ROUND) | set(ent._NEVER_ROWED) | set(
         ent._REWORKED_LAST_ROUND
     )

@@ -464,3 +464,54 @@ def test_spread_and_ensure_map_parallelism_guard_production_layouts(spark):
     assert ensure_map_parallelism(wide).rdd.getNumPartitions() == p + 3
     assert _spread(narrow).rdd.getNumPartitions() == p
     assert ensure_map_parallelism(narrow).rdd.getNumPartitions() == p
+
+
+def test_map_parallelism_guard_sees_through_shuffle_final_plans(spark, tmp_path):
+    """r10 verdict #5: the under-split probe must read the LEAF scan's
+    input-split count, not the final stage's RDD partition count. On a
+    shuffle-final plan over a one-split file the old
+    ``df.rdd.getNumPartitions()`` probe reports
+    spark.sql.shuffle.partitions (>= cores here) and silently no-ops;
+    the split-math guard fans out anyway — and without forcing
+    physical planning on the untouched branch."""
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.plans.curation import (
+        ensure_map_parallelism,
+        scan_input_splits,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "one_split")
+    spark.range(0, 1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert scan_input_splits(df) == 1
+
+    shuffled = df.groupBy((F.col("id") % 7).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # the failure mode being closed: without AQE the final-stage probe
+    # reports spark.sql.shuffle.partitions — "wide" — so the old guard
+    # no-opped; WITH AQE the probe is worse still (it materializes the
+    # shuffle stage just to ask). The new guard reads neither.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert shuffled.rdd.getNumPartitions() >= p
+        out = ensure_map_parallelism(shuffled)
+        assert out is not shuffled
+        assert out.rdd.getNumPartitions() == p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    # split math agrees with the scan partitioning Spark actually
+    # chooses on a real multi-file layout
+    multi = str(tmp_path / "multi")
+    spark.range(0, 100_000).repartition(5).write.parquet(multi)
+    scan = spark.read.parquet(multi)
+    assert scan_input_splits(scan) == scan.rdd.getNumPartitions()
+
+    # file-less plans fall back to the honest RDD partition count
+    local = spark.range(0, 10).coalesce(1)
+    assert scan_input_splits(local) is None
+    assert ensure_map_parallelism(local).rdd.getNumPartitions() == p

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from anime_data_pipeline_spark.catalog import load_table
+from anime_data_pipeline_spark.functions.compat import money_sum
 from anime_data_pipeline_spark.streaming.pipeline import run_available_now
 from anime_data_pipeline_spark.streaming.stateful import running_user_totals
 
@@ -47,12 +48,15 @@ def test_running_totals_across_batches(spark, sf_dir, split_events_dir):
             F.max("total_value").alias("total_value"),
         )
     )
+    # the stateful operator accumulates exact BIGINT money units
+    # (compat.py convention), so the batch twin using the same
+    # convention must match EXACTLY — no tolerance needed.
     expected = (
         spark.read.parquet(split_events_dir)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
     )
     f = {r["user_id"]: r for r in final.collect()}
@@ -60,4 +64,4 @@ def test_running_totals_across_batches(spark, sf_dir, split_events_dir):
     assert set(f) == set(e)
     for uid in e:
         assert f[uid]["n_events"] == e[uid]["n_events"], uid
-        assert f[uid]["total_value"] == pytest.approx(e[uid]["total_value"], rel=1e-12)
+        assert f[uid]["total_value"] == e[uid]["total_value"], uid
