@@ -149,10 +149,19 @@ def curate_corpus(
         "_ch2", polyhash2(F.col(text_col))
     )
     keeper = F.min(id_col).over(W.partitionBy("_ch", "_ch2"))
+    # uniq feeds two consumers (the LSH signature build and the
+    # anti-join left side) and its lineage holds the quality-scoring
+    # expression forest plus the dedup window — persist the shrunk
+    # survivor set rather than recompute that chain per consumer,
+    # exactly as prepare_pretraining_corpus does one stage later. At
+    # 100 TB this is the stage boundary you'd parquet-checkpoint.
+    from pyspark import StorageLevel
+
     uniq = (
         hashed.withColumn("_keeper", keeper)
         .filter(F.col(id_col) == F.col("_keeper"))
         .drop("_ch", "_ch2", "_keeper")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     pairs = minhash_lsh_pairs(
