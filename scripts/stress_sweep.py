@@ -62,12 +62,23 @@ def main() -> int:
             STRESS_DIR, "--exact", *sys.argv[1:]]
     print(f"[stress_sweep] {' '.join(args)}", flush=True)
     t0 = time.monotonic()
-    proc = subprocess.run(args, cwd=REPO, capture_output=True, text=True)
-    sys.stdout.write(proc.stdout)
-    sys.stderr.write(proc.stderr[-4000:])
+    # stream stdout live (a full sweep runs ~30 min — a silent capture
+    # hides progress) while teeing it for the result parse
+    proc = subprocess.Popen(
+        args, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, bufsize=1,
+    )
+    captured: list[str] = []
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        captured.append(line)
+    proc.wait()
+    out_text = "".join(captured)
 
-    m = re.search(r"(\d+) oracle-match, (\d+) rows-only, (\d+) FAIL", proc.stdout)
-    fails = re.findall(r"^  (\S+): FAIL", proc.stdout, flags=re.M)
+    m = re.search(r"(\d+) oracle-match, (\d+) rows-only, (\d+) FAIL", out_text)
+    fails = re.findall(r"^  (\S+): FAIL", out_text, flags=re.M)
     record = {
         "ts": time.time(),
         "round": _current_round(),
