@@ -373,11 +373,22 @@ def resplit_events(
     )
     for i in range(n_files):
         sdir = os.path.join(pdir, f"_slice={i}")
-        parts = [
-            f for f in os.listdir(sdir)
-            if f.endswith(".parquet") and f.startswith("part-")
-        ]
-        assert len(parts) == 1, f"slice {i}: {len(parts)} files (want 1)"
+        parts = (
+            [
+                f for f in os.listdir(sdir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            ]
+            if os.path.isdir(sdir)
+            else []
+        )
+        assert len(parts) <= 1, f"slice {i}: {len(parts)} files (want <=1)"
+        if not parts:
+            # partitionBy skips empty partitions; a slice can be empty
+            # when the table has fewer rows than n_files — keep the
+            # old contract (an empty micro-batch file) instead of
+            # crashing on the missing directory.
+            write_one(sliced.limit(0).drop("_rn"), i)
+            continue
         dst = os.path.join(out, f"{i:03d}.parquet")
         os.rename(os.path.join(sdir, parts[0]), dst)
         os.utime(dst, (base + i * 60, base + i * 60))
