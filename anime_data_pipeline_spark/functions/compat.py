@@ -58,7 +58,14 @@ def dround_sql(expr: str, digits: int = 2) -> str:
 # largest unit-sum (lineitem charge at 1e6 scale, ~6e7 rows × ~4e4
 # dollars) stays below ~2.4e18. CAST(su AS DOUBLE) above 2^53 rounds,
 # but identically in both engines — determinism, the property the gate
-# needs, survives.
+# needs, survives. Past ~40× more volume per GROUP the long sum would
+# overflow — LOUDLY, since Spark 4's default ANSI mode errors on sum
+# overflow rather than wrapping — and the one-cast mitigation is
+# sum(units.cast("decimal(38,0)")) (exact to 1e38; DuckDB already
+# sums BIGINT into HUGEINT, and the shared to-double conversion
+# absorbs the type difference on both sides). Not applied at gate SFs:
+# decimal aggregation is measurably slower than long and the headroom
+# is 40×.
 #
 # The OTHER dround(sum(...), 6) sites in the registry (chi2 / PSI / JS
 # / PMI contributions and similar statistical functionals) are a
