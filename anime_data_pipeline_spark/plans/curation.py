@@ -49,13 +49,25 @@ def scan_input_splits(df: DataFrame) -> int | None:
     relation, memory sink) or non-local/unstat-able paths — callers
     fall back to the partition-count heuristic there.
 
-    Formula mirror (FilePartition.maxSplitBytes): maxSplitBytes =
-    min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPart));
-    splits = Σ ceil(size/maxSplitBytes) over files (parquet/orc are
-    splittable; an under-estimate for non-splittable formats is safe —
-    it can only widen). A multi-source plan (joined dims) counts every
-    side's files, so the guard is for scan/union-shaped inputs."""
-    import math
+    Formula mirror of BOTH halves of FilePartition.getFilePartitions
+    (r11 ADVICE #1: `Σ ceil(size/maxSplitBytes)` models file
+    *splitting* but not the *bin-packing* of small files into shared
+    partitions, so a many-tiny-files layout over-counted and the guard
+    silently no-opped while the scan was under-split):
+
+      maxSplitBytes = min(maxPartitionBytes,
+                          max(openCostInBytes, totalBytes/minPart))
+      chunks        = each file cut into maxSplitBytes pieces,
+                      sorted descending (parquet/orc are splittable;
+                      for non-splittable formats this over-cuts, which
+                      can only make the guard a no-op, never add a
+                      spurious exchange)
+      partitions    = greedy pack: close the open bin when
+                      cur + chunk > maxSplitBytes, then charge
+                      chunk + openCostInBytes to the bin
+
+    A multi-source plan (joined dims) counts every side's files, so
+    the guard is for scan/union-shaped inputs."""
     import os
     from urllib.parse import unquote, urlparse
 
@@ -89,10 +101,24 @@ def scan_input_splits(df: DataFrame) -> int | None:
     total = sum(s + open_cost for s in sizes)
     bytes_per_core = total // max(min_part, 1)
     max_split = min(max_part, max(open_cost, bytes_per_core))
-    return sum(max(1, math.ceil(s / max_split)) for s in sizes)
+    chunks: list[int] = []
+    for s in sizes:
+        n_full, rem = divmod(s, max_split)
+        chunks.extend([max_split] * n_full)
+        if rem:
+            chunks.append(rem)
+    chunks.sort(reverse=True)
+    bins, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            bins, cur = bins + 1, 0
+        cur += c + open_cost
+    if cur > 0:
+        bins += 1
+    return max(bins, 1)
 
 
-def ensure_map_parallelism(df: DataFrame) -> DataFrame:
+def ensure_map_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Fan the corpus out ONLY when the scan yields fewer splits than
     cores. The quality/langid scoring stage is the chain's largest
     map-CPU block, and a single-row-group parquet layout (the test-SF
@@ -111,14 +137,19 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     it reports spark.sql.shuffle.partitions, silently no-opping even
     when the upstream scan is one split. File-less plans (local
     relations) fall back to the RDD probe, where partition count IS
-    the honest answer."""
+    the honest answer.
+
+    ``keys``: optional hash-partitioning columns for the fan-out
+    exchange (the decode chains spread on ``doc_id`` so a downstream
+    keyed op can reuse the partitioning); empty → round-robin, the
+    right default for pure map stages."""
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
     splits = scan_input_splits(df)
     if splits is None:
         splits = df.rdd.getNumPartitions()
     if splits < p:
-        return df.repartition(p)
+        return df.repartition(p, *[F.col(k) for k in keys]) if keys else df.repartition(p)
     return df
 
 

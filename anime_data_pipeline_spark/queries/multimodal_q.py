@@ -51,26 +51,19 @@ def _spread(docs: DataFrame) -> DataFrame:
     (Found in round 9: q151's bench tail grew with the SOF3 slice and
     the whole decode matrix turned out to be running on one thread.)
 
-    Guarded exactly like its generalization
-    ``plans.curation.ensure_map_parallelism`` (r9 verdict, What's
-    wrong #2): repartition ONLY when the incoming plan carries fewer
-    partitions than cores. On a production layout that already has
-    >= parallelism splits this is a no-op — no exchange of the
-    (doc_id, text) projection is forced in front of the decode chain.
-    Every call site here is a pre-shuffle scan or a driver-built
-    local relation, so the RDD partition-count probe is exact for
-    this module; the r11 split-math probe
-    (``plans.curation.scan_input_splits``, shuffle-final-safe and
-    AQE-free) deliberately lands here with the decode family's
-    planned round-12 re-row — swapping it mid-flush would flag all
-    ~20 consumer queries into the changed set and push the final
-    round-5-stale rows out of the 50-row driver window (README
-    "Known-next")."""
-    spark = docs.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < p:
-        return docs.repartition(p, "doc_id")
-    return docs
+    Since round 12 this IS ``plans.curation.ensure_map_parallelism``
+    keyed on ``doc_id`` (the r11-deferred swap, landed with the decode
+    family's re-row): the under-split probe is the leaf-scan
+    split-math (``scan_input_splits`` — AQE-safe, shuffle-final-safe,
+    no forced physical planning), with the RDD partition count only as
+    the file-less fallback (q192's driver-built local relation), where
+    it is the honest answer. Repartitions ONLY when the plan carries
+    fewer input splits than cores — a production layout with
+    >= parallelism splits passes through untouched, no exchange of the
+    (doc_id, text) projection in front of the decode chain."""
+    from anime_data_pipeline_spark.plans.curation import ensure_map_parallelism
+
+    return ensure_map_parallelism(docs, "doc_id")
 
 
 def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

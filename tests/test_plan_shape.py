@@ -515,3 +515,121 @@ def test_map_parallelism_guard_sees_through_shuffle_final_plans(spark, tmp_path)
     local = spark.range(0, 10).coalesce(1)
     assert scan_input_splits(local) is None
     assert ensure_map_parallelism(local).rdd.getNumPartitions() == p
+
+
+def test_split_math_mirrors_bin_packing_on_many_tiny_files(spark, tmp_path):
+    """r11 ADVICE #1: `Σ ceil(size/maxSplitBytes)` models file
+    SPLITTING but not Spark's BIN-PACKING of small files into shared
+    partitions, so a many-tiny-files layout over-counted (64 files →
+    "64 splits" ≥ cores → guard no-ops) while the actual scan packed
+    far fewer partitions — the silent under-split regime the probe
+    exists to catch. The estimator now mirrors both halves of
+    FilePartition.getFilePartitions; parity is asserted against the
+    partitioning Spark actually chooses, in an openCost-dominated
+    layout where the two formulas disagree."""
+    from anime_data_pipeline_spark.plans.curation import (
+        ensure_map_parallelism,
+        scan_input_splits,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    tiny = str(tmp_path / "tiny64")
+    spark.range(0, 64).repartition(64).write.parquet(tiny)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.files.openCostInBytes",
+            "spark.sql.files.minPartitionNum",
+        )
+    }
+    try:
+        # make packing the dominant effect: cheap opens, one core's
+        # worth of target partitions → Spark packs all 64 tiny files
+        # into a handful of shared partitions
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        spark.conf.set("spark.sql.files.minPartitionNum", "1")
+        scan = spark.read.parquet(tiny)
+        est = scan_input_splits(scan)
+        actual = scan.rdd.getNumPartitions()
+        assert est == actual, (est, actual)
+        assert est < 64  # the old Σceil formula returned 64 here
+        if est < p:
+            # and the guard must now SEE the under-split and fan out
+            assert ensure_map_parallelism(scan).rdd.getNumPartitions() == p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_spread_rides_the_split_math_probe(spark, tmp_path):
+    """r11 verdict #1 ('retire the last RDD probe'): `_spread` is now
+    `ensure_map_parallelism` keyed on doc_id — on a shuffle-final plan
+    over a one-split file the retired RDD probe read
+    spark.sql.shuffle.partitions and silently no-opped; the split-math
+    probe fans out. A wide scan still passes through untouched, and a
+    file-less local relation falls back to the honest RDD count."""
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.queries.multimodal_q import _spread
+
+    p = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "docs_one_split")
+    spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        shuffled = docs.groupBy("doc_id").agg(F.first("text").alias("text"))
+        assert shuffled.rdd.getNumPartitions() >= p  # what the old probe saw
+        assert _spread(shuffled).rdd.getNumPartitions() == p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    # The probe is LEAF-faithful: a file-backed plan the caller
+    # already repartitioned wider than cores still reads as "1 leaf
+    # split" and re-exchanges to p. No call site has this shape (all
+    # pass raw scans or local relations — the wide-scan passthrough is
+    # pinned by test_spread_and_ensure_map_parallelism_guard_
+    # production_layouts), and ensure_map_parallelism has carried the
+    # same semantics since r11.
+    wide = docs.repartition(p + 3, "doc_id")
+    assert _spread(wide).rdd.getNumPartitions() == p
+
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string").coalesce(1)
+    assert _spread(local).rdd.getNumPartitions() == p
+
+    # production layout — a genuinely multi-split SCAN — passes
+    # through untouched: no exchange of the (doc_id, text) projection
+    # is forced in front of the decode chain
+    manypath = str(tmp_path / "docs_many_splits")
+    spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    ).repartition(p + 5, "doc_id").write.parquet(manypath)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    try:
+        # make every small file its own split (openCost fills a bin)
+        # so the layout reads as p+5 splits — like a production scan
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+        many = spark.read.parquet(manypath)
+        assert many.rdd.getNumPartitions() == p + 5
+        assert _spread(many) is many
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
