@@ -167,6 +167,15 @@ def curate_corpus(
 
     Near-dup policy: for every verified pair (id_a < id_b) the LARGER
     id is dropped — greedy, deterministic, one anti-join.
+
+    Cache lifecycle (r11 verdict #3): the survivor set is persisted
+    BEHIND the returned lazy plan (two consumers), so this function
+    cannot unpersist it without forcing eager evaluation — CALLERS own
+    the release, after materializing the result:
+    ``spark.catalog.clearCache()`` (what bench.py and driver_check do
+    between queries) or a targeted ``unpersist()``. Same convention as
+    ``operators/terms.py`` tf/vocab side-tables. At 100 TB the persist
+    becomes a parquet checkpoint and the question disappears.
     """
     scored = quality_columns(ensure_map_parallelism(df), text_col)
     kept = scored.filter(F.col("quality_score") >= quality_threshold)
@@ -228,7 +237,11 @@ def prepare_pretraining_corpus(
     Each stage shrinks the data before the next shuffle; the stages
     are the q51-q86 operators composed, and the whole chain is
     oracle-checked end-to-end (q88). Returns
-    (id, group, n_tokens, chunk_id) — the packed training manifest."""
+    (id, group, n_tokens, chunk_id) — the packed training manifest.
+
+    Cache lifecycle: as in ``curate_corpus`` — the two persisted stage
+    boundaries ride behind the returned lazy plan; callers release
+    them after materialization (clearCache / unpersist)."""
     from anime_data_pipeline_spark.operators.dedup import benchmark_contamination
     from anime_data_pipeline_spark.operators.packing import pack_greedy
     from anime_data_pipeline_spark.operators.textstats import (

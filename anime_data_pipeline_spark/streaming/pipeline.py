@@ -381,7 +381,17 @@ def resplit_events(
             if os.path.isdir(sdir)
             else []
         )
-        assert len(parts) <= 1, f"slice {i}: {len(parts)} files (want <=1)"
+        if len(parts) > 1:
+            # One file IS one micro-batch — silently taking parts[0]
+            # would drop rows from the replay. A real raise (not an
+            # assert, which vanishes under `python -O` — r11 ADVICE
+            # #2) keeps the contract enforced in every interpreter
+            # mode.
+            raise RuntimeError(
+                f"slice {i}: {len(parts)} part-files (want <=1) — "
+                "repartition(n_files, _slice) no longer yields one "
+                "file per slice directory"
+            )
         if not parts:
             # partitionBy skips empty partitions; a slice can be empty
             # when the table has fewer rows than n_files — keep the

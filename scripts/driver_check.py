@@ -178,6 +178,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"  {name}: FAIL — {exc}")
             n_fail += 1
+        finally:
+            # Cache lifecycle (r11 verdict #3): queries that persist()
+            # multi-consumer intermediates (q35/q86/q88/q104, the
+            # tf/vocab side-tables) return lazy plans, so the operator
+            # cannot unpersist without forcing eager evaluation —
+            # CALLERS own the lifecycle. Releasing per query keeps a
+            # 195-query sweep's block manager flat instead of leaking
+            # pinned MEMORY_AND_DISK partitions until LRU eviction.
+            spark.catalog.clearCache()
     print(f"\n{n_pass} oracle-match, {n_rows_only} rows-only, {n_fail} FAIL at {SF_DIR}")
     return 1 if n_fail else 0
 

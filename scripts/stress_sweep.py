@@ -63,9 +63,13 @@ def main() -> int:
     print(f"[stress_sweep] {' '.join(args)}", flush=True)
     t0 = time.monotonic()
     # stream stdout live (a full sweep runs ~30 min — a silent capture
-    # hides progress) while teeing it for the result parse
+    # hides progress) while teeing it for the result parse. stderr
+    # rides the same pipe (r11 ADVICE #4: DEVNULL meant a crashed
+    # sweep recorded "parse-error" with zero diagnostics); the parse
+    # regexes below are anchored tightly enough that log noise cannot
+    # fake a summary line.
     proc = subprocess.Popen(
-        args, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        args, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, bufsize=1,
     )
     captured: list[str] = []

@@ -126,3 +126,43 @@ def test_quantization_recovers_exact_cents_under_double_jitter():
         x = cents / 100.0  # the jittered double
         assert _units(x) == cents * 100
     assert pytest.approx(19.17 * 100) == 1917 and 19.17 * 100 != 1917
+
+
+def test_overflow_mitigation_decimal38_path_parity(spark):
+    """r11 verdict #8: exercise the documented one-cast overflow
+    mitigation (functions/compat.py) BEFORE anyone needs it at 400×.
+    A unit-sum past BIGINT range must (a) fail LOUDLY on the default
+    long path under Spark's ANSI mode — never wrap — and (b) produce
+    the DuckDB-parity answer through
+    ``sum(units.cast("decimal(38,0)"))`` + the shared to-double
+    conversion (DuckDB sums BIGINT into HUGEINT natively; the one
+    identical integer flows through the same IEEE conversion on both
+    sides)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from anime_data_pipeline_spark.functions.compat import (
+        units_money,
+        units_money_sql,
+    )
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    units = [9_000_000_000_000_000_000, 8_500_000_000_000_000_001, 7] * 2
+    assert sum(units) > (1 << 63) - 1  # genuinely past BIGINT
+    sdf = spark.createDataFrame([(u,) for u in units], "units long").repartition(4)
+
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC_OVERFLOW"):
+        sdf.agg(F.sum("units")).collect()
+
+    got = sdf.agg(
+        units_money(F.sum(F.col("units").cast("decimal(38,0)"))).alias("s")
+    ).collect()[0]["s"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(units BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in units])
+    want = con.execute(
+        f"SELECT {units_money_sql('sum(units)')} AS s FROM t"
+    ).fetchone()[0]
+    assert got == want

@@ -633,3 +633,26 @@ def test_spread_rides_the_split_math_probe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_persisted_stage_boundaries_release_with_the_session_cache(spark, sf_dir):
+    """r11 verdict #3: curate_corpus persists its survivor set behind
+    the returned lazy plan (two consumers — LSH signatures and the
+    anti-join left side), so a long-lived multi-query session leaks
+    pinned MEMORY_AND_DISK blocks unless the CALLER releases them.
+    bench.py and driver_check now clearCache per query / after the
+    pass; this pins the whole lifecycle: materializing the plan pins
+    blocks, clearCache frees ALL of them (the persist rides Spark's
+    CacheManager, so no targeted handle is needed)."""
+    from anime_data_pipeline_spark.registry import all_queries
+
+    def n_pinned() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    assert n_pinned() == 0
+    q = all_queries()["q35_curation_pipeline"]
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert n_pinned() > 0  # the probe sees the leak the fix targets
+    spark.catalog.clearCache()
+    assert n_pinned() == 0
