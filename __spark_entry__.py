@@ -52,105 +52,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # (Round 6's q90 rework slipped through the old hand list — shared-
 # source changes are exactly what hand lists miss.)
 
-# (a) changed in round 11 (fingerprint diff vs the r10-end snapshot,
-# QUERY_FINGERPRINTS.json refreshed at 32453d7): the registry-wide
-# retirement of the order-sensitive dround(sum(double)) money
-# convention (r10 verdict #2). Every 2-decimal money/value SUM now
-# rides the q174/q175 integer-units convention (functions/compat.py
-# money_units/units_money): per-row exact BIGINT quantization, exact
-# integer sum, one shared IEEE conversion — engine and oracle moved
-# together, so gate-SF values are unchanged except possibly at .xx5
-# boundaries the old convention resolved by summation order.
+# (a) changed in round 12 (fingerprint diff vs the r11-end snapshot,
+# QUERY_FINGERPRINTS.json refreshed at 24f5950). Three reworks:
+# (1) r11 verdict #1 — `_spread` retired the decode chains' RDD
+#     partition probe and now rides plans.curation.ensure_map_
+#     parallelism keyed on doc_id (leaf-scan split math; RDD count
+#     only as the file-less fallback) → the whole decode/corpus
+#     family re-rows, exactly as the r11 deferral note planned;
+# (2) r11 ADVICE #1 — scan_input_splits mirrors FilePartition's
+#     bin-packing half, and the curate_corpus persist lifecycle is
+#     caller-owned with per-query release (r11 verdict #3) → the
+#     curation chain re-rows;
+# (3) r11 ADVICE #2 — the replay resplit's one-file-per-slice
+#     contract is a real raise instead of a `python -O`-erasable
+#     assert → the resplit/stateful streaming consumers re-row.
 _CHANGED_THIS_ROUND: list[str] = [
-    "q01_pricing_summary",
-    "q03_inner_join_agg",
-    "q04_left_join_nulls",
-    "q06_anti_join_count",
-    "q13_star_join_revenue",
-    "q14_monthly_orders",
-    "q15_rollup",
-    "q16_pivot_status",
-    "q19_sessionize",
-    "q20_tumbling_window",
-    "q47_running_window",
-    # the streaming window/stateful family: the BIGINT units now live
-    # INSIDE the state store (streaming/pipeline.py tumbling_agg /
-    # sliding_agg / session_agg, streaming/stateful.py), so the
-    # emitted totals are batch-split- and arrival-order-insensitive.
-    "q61_stream_tumbling",
-    "q62_stream_sliding",
-    "q63_stream_sessions",
-    "q66_stream_static_enrich",
-    "q68_stream_stateful_stats",
-    "q76_salted_join_hot_key",
-    # riders of the ensure_map_parallelism probe rework (r10 verdict
-    # #5: leaf-scan split math instead of rdd.getNumPartitions —
-    # shuffle-final-safe, no physical planning outside AQE; behavior
-    # at these call sites unchanged, pinned by test_plan_shape.py):
+    # (1) decode/corpus family — the _spread probe swap
+    "q71_multimodal_decode",
+    "q72_multimodal_features",
+    "q73_tag_inference",
+    "q80_video_frame_sample",
+    "q87_audio_chunk_plan",
+    "q106_image_neardup",
+    "q115_png_decode_bucket",
+    "q151_gif_jpeg_decode_bucket",
+    "q177_raster_decode_bucket",
+    "q178_wav_decode_chunk",
+    "q179_video_frame_sample",
+    "q181_image_dedup",
+    "q184_audio_quality_filter",
+    "q187_webp_decode_bucket",
+    "q188_webp_anim_sample",
+    "q190_webp_lossy_decode",
+    "q192_foreign_stream_decode",
+    # (2) curation chain — split-math packing + persist lifecycle
     "q35_curation_pipeline",
     "q88_pretraining_corpus",
     "q104_curation_v2",
-    # ADVICE r10 #1: the ancestor-closure filter's k=0 operand no
-    # longer computes power(10, -1) (greatest-clamped) — correctness
-    # no longer leans on Or short-circuiting under ANSI mode.
-    "q163_hierarchy_flatten",
-    # riders of the resplit_events one-pass rework (r10 verdict #6:
-    # all in-order slices land in one parallel partitionBy write over
-    # a persisted ranked frame — q195's gate wall roughly halved;
-    # slice contents byte-identical, streaming tests green):
+    # (3) replay resplit contract hardening
+    "q68_stream_stateful_stats",
     "q69_stream_foreachbatch_upsert",
     "q111_stream_window_drift",
     "q123_stream_heavy_hitters",
     "q195_stream_late_data",
-    # ADVICE r10 #4: q192's foreign-corpus cache key now reuses the
-    # streaming replay's _source_signature (one signature contract).
-    "q192_foreign_stream_decode",
 ]
 
-# (b) never rowed: none — q195 (the only r10 addition) got its green
-# r10 row; registry growth is frozen per the r8 rule.
+# (b) never rowed: none — registry growth is frozen at 195 for the
+# fourth straight round (r8 rule).
 _NEVER_ROWED: list[str] = []
 
-# (c) reworked last round with only pre-rework rows: none — all 29
-# round-10 changed queries got green r10 rows (50/50 in
-# CORRECTNESS_r10.json).
+# (c) reworked last round with only pre-rework rows: none — all 30
+# round-11 changed queries got green r11 rows (50/50 in
+# CORRECTNESS_r11.json).
 _REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first: the FINAL 14 round-5 rows (r10 verdict #1 —
-    # this completes the flush r9 ordered: after these, every row in
-    # the registry union is >=r6). (a) takes 26 slots, these take 14,
-    # so 10 round-6 rows also fit the 50-row window.
-    "q117_sql_shipping_priority",
-    "q147_last_touch_attribution",
-    "q155_markov_transitions",
-    "q156_source_js_divergence",
-    "q162_correlated_above_nation_avg",
-    "q164_daily_max_concurrency",
-    "q165_calibration_bins",
-    "q166_time_decay_attribution",
-    "q167_rfm_segmentation",
-    "q168_ht_sample_audit",
-    "q169_dau_wau_stickiness",
-    "q170_scd2_dimension",
-    "q171_top_event_paths",
-    "q176_conversion_latency_quantiles",
-    # round-6 rows (35 total; the 10 below fill the window, the rest
-    # queue in the same stale order at 51+ for round 12's (d) block).
-    "q100_bloom_contamination",
-    "q102_incremental_dedup",
-    "q107_bm25_topk",
-    "q109_pmi_collocations",
-    "q110_bm25_rerank",
-    "q118_span_decontaminate",
-    "q119_json_props_extract",
-    "q120_minhash_quality_audit",
-    "q121_embedding_dim_profile",
-    "q122_source_overlap_matrix",
-    # ---- 50-row driver cutoff lands here ----
+    # (d) stalest first: the COMPLETE remaining round-6 cohort — all
+    # 25 rows. (a) takes 25 slots, these take the other 25, so the
+    # window lands exactly on 50 and after this round's driver pass no
+    # row in the registry union predates round 7 (finishing the flush
+    # r10 ordered; the 28 round-7 rows queue at 51+ in the same stale
+    # order for round 13's (d) block).
     "q124_group_quantiles",
     "q125_signature_sidetable",
     "q126_curation_report",
@@ -167,6 +132,33 @@ _PRIORITY = [
     "q30_map_zip_filter",
     "q31_exact_dedup",
     "q33_simhash_fingerprint",
+    "q34_ngram_jaccard_neardup",
+    "q37_name_series_parse",
+    "q40_corpus_profile",
+    "q45_cube_rollup",
+    "q46_set_ops",
+    "q50_ngram_repetition",
+    "q56_tfidf_topk",
+    "q57_stratified_sample",
+    "q59_pii_redact",
+    # ---- 50-row driver cutoff lands here ----
+    # round-7 rows, stalest-order queue for r13
+    "q17_tokenize_normalize",
+    "q18_regex_extract",
+    "q24_novelai_order",
+    "q25_clean_caption",
+    "q26_clean_tags",
+    "q38_asof_join",
+    "q39_range_join",
+    "q51_token_counts",
+    "q52_quality_score",
+    "q53_language_id",
+    "q54_winnow_fingerprints",
+    "q55_quality_rollup",
+    "q58_pack_chunks",
+    "q67_pack_greedy",
+    "q70_webdataset_roundtrip",
+    "q74_snapshot_diff",
 ]
 
 
