@@ -557,6 +557,19 @@ def test_split_math_mirrors_bin_packing_on_many_tiny_files(spark, tmp_path):
         if est < p:
             # and the guard must now SEE the under-split and fan out
             assert ensure_map_parallelism(scan).rdd.getNumPartitions() == p
+
+        # odd-count edge (13 tiny files, default 4MB openCost —
+        # bytes_per_core regime packs several chunks per bin): a
+        # second point from the 32-config parity sweep this mirror was
+        # validated against (8 layouts × 4 conf regimes, 0 mismatches)
+        spark.conf.set("spark.sql.files.openCostInBytes", "4MB")
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+        odd = str(tmp_path / "tiny13")
+        spark.range(0, 13).repartition(13).write.parquet(odd)
+        scan13 = spark.read.parquet(odd)
+        est13 = scan_input_splits(scan13)
+        assert est13 == scan13.rdd.getNumPartitions(), est13
+        assert est13 < 13  # packed, not one-partition-per-file
     finally:
         for k, v in saved.items():
             if v is None:
