@@ -487,6 +487,23 @@ def connected_components(
     Sets ``connected_components.last_rounds`` for round-count tests
     (diagnostic only; not safe across concurrent jobs in one process).
     """
+    def _ckpt_release(df: DataFrame | None) -> None:
+        """Unpersist a SUPERSEDED localCheckpoint generation. Each
+        round pins its edge snapshot until JVM GC (ContextCleaner), so
+        without this the loop accumulates one dead pinned RDD per
+        round for the session lifetime — clearCache cannot release
+        checkpoint RDDs (they bypass the CacheManager). Only safe on
+        generations nothing references anymore: a truncated-lineage
+        RDD cannot be recomputed after unpersist, which is why the
+        FINAL edge set (referenced by the returned lazy plan) is never
+        released here."""
+        if df is None:
+            return
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # diagnostics-only cleanup; never fail the query
+
     e = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -497,6 +514,7 @@ def connected_components(
     prev_e: DataFrame | None = None
     for i in range(max_iters):
         new_e = _small_star(_large_star(e)).localCheckpoint()
+        _ckpt_release(prev_e)  # generation k-2: no longer referenced
         prev_e, e = e, new_e
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
@@ -509,6 +527,9 @@ def connected_components(
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig and e.exceptAll(prev_e).isEmpty():
             connected_components.last_rounds = i + 1
+            # the exact confirmation was prev_e's last consumer; only
+            # the final e rides behind the returned plan
+            _ckpt_release(prev_e)
             # At the fixpoint every edge is (node, root); roots and
             # isolated nodes label themselves.
             star = e.groupBy(F.col("src").alias("node")).agg(

@@ -753,16 +753,31 @@ def semantic_dedup(
     aggregation: keep ⇔ id == component.
 
     Returns (vec_id, cell, component, keep)."""
+    from pyspark import StorageLevel
+
     from anime_data_pipeline_spark.operators.dedup import connected_components
 
-    c = assign_cells(
-        corpus.select(
-            F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
-        ),
-        "vec_id",
-        "v",
-        centroids,
-    ).withColumn("n", F.sqrt(sq_norm(F.col("v"))))
+    c = (
+        assign_cells(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
+            ),
+            "vec_id",
+            "v",
+            centroids,
+        )
+        .withColumn("n", F.sqrt(sq_norm(F.col("v"))))
+        # The assignment subtree feeds FOUR consumers (both self-join
+        # sides, the CC node list, the final labelling join) and its
+        # lineage holds the scan + float→double conversion + k-way
+        # centroid scoring — persist the (cell, id, v, n) rows once
+        # instead of recomputing that forest per consumer. Cache
+        # lifecycle follows plans/curation.curate_corpus: the persist
+        # rides behind the returned lazy plan, CALLERS release it
+        # (clearCache / unpersist) after materialization. At 100 TB
+        # this is the stage boundary you'd parquet-checkpoint.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = c.alias("a"), c.alias("b")
     pairs = (
         a.join(

@@ -685,19 +685,118 @@ def _dup_unit_fracs(text: Column, sep: str) -> tuple[Column, Column]:
     return dup_frac, dup_char
 
 
+def _gram_metrics_udf(top_ns: tuple[int, ...], dup_ns: tuple[int, ...]):
+    """Vectorized per-document n-gram repetition metrics as an
+    Arrow-batched pandas UDF: text crosses to Python once per batch,
+    tokens are integer-coded with one ``pd.factorize`` pass, windows
+    come from ``sliding_window_view``, and per-(doc, gram) counting is
+    one lexicographic ``np.unique(axis=0)`` per n — all doc-local, so
+    the operator is MAP-ONLY (no explode, no exchange, no join back).
+
+    This is the measured-fast path (same rationale as
+    ``dedup.simhash_arrow_udf``): the native form builds every gram
+    string through Catalyst's INTERPRETED higher-order evaluator and
+    then shuffles (id, n, gram) rows through two aggregations and a
+    join — ~3× the wall time at sf0.1 — even though every key is
+    doc-local. Both produce identical integers (token equality ⇔ gram
+    equality since tokens cannot contain the join character), pinned
+    by tests/test_textstats.py; the native form remains as the
+    expression-only variant the DuckDB oracle mirrors 1:1.
+
+    Returns a pandas UDF: text column → struct of ``_top{n}``
+    (lexicographic-max (count, mass) → mass, 0 when no gram repeats)
+    and ``_dup{n}`` (Σ count·mass over repeated grams) longs, where
+    mass = count × (gram chars − joining spaces)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.functions import pandas_udf
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    fields = [f"_top{n}" for n in top_ns] + [f"_dup{n}" for n in dup_ns]
+    schema = ", ".join(f"{f} long" for f in fields)
+
+    def gm(texts):
+        n_docs = len(texts)
+        toks_per_doc = [
+            [t for t in s.split(" ") if t] if isinstance(s, str) else []
+            for s in texts
+        ]
+        lens = np.fromiter(
+            (len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_docs
+        )
+        total = int(lens.sum())
+        out = {f: np.zeros(n_docs, dtype=np.int64) for f in fields}
+        if total:
+            flat = np.empty(total, dtype=object)
+            i = 0
+            for ts in toks_per_doc:
+                flat[i : i + len(ts)] = ts
+                i += len(ts)
+            codes = pd.factorize(flat)[0].astype(np.int64)
+            charlen = np.fromiter(
+                (len(t) for t in flat), dtype=np.int64, count=total
+            )
+            cs = np.concatenate(([0], np.cumsum(charlen)))
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
+            lens_of = np.repeat(lens, lens)
+            for n in all_ns:
+                if total < n:
+                    continue
+                # window at global start i stays inside its doc iff
+                # its doc still has >= n tokens from position pos[i]
+                starts = np.nonzero((pos <= lens_of - n)[: total - n + 1])[0]
+                if starts.size == 0:
+                    continue
+                rows = np.column_stack(
+                    (doc_of[starts], sliding_window_view(codes, n)[starts])
+                )
+                uniq, first_idx, counts = np.unique(
+                    rows, axis=0, return_index=True, return_counts=True
+                )
+                c = counts.astype(np.int64)
+                rd = uniq[:, 0]
+                sl = cs[starts + n] - cs[starts]
+                m = c * sl[first_idx]
+                sel = c >= 2
+                if n in dup_ns:
+                    np.add.at(out[f"_dup{n}"], rd[sel], m[sel])
+                if n in top_ns:
+                    maxc = np.zeros(n_docs, dtype=np.int64)
+                    np.maximum.at(maxc, rd[sel], c[sel])
+                    is_top = sel & (c == maxc[rd])
+                    np.maximum.at(out[f"_top{n}"], rd[is_top], m[is_top])
+        return pd.DataFrame(out)
+
+    # `from __future__ import annotations` stringifies inline hints;
+    # pandas_udf needs the real objects (same fix as simhash_arrow_udf).
+    gm.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(gm, schema)
+
+
 def repetition_signals(
     df: DataFrame,
     id_col: str,
     text_col: str,
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 10),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document Gopher Table A2 repetition metrics plus the
     conjunction ``repetition_keep`` (every metric at or under its
     published threshold). Fractions are raw doubles — callers round
     for oracle hashing; the keep flag is computed pre-rounding.
     NULL text counts as empty (all-zero metrics, keep=true), matching
-    the coalesce in :func:`repetition_sql`."""
+    the coalesce in :func:`repetition_sql`.
+
+    ``impl="arrow"`` (default) computes the n-gram metrics doc-locally
+    in one vectorized pandas UDF (:func:`_gram_metrics_udf`) — the
+    whole operator becomes one map-only projection, no exchange;
+    ``impl="native"`` keeps the explode → two aggregations → join
+    Catalyst form (the shape the DuckDB oracle mirrors). Outputs are
+    bit-identical (pinned by tests)."""
     if not top_ns and not dup_ns:
         raise ValueError("at least one of top_ns/dup_ns must be non-empty")
     all_ns = sorted(set(top_ns) | set(dup_ns))
@@ -711,7 +810,21 @@ def repetition_signals(
         line_cf.alias("dup_line_char_frac"),
         para_f.alias("dup_para_frac"),
         para_cf.alias("dup_para_char_frac"),
+        *([F.col(text_col).alias("_gm_text")] if impl == "arrow" else []),
     )
+
+    if impl == "arrow":
+        gm = _gram_metrics_udf(tuple(top_ns), tuple(dup_ns))
+        out = (
+            base.withColumn("_gm", gm(F.col("_gm_text")))
+            .select(
+                "*",
+                *[F.col(f"_gm._top{n}").alias(f"_top{n}") for n in top_ns],
+                *[F.col(f"_gm._dup{n}").alias(f"_dup{n}") for n in dup_ns],
+            )
+            .drop("_gm", "_gm_text")
+        )
+        return _repetition_finish(out, top_ns, dup_ns)
 
     # One explode serves every n: array of (n, gram) structs per doc.
     empty = F.array().cast("array<struct<n:int,g:string>>")
@@ -760,6 +873,15 @@ def repetition_signals(
     )
 
     out = base.join(per_doc, base[id_col] == per_doc["_id"], "left").drop("_id")
+    return _repetition_finish(out, top_ns, dup_ns)
+
+
+def _repetition_finish(
+    out: DataFrame, top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> DataFrame:
+    """Shared tail of :func:`repetition_signals`: fractions from the
+    per-doc ``_top{n}``/``_dup{n}`` integers (NULL and 0 coalesce the
+    same way, so both impls land here) plus the keep conjunction."""
     keep = (
         (F.col("dup_line_frac") <= GOPHER_DUP_LINE_MAX)
         & (F.col("dup_para_frac") <= GOPHER_DUP_PARA_MAX)

@@ -244,20 +244,25 @@ def prepare_pretraining_corpus(
     them after materialization (clearCache / unpersist)."""
     from anime_data_pipeline_spark.operators.dedup import benchmark_contamination
     from anime_data_pipeline_spark.operators.packing import pack_greedy
-    from anime_data_pipeline_spark.operators.textstats import (
-        language_id,
-        ws_token_count,
-    )
+    from anime_data_pipeline_spark.operators.textstats import language_id
 
     from pyspark import StorageLevel
 
     scored = quality_columns(
         language_id(ensure_map_parallelism(docs), text_col), text_col
     )
+    # Project before the exchange: the dedup window shuffles whole
+    # rows by (_ch, _ch2), and everything past the quality gate needs
+    # only (id, group, text) plus the token count the packing stage
+    # consumes — which quality_columns already computed (``n_tokens``
+    # IS ws_token_count's expression). Carrying the 8-byte count
+    # instead of re-tokenizing the survivors at the packing stage, and
+    # dropping the other 9 scored columns, shrinks every downstream
+    # shuffle and the persisted stage boundaries.
     kept = scored.filter(
         (F.col("pred_lang") == lang)
         & (F.col("quality_score") >= quality_threshold)
-    )
+    ).select(id_col, group_col, text_col, "n_tokens")
 
     hashed = kept.withColumn("_ch", polyhash(F.col(text_col))).withColumn(
         "_ch2", polyhash2(F.col(text_col))
@@ -289,7 +294,5 @@ def prepare_pretraining_corpus(
     )
     clean = survivors.join(contaminated, id_col, "left_anti")
 
-    weighted = clean.select(
-        id_col, group_col, ws_token_count(F.col(text_col)).alias("n_tokens")
-    )
+    weighted = clean.select(id_col, group_col, "n_tokens")
     return pack_greedy(weighted, group_col, id_col, "n_tokens", budget)

@@ -288,7 +288,15 @@ def q60_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_columns(corpus, "text").select(
         "doc_id", F.col("quality_score").alias("q")
     )
-    joined = comp.join(scored, "doc_id")
+    from pyspark import StorageLevel
+
+    # (component, doc_id, q) feeds three consumers — the keeper window,
+    # the stats aggregation, and (through both) the final join — and
+    # its lineage holds the quality-regex forest over the full corpus
+    # text; persist the 3-column rows once instead of recomputing that
+    # scan per consumer. Lifecycle: callers release via clearCache, the
+    # repo-wide convention (plans/curation.curate_corpus).
+    joined = comp.join(scored, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("doc_id").asc())
     best = (
         joined.withColumn("_rn", F.row_number().over(w))

@@ -663,6 +663,19 @@ def test_persisted_stage_boundaries_release_with_the_session_cache(spark, sf_dir
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
     spark.catalog.clearCache()
+    # Earlier tests that BUILD connected-components queries (plan
+    # construction runs the CC loop) each leave one localCheckpoint
+    # RDD pinned behind their returned-and-dropped plan; checkpoints
+    # bypass the CacheManager, so clearCache cannot release them and
+    # they wait on JVM GC (inherited order-dependent flake, found in
+    # r12: the file failed standalone at any pre-r12 rev whenever
+    # test_no_unbounded_global_window_anywhere preceded this test).
+    # Those plans are dead here — release the leftovers directly so
+    # this test asserts OUR persist lifecycle, not GC timing.
+    leftovers = spark.sparkContext._jsc.getPersistentRDDs()
+    it = leftovers.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
     assert n_pinned() == 0
     q = all_queries()["q35_curation_pipeline"]
     q(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -122,3 +122,28 @@ def test_repetition_signals_match_python_reference(spark):
             assert have[k] == v, (
                 f"doc {doc_id} {k}: spark={have[k]} py={v} text={text!r}"
             )
+
+
+def test_repetition_signals_arrow_matches_native(spark):
+    """The r12 map-only Arrow gram path must be bit-identical to the
+    native explode→aggregate→join form (the shape the oracle mirrors),
+    including NULL text and the pinned edge docs."""
+    from anime_data_pipeline_spark.operators.textstats import repetition_signals
+
+    rng = random.Random(8212)
+    docs = [(i, _random_doc(rng)) for i in range(120)]
+    docs += [
+        (1000, ""),
+        (1001, " "),
+        (1002, None),
+        (1003, "solo"),
+        (1004, "x x x x x x x x x x"),
+        (1005, "p q\n\np q\n\np q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = repetition_signals(df, "doc_id", "text", impl="native")
+    b = repetition_signals(df, "doc_id", "text", impl="arrow")
+    assert a.schema == b.schema
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
