@@ -53,7 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # source changes are exactly what hand lists miss.)
 
 # (a) changed in round 12 (fingerprint diff vs the r11-end snapshot,
-# QUERY_FINGERPRINTS.json refreshed at 24f5950). Three reworks:
+# QUERY_FINGERPRINTS.json refreshed at 24f5950). Two change waves:
+#
+# Wave 1 (build-phase carryover):
 # (1) r11 verdict #1 — `_spread` retired the decode chains' RDD
 #     partition probe and now rides plans.curation.ensure_map_
 #     parallelism keyed on doc_id (leaf-scan split math; RDD count
@@ -66,6 +68,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # (3) r11 ADVICE #2 — the replay resplit's one-file-per-slice
 #     contract is a real raise instead of a `python -O`-erasable
 #     assert → the resplit/stateful streaming consumers re-row.
+#
+# Wave 2 (optimization round; every change oracle-verified exact, see
+# OPTIMIZATION_r12.md):
+# (4) persisted multi-consumer stage boundaries (semantic_dedup cell
+#     assignment, q60's component/quality table, incremental dedup's
+#     per-side signature tables) and projection trims before the
+#     exact-dedup windows → the curation/dedup/similarity consumers;
+# (5) repetition_signals' map-only Arrow gram path (native form kept
+#     as the oracle mirror) → q194;
+# (6) F.expr spellings of the token/shingle-hash chains (identical
+#     Catalyst nodes, ~1 py4j round-trip instead of ~1500) → the span/
+#     DSIR/winnow/ngram consumers;
+# (7) connected-components / graph loops: lazy localCheckpoints and
+#     superseded-generation release → the CC/pagerank/HITS consumers.
 _CHANGED_THIS_ROUND: list[str] = [
     # (1) decode/corpus family — the _spread probe swap
     "q71_multimodal_decode",
@@ -85,7 +101,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q188_webp_anim_sample",
     "q190_webp_lossy_decode",
     "q192_foreign_stream_decode",
-    # (2) curation chain — split-math packing + persist lifecycle
+    # (2) curation chain — split-math packing + persist lifecycle,
+    # then the wave-2 projection trims and persisted boundaries
     "q35_curation_pipeline",
     "q88_pretraining_corpus",
     "q104_curation_v2",
@@ -95,6 +112,33 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q111_stream_window_drift",
     "q123_stream_heavy_hitters",
     "q195_stream_late_data",
+    # (4-7) optimization-round rework set (fingerprint diff)
+    "q194_repetition_signals",
+    "q86_semantic_dedup",
+    "q60_cluster_resolve",
+    "q102_incremental_dedup",
+    "q101_span_dedup",
+    "q118_span_decontaminate",
+    "q95_dsir_logweights",
+    "q114_gumbel_resample",
+    "q50_ngram_repetition",
+    "q54_winnow_fingerprints",
+    "q32_minhash_lsh_neardup",
+    "q34_ngram_jaccard_neardup",
+    "q36_neardup_clusters",
+    "q96_editdist_verify",
+    "q100_bloom_contamination",
+    "q120_minhash_quality_audit",
+    "q125_signature_sidetable",
+    "q161_containment_dedup",
+    "q78_contamination_check",
+    "q91_leakage_safe_split",
+    "q154_pagerank",
+    "q157_hits",
+    "q186_domain_pagerank",
+    "q156_source_js_divergence",
+    "q163_hierarchy_flatten",
+    "q193_fasttext_quality_filter",
 ]
 
 # (b) never rowed: none — registry growth is frozen at 195 for the
@@ -110,14 +154,14 @@ _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first: the COMPLETE remaining round-6 cohort — all
-    # 25 rows. (a) takes 25 slots, these take the other 25, so the
-    # window lands exactly on 50 and after this round's driver pass no
-    # row in the registry union predates round 7 (finishing the flush
-    # r10 ordered; the 28 round-7 rows queue at 51+ in the same stale
-    # order for round 13's (d) block).
+    # (d) stalest first: the remaining round-6 cohort. The wave-2
+    # optimization rework set grew (a) past 50, so this block now
+    # queues BEHIND the 50-row window (changed-first is the rule:
+    # never newer-before-never-rowed, and every (a) entry was reworked
+    # this round); entries that joined (a) above (q125/q34/q50) are
+    # removed here rather than duplicated. The cohort keeps its stale
+    # order for round 13's (d) block.
     "q124_group_quantiles",
-    "q125_signature_sidetable",
     "q126_curation_report",
     "q127_cdc_chunks",
     "q128_length_buckets",
@@ -132,12 +176,10 @@ _PRIORITY = [
     "q30_map_zip_filter",
     "q31_exact_dedup",
     "q33_simhash_fingerprint",
-    "q34_ngram_jaccard_neardup",
     "q37_name_series_parse",
     "q40_corpus_profile",
     "q45_cube_rollup",
     "q46_set_ops",
-    "q50_ngram_repetition",
     "q56_tfidf_topk",
     "q57_stratified_sample",
     "q59_pii_redact",
@@ -153,7 +195,6 @@ _PRIORITY = [
     "q51_token_counts",
     "q52_quality_score",
     "q53_language_id",
-    "q54_winnow_fingerprints",
     "q55_quality_rollup",
     "q58_pack_chunks",
     "q67_pack_greedy",

@@ -113,6 +113,41 @@ def shingle_hashes(th: Column, n: int = 3) -> Column:
     )
 
 
+def polyhash_spark_expr(v: str) -> str:
+    """:func:`polyhash` as Spark-SQL TEXT — parses to the identical
+    Aggregate/Transform Catalyst nodes as the Column spelling, for ONE
+    py4j round-trip instead of ~20 (the expression-build latency class
+    documented on operators/dedup.shingle_hash_sets)."""
+    return (
+        f"aggregate(transform(split({v}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {P})"
+    )
+
+
+def tokens_spark_expr(text_col: str) -> str:
+    """functions.text.tokens as Spark-SQL text (same nodes)."""
+    return f"filter(split(`{text_col}`, ' '), t -> t != '')"
+
+
+def token_hashes_spark_expr(toks_expr: str) -> str:
+    """Per-token :func:`polyhash` array as Spark-SQL text."""
+    return f"transform({toks_expr}, t -> {polyhash_spark_expr('t')})"
+
+
+def shingle_hashes_spark_expr(th: str, n: int = 3) -> str:
+    """:func:`shingle_hashes` as Spark-SQL text (identical nodes; the
+    py4j cost of the Column form grows with n — n=10 span hashing costs
+    ~100 round-trips per consumer)."""
+    v = f"element_at({th}, i)"
+    for j in range(1, n):
+        v = f"(({v}) * 31 + element_at({th}, i + {j})) % {P}"
+    return (
+        f"CASE WHEN size({th}) >= {n} THEN "
+        f"transform(sequence(1, size({th}) - {n - 1}), i -> {v}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
 def shingle_hashes_sql(th_expr: str, n: int = 3) -> str:
     """The identical shingle-hash fold as DuckDB SQL (1-based lists)."""
     v = f"{th_expr}[i]"

@@ -37,6 +37,9 @@ from anime_data_pipeline_spark.functions.hashing import (
     polyhash,
     polyhash2,
     shingle_hashes,
+    shingle_hashes_spark_expr,
+    token_hashes_spark_expr,
+    tokens_spark_expr,
 )
 from anime_data_pipeline_spark.functions.text import tokens
 
@@ -58,8 +61,16 @@ def _polyhash_expr(v: str) -> str:
     )
 
 
-def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc, hashes) — distinct n-token shingle hashes per document.
+def shingle_hash_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc, [carry...], hashes) — distinct n-token shingle hashes per
+    document; ``carry`` columns ride through the projection (so callers
+    that also need sibling columns don't pay a join-back).
 
     Tokens are hashed once per row (materialized column), then shingle
     hashes are folded from the token-hash array in O(n) each — the
@@ -84,9 +95,11 @@ def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
         f"array_distinct(transform(sequence(1, size(_th) - {n - 1}), i -> {v})) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    return df.select(F.col(id_col).alias("doc"), F.expr(th).alias("_th")).select(
-        "doc", F.expr(sh).alias("hashes")
-    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in carry],
+        F.expr(th).alias("_th"),
+    ).select("doc", *carry, F.expr(sh).alias("hashes"))
 
 
 def minhash_signature(hashes: Column, k: int = 12) -> Column:
@@ -504,16 +517,20 @@ def connected_components(
         except Exception:
             pass  # diagnostics-only cleanup; never fail the query
 
+    # Checkpoints are LAZY (eager=False): each round's signature agg
+    # below is the first action and materializes the checkpoint in the
+    # SAME job, where the eager form paid one extra materialization job
+    # per round — pure scheduling overhead on the critical path.
     e = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sig: tuple[int, int] | None = None
     prev_e: DataFrame | None = None
     for i in range(max_iters):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         _ckpt_release(prev_e)  # generation k-2: no longer referenced
         prev_e, e = e, new_e
         sig_row = e.agg(
@@ -788,18 +805,28 @@ def incremental_dedup_status(
             .withColumn("chash", polyhash(F.col("_t")))
             .withColumn("chash2", polyhash2(F.col("_t")))
         )
-        hashed = shingle_hash_sets(withc, "doc", "_t", n).withColumn(
-            "sig", minhash_signature_expr("hashes", k)
+        # One persisted signature table per side: its three projections
+        # (content-hash join side, shingle-set verify side, band
+        # explode) otherwise EACH re-run the tokenize → shingle →
+        # minhash forest over the raw text — 3× the map CPU of the
+        # whole operator. Same pattern (and caller-owned release
+        # lifecycle) as minhash_lsh_pairs' signature table; at 100 TB
+        # history's table is the persisted parquet side-table the
+        # docstring describes.
+        full = (
+            shingle_hash_sets(withc, "doc", "_t", n, carry=("chash", "chash2"))
+            .withColumn("sig", minhash_signature_expr("hashes", k))
+            .persist()
         )
-        bandsdf = hashed.select(
+        bandsdf = full.select(
             "doc",
             F.posexplode(band_values_expr("sig", bands, rows)).alias(
                 "band_idx", "band_val"
             ),
         )
         return (
-            withc.select("doc", "chash", "chash2"),
-            hashed.select("doc", "hashes"),
+            full.select("doc", "chash", "chash2"),
+            full.select("doc", "hashes"),
             bandsdf,
         )
 
@@ -889,10 +916,10 @@ def remove_duplicate_spans(
         df.select(
             F.col(id_col).alias("doc"),
             *[F.col(c) for c in carry],
-            tokens(F.col(text_col)).alias("_toks"),
+            F.expr(tokens_spark_expr(text_col)).alias("_toks"),
         )
-        .withColumn("_th", F.transform(F.col("_toks"), polyhash))
-        .withColumn("_sh", shingle_hashes(F.col("_th"), n))
+        .withColumn("_th", F.expr(token_hashes_spark_expr("_toks")))
+        .withColumn("_sh", F.expr(shingle_hashes_spark_expr("_th", n)))
     )
     spans = base.select("doc", F.posexplode("_sh").alias("pos0", "sh"))
     dup = (
@@ -961,10 +988,10 @@ def remove_contaminated_spans(
         corpus.select(
             F.col(id_col).alias("doc"),
             *[F.col(c) for c in carry],
-            tokens(F.col(text_col)).alias("_toks"),
+            F.expr(tokens_spark_expr(text_col)).alias("_toks"),
         )
-        .withColumn("_th", F.transform(F.col("_toks"), polyhash))
-        .withColumn("_sh", shingle_hashes(F.col("_th"), n))
+        .withColumn("_th", F.expr(token_hashes_spark_expr("_toks")))
+        .withColumn("_sh", F.expr(shingle_hashes_spark_expr("_th", n)))
     )
     universe = (
         bench.select(

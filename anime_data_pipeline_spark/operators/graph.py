@@ -45,7 +45,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -53,7 +53,7 @@ def pagerank(
 
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(int(n_iter)):
         with_deg = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
             ranks["node"], "pr", "deg"
@@ -80,7 +80,7 @@ def pagerank(
                     + d * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.col("n"))
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -112,14 +112,14 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scores = nodes.crossJoin(F.broadcast(n_total)).select(
         "node",
         (F.lit(1.0) / F.col("n")).alias("hub"),
         (F.lit(1.0) / F.col("n")).alias("auth"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(int(n_iter)):
         a_raw = (
             e.join(
@@ -135,7 +135,7 @@ def hits(
         a_sum = auth.agg(F.sum("a").alias("asum"))
         auth = auth.crossJoin(F.broadcast(a_sum)).select(
             "node", (F.col("a") / F.col("asum")).alias("auth")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         h_raw = (
             e.join(
                 auth.select(F.col("node").alias("_v"), "auth"),
@@ -150,7 +150,7 @@ def hits(
         h_sum = hub.agg(F.sum("h").alias("hsum"))
         hub = hub.crossJoin(F.broadcast(h_sum)).select(
             "node", (F.col("h") / F.col("hsum")).alias("hub")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         scores = hub.join(auth, "node").select("node", "hub", "auth")
     return scores
 
@@ -259,7 +259,7 @@ def pointer_jump_roots(
         .otherwise(F.lit(1))
         .cast("long")
         .alias("d"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(int(n_rounds)):
         nxt = state.select(
             F.col("node").alias("_n2"), F.col("anc").alias("_a2"), F.col("d").alias("_d2")
@@ -271,6 +271,6 @@ def pointer_jump_roots(
                 F.col("_a2").alias("anc"),
                 (F.col("d") + F.col("_d2")).alias("d"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))

@@ -36,7 +36,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.hashing import P, shingle_hashes
+from anime_data_pipeline_spark.functions.hashing import (
+    P,
+    polyhash_spark_expr,
+    shingle_hashes,
+    shingle_hashes_spark_expr,
+    token_hashes_spark_expr,
+    tokens_spark_expr,
+)
 from anime_data_pipeline_spark.functions.text import tokens
 
 DEFAULT_BUCKETS = 1024
@@ -73,18 +80,20 @@ def doc_bucket_counts(
     re-evaluated per reference (the expression-tree discipline from
     SCALE.md; measured 8× on this operator).
     """
-    toks = F.col(text_col) if pretokenized else tokens(F.col(text_col))
+    toks_expr = f"`{text_col}`" if pretokenized else tokens_spark_expr(text_col)
     th_df = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in carry],
-        F.transform(toks, _token_hash).alias("_th"),
+        F.expr(token_hashes_spark_expr(toks_expr)).alias("_th"),
     )
-    grams = F.concat(F.col("_th"), shingle_hashes(F.col("_th"), 2))
+    grams = f"concat(_th, {shingle_hashes_spark_expr('_th', 2)})"
     return (
         th_df.select(
             "doc",
             *carry,
-            F.explode(F.transform(grams, lambda h: h % F.lit(buckets))).alias("bucket"),
+            F.explode(
+                F.expr(f"transform({grams}, h -> h % {buckets})")
+            ).alias("bucket"),
         )
         .groupBy("doc", *carry, "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -270,12 +279,14 @@ def group_js_divergence(
     pair join produces |groups|²·B rows; group cardinality is sources
     (small) by construction.
     """
-    toks = tokens(F.col(text_col))
     counts = (
         df.select(
             F.col(group_col).alias("grp"),
             F.explode(
-                F.transform(toks, lambda t: _token_hash(t) % F.lit(buckets))
+                F.expr(
+                    f"transform({tokens_spark_expr(text_col)}, "
+                    f"t -> ({polyhash_spark_expr('t')}) % {buckets})"
+                )
             ).alias("bucket"),
         )
         .groupBy("grp", "bucket")

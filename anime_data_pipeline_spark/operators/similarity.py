@@ -1007,6 +1007,12 @@ def knn_graph(
         .withColumn("bucket", srp_bucket("cv", planes, dim=dim))
         .withColumn("cn", F.sqrt(sq_norm(F.col("cv"))))
     )
+    # NOT persisted although two subtrees consume `c`: both consumers
+    # sit above the same bucket-join exchange, so ReusedExchange
+    # already shares the heavy work, and an explicit persist here
+    # measured SLOWER (3.9 vs 2.4 s best at sf0.1) — the cache barrier
+    # blocks codegen fusion and exchange reuse (same finding as
+    # dsir_logweights' two-pass shape).
     probes = [
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from anime_data_pipeline_spark.functions.compat import dround
-from anime_data_pipeline_spark.functions.hashing import polyhash, shingle_hashes
+from anime_data_pipeline_spark.functions.hashing import (
+    polyhash,
+    shingle_hashes,
+    shingle_hashes_spark_expr,
+    token_hashes_spark_expr,
+    tokens_spark_expr,
+)
 from anime_data_pipeline_spark.functions.text import tokens
 
 
@@ -115,9 +121,11 @@ def ngram_repetition_profile(
     grams = (
         df.select(
             F.col(id_col).alias("doc"),
-            F.transform(tokens(F.col(text_col)), polyhash).alias("_th"),
+            F.expr(
+                token_hashes_spark_expr(tokens_spark_expr(text_col))
+            ).alias("_th"),
         )
-        .withColumn("gram", F.explode(shingle_hashes(F.col("_th"), n)))
+        .withColumn("gram", F.explode(F.expr(shingle_hashes_spark_expr("_th", n))))
         .select("doc", "gram")
     )
     per_gram = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))

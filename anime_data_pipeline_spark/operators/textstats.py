@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from anime_data_pipeline_spark.functions.hashing import polyhash, shingle_hashes
+from anime_data_pipeline_spark.functions.hashing import (
+    polyhash,
+    shingle_hashes,
+    shingle_hashes_spark_expr,
+    token_hashes_spark_expr,
+    tokens_spark_expr,
+)
 from anime_data_pipeline_spark.functions.text import tokens
 
 # Engine-portable "BPE-ish" pre-tokenizer: letter runs, digit runs,
@@ -194,9 +200,11 @@ def winnow_fingerprints(
     df = (
         df.select(
             F.col(id_col).alias("doc"),
-            F.transform(tokens(F.col(text_col)), polyhash).alias("_wn_th"),
+            F.expr(
+                token_hashes_spark_expr(tokens_spark_expr(text_col))
+            ).alias("_wn_th"),
         )
-        .withColumn(kg, shingle_hashes(F.col("_wn_th"), k))
+        .withColumn(kg, F.expr(shingle_hashes_spark_expr("_wn_th", k)))
     )
     n_win = F.size(F.col(kg)) - (w - 1)
     # Shorter docs (some k-grams but fewer than one full window) emit

@@ -178,7 +178,17 @@ def curate_corpus(
     becomes a parquet checkpoint and the question disappears.
     """
     scored = quality_columns(ensure_map_parallelism(df), text_col)
-    kept = scored.filter(F.col("quality_score") >= quality_threshold)
+    # Project before the exchange (same discipline as
+    # prepare_pretraining_corpus): the keeper window shuffles whole
+    # rows by (_ch, _ch2); every consumer of the curated corpus (q35's
+    # projection, the LSH signature build, the recall/editdist tests)
+    # reads only (id, text, n_tokens, quality_score), so the other six
+    # scored ratio columns are dead weight through the shuffle and the
+    # persisted survivor set.
+    other = [c for c in df.columns if c not in (id_col, text_col)]
+    kept = scored.filter(F.col("quality_score") >= quality_threshold).select(
+        id_col, text_col, *other, "n_tokens", "quality_score"
+    )
 
     # exact dedup: keep the min-id row per content-hash PAIR. Two
     # independent polynomial hashes (base 31 + 37) push the per-pair

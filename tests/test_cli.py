@@ -140,10 +140,24 @@ def test_priority_front_loads_unrowed_and_changed():
     never_rowed = {n for n in all_queries() if n not in rowed}
     need = never_rowed | set(ent._CHANGED_THIS_ROUND) | set(ent._REWORKED_LAST_ROUND)
     first50 = set(list(ent.queries())[:50])
-    left_out = sorted(need - first50)
-    assert not left_out, (
-        f"priority rule violated — these must be in the first 50: {left_out}"
-    )
+    if len(need) <= 50:
+        left_out = sorted(need - first50)
+        assert not left_out, (
+            f"priority rule violated — these must be in the first 50: {left_out}"
+        )
+    else:
+        # Overflow case (first hit in r12: the optimization round's
+        # fingerprint rework set alone exceeds the driver's 50-row
+        # window). The rule's substance — no window slot goes to a
+        # query that is neither changed nor unrowed while needy ones
+        # queue — is still enforceable: every first-50 slot must be a
+        # needy query. The overflow entries queue at 51+ and the
+        # driver's full-registry oracle re-run still covers them.
+        wasted = sorted(first50 - need)
+        assert not wasted, (
+            f"priority rule violated — first-50 slots spent on "
+            f"un-needy queries while the changed set overflows: {wasted}"
+        )
     # the hand-maintained never-rowed list must match the recomputed one
     assert never_rowed <= set(ent._NEVER_ROWED) | set(ent._CHANGED_THIS_ROUND), (
         f"queries with no driver row missing from _NEVER_ROWED: "
