@@ -52,115 +52,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # (Round 6's q90 rework slipped through the old hand list — shared-
 # source changes are exactly what hand lists miss.)
 
-# (a) changed in round 12 (fingerprint diff vs the r11-end snapshot,
-# QUERY_FINGERPRINTS.json refreshed at 24f5950). Two change waves:
-#
-# Wave 1 (build-phase carryover):
-# (1) r11 verdict #1 — `_spread` retired the decode chains' RDD
-#     partition probe and now rides plans.curation.ensure_map_
-#     parallelism keyed on doc_id (leaf-scan split math; RDD count
-#     only as the file-less fallback) → the whole decode/corpus
-#     family re-rows, exactly as the r11 deferral note planned;
-# (2) r11 ADVICE #1 — scan_input_splits mirrors FilePartition's
-#     bin-packing half, and the curate_corpus persist lifecycle is
-#     caller-owned with per-query release (r11 verdict #3) → the
-#     curation chain re-rows;
-# (3) r11 ADVICE #2 — the replay resplit's one-file-per-slice
-#     contract is a real raise instead of a `python -O`-erasable
-#     assert → the resplit/stateful streaming consumers re-row.
-#
-# Wave 2 (optimization round; every change oracle-verified exact, see
-# OPTIMIZATION_r12.md):
-# (4) persisted multi-consumer stage boundaries (semantic_dedup cell
-#     assignment, q60's component/quality table, incremental dedup's
-#     per-side signature tables) and projection trims before the
-#     exact-dedup windows → the curation/dedup/similarity consumers;
-# (5) repetition_signals' map-only Arrow gram path (native form kept
-#     as the oracle mirror) → q194;
-# (6) F.expr spellings of the token/shingle-hash chains (identical
-#     Catalyst nodes, ~1 py4j round-trip instead of ~1500) → the span/
-#     DSIR/winnow/ngram consumers;
-# (7) connected-components / graph loops: lazy localCheckpoints and
-#     superseded-generation release → the CC/pagerank/HITS consumers.
+# (a) changed in round 13 (fingerprint diff vs the r12-end snapshot,
+# QUERY_FINGERPRINTS.json refreshed at cc45497). q193 LEADS the window
+# (r12 verdict #2): it was the 51st entry of r12's 51-query changed
+# set and the only changed query the 50-row driver window missed.
+# This round's rework (optimization round 2; every change
+# oracle-verified exact, see OPTIMIZATION_r13.md):
+# (1) connected_components measured-size fast path (single-task
+#     vectorized kernel below CC_SMALL_EDGE_THRESHOLD edges, entered
+#     pre-loop or mid-contraction) → the CC consumers;
+# (2) curate_corpus passthrough-column guard (quality-output names
+#     excluded from `other`, r12 ADVICE #3) → q35.
 _CHANGED_THIS_ROUND: list[str] = [
-    # (1) decode/corpus family — the _spread probe swap
-    "q71_multimodal_decode",
-    "q72_multimodal_features",
-    "q73_tag_inference",
-    "q80_video_frame_sample",
-    "q87_audio_chunk_plan",
-    "q106_image_neardup",
-    "q115_png_decode_bucket",
-    "q151_gif_jpeg_decode_bucket",
-    "q177_raster_decode_bucket",
-    "q178_wav_decode_chunk",
-    "q179_video_frame_sample",
-    "q181_image_dedup",
-    "q184_audio_quality_filter",
-    "q187_webp_decode_bucket",
-    "q188_webp_anim_sample",
-    "q190_webp_lossy_decode",
-    "q192_foreign_stream_decode",
-    # (2) curation chain — split-math packing + persist lifecycle,
-    # then the wave-2 projection trims and persisted boundaries
-    "q35_curation_pipeline",
-    "q88_pretraining_corpus",
-    "q104_curation_v2",
-    # (3) replay resplit contract hardening
-    "q68_stream_stateful_stats",
-    "q69_stream_foreachbatch_upsert",
-    "q111_stream_window_drift",
-    "q123_stream_heavy_hitters",
-    "q195_stream_late_data",
-    # (4-7) optimization-round rework set (fingerprint diff)
-    "q194_repetition_signals",
-    "q86_semantic_dedup",
-    "q60_cluster_resolve",
-    "q102_incremental_dedup",
-    "q101_span_dedup",
-    "q118_span_decontaminate",
-    "q95_dsir_logweights",
-    "q114_gumbel_resample",
-    "q50_ngram_repetition",
-    "q54_winnow_fingerprints",
-    "q32_minhash_lsh_neardup",
-    "q34_ngram_jaccard_neardup",
-    "q36_neardup_clusters",
-    "q96_editdist_verify",
-    "q100_bloom_contamination",
-    "q120_minhash_quality_audit",
-    "q125_signature_sidetable",
-    "q161_containment_dedup",
-    "q78_contamination_check",
-    "q91_leakage_safe_split",
-    "q154_pagerank",
-    "q157_hits",
-    "q186_domain_pagerank",
-    "q156_source_js_divergence",
-    "q163_hierarchy_flatten",
     "q193_fasttext_quality_filter",
+    # (1) CC fast path
+    "q36_neardup_clusters",
+    "q60_cluster_resolve",
+    "q86_semantic_dedup",
+    "q91_leakage_safe_split",
+    # (2) curate_corpus guard
+    "q35_curation_pipeline",
 ]
 
 # (b) never rowed: none — registry growth is frozen at 195 for the
-# fourth straight round (r8 rule).
+# fifth straight round (r8 rule).
 _NEVER_ROWED: list[str] = []
 
-# (c) reworked last round with only pre-rework rows: none — all 30
-# round-11 changed queries got green r11 rows (50/50 in
-# CORRECTNESS_r11.json).
+# (c) reworked last round with only pre-rework rows: none — q193, the
+# one r12 window-overflow miss, sits at the head of (a) above (its
+# fingerprint is still drifted vs its newest verified row).
 _REWORKED_LAST_ROUND: list[str] = []
 
 _PRIORITY = [
     *_CHANGED_THIS_ROUND,
     *_NEVER_ROWED,
     *_REWORKED_LAST_ROUND,
-    # (d) stalest first: the remaining round-6 cohort. The wave-2
-    # optimization rework set grew (a) past 50, so this block now
-    # queues BEHIND the 50-row window (changed-first is the rule:
-    # never newer-before-never-rowed, and every (a) entry was reworked
-    # this round); entries that joined (a) above (q125/q34/q50) are
-    # removed here rather than duplicated. The cohort keeps its stale
-    # order for round 13's (d) block.
+    # (d) stalest first: the round-6 cohort deferred two rounds
+    # running (r12's 51-query changed set consumed the whole window),
+    # then the round-7 queue — with only 6 changed entries this round
+    # the 50-row window finally flushes the whole round-6 block and
+    # most of round-7's.
     "q124_group_quantiles",
     "q126_curation_report",
     "q127_cdc_chunks",
@@ -183,8 +114,8 @@ _PRIORITY = [
     "q56_tfidf_topk",
     "q57_stratified_sample",
     "q59_pii_redact",
-    # ---- 50-row driver cutoff lands here ----
-    # round-7 rows, stalest-order queue for r13
+    # round-7 rows, stale queue (6 changed + 22 round-6 + these 15 =
+    # 43 ≤ 50: the whole backlog sits inside this round's window)
     "q17_tokenize_normalize",
     "q18_regex_extract",
     "q24_novelai_order",
@@ -200,6 +131,22 @@ _PRIORITY = [
     "q67_pack_greedy",
     "q70_webdataset_roundtrip",
     "q74_snapshot_diff",
+    # round-7 tail (the 43-entry prefix above leaves 7 window slots;
+    # fill them stalest-first so the registry-order fallback can't
+    # promote a fresher row past these)
+    "q185_entity_resolution",
+    "q189_gapfill_interpolate",
+    "q75_mix_rebalance",
+    "q77_label_centroid_cohesion",
+    "q79_unigram_logprob",
+    "q81_line_dedup",
+    "q82_gopher_rules",
+    # ---- 50-row driver cutoff lands here ----
+    # round-7 remainder (beyond the cutoff; keeps the queue explicit
+    # for the r14 rotation)
+    "q89_temperature_mix",
+    "q92_pack_barriered",
+    "q94_rag_chunking",
 ]
 
 

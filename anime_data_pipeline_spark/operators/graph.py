@@ -18,6 +18,21 @@ At 100 TB: edges shuffle once per iteration on ``dst`` (AQE handles
 skewed in-degree); ranks/outdeg are node-cardinality tables that
 co-partition with the edge join keys. No collect anywhere; the only
 driver-size object is the 1-row dangling-mass aggregate.
+
+Checkpoint retention (r12 ADVICE #2): unlike connected_components —
+whose driver-side loop runs an ACTION per round and can therefore
+release each superseded generation as soon as its last consumer ran —
+these fixed-iteration loops return one LAZY plan and run zero actions
+themselves. Every generation materializes inside the CALLER's single
+action, so at release time (inside the loop) nothing is materialized
+yet and an unpersist would destroy lineage-truncated RDDs the plan
+still needs; after the caller's action this module has no hook.
+The generations (~n_iter node-cardinality tables per call) therefore
+stay pinned until driver GC (ContextCleaner) collects the dropped
+plan. Deliberate: a caller-side release hook would force eager
+evaluation or leak the lazy contract; bounded at n_iter ≈ 5 tables
+per invocation, and localCheckpoint data is MEMORY_AND_DISK so
+pressure spills rather than OOMs.
 """
 
 from __future__ import annotations

@@ -185,7 +185,20 @@ def curate_corpus(
     # reads only (id, text, n_tokens, quality_score), so the other six
     # scored ratio columns are dead weight through the shuffle and the
     # persisted survivor set.
-    other = [c for c in df.columns if c not in (id_col, text_col)]
+    # Exclude the quality-stage output names from the passthrough list
+    # (r12 ADVICE #3): an input corpus that already carries a column
+    # named n_tokens/quality_score would otherwise project a
+    # duplicate-name column and break downstream references (the other
+    # quality outputs are replaced by withColumn, so passing them
+    # through `other` reads the computed value — fine — but the two
+    # explicitly re-selected names would duplicate).
+    _quality_outputs = {
+        "n_chars_m", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "mean_token_len", "quality_score",
+    }
+    other = [
+        c for c in df.columns if c not in (id_col, text_col) and c not in _quality_outputs
+    ]
     kept = scored.filter(F.col("quality_score") >= quality_threshold).select(
         id_col, text_col, *other, "n_tokens", "quality_score"
     )

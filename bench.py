@@ -158,6 +158,27 @@ def main() -> None:
     from anime_data_pipeline_spark.registry import all_queries
     from anime_data_pipeline_spark.session import get_spark
 
+    # r12 verdict #1: the r12 driver record started at load 5.7 and the
+    # round-over-round trend was unreadable. round_close.py already
+    # settle-waits, but the driver runs bench.py directly — so the
+    # bounded wait lives here too: a loud 1-min average at start is
+    # usually a just-exited predecessor (sweeps, a prior bench) decaying
+    # out of the average; only a load that persists past the window is
+    # real co-tenant contention, which the existing warning then marks.
+    # Timing methodology (reps/sink/clearCache) is unchanged; when the
+    # box is already quiet this is a no-op.
+    settle_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "600")
+    )
+    while os.getloadavg()[0] >= 2.0 and time.monotonic() < settle_deadline:
+        print(
+            f"[bench] load1 {os.getloadavg()[0]:.2f} >= 2.0 — settling "
+            "before the timed run",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+
     spark = get_spark(
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},

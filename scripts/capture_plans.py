@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for bench queries into plans/r12/.
+"""Dump .explain("formatted") for bench queries into plans/r13/.
 
 Usage: python scripts/capture_plans.py <suffix> [query_substring ...]
 
-Writes plans/r12/<query>_<suffix>.txt for every bench query (headline +
+Writes plans/r13/<query>_<suffix>.txt for every bench query (headline +
 extras) matching any substring (default: all). Planning only — no jobs
 are executed, so this is safe to run alongside other work.
 """
@@ -28,7 +28,7 @@ def main() -> None:
     spark = get_spark(app_name="capture_plans")
     qs = all_queries()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
     )
     os.makedirs(out_dir, exist_ok=True)
     names = bench.BENCH_QUERIES + bench.EXTRA_QUERIES

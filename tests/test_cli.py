@@ -158,6 +158,24 @@ def test_priority_front_loads_unrowed_and_changed():
             f"priority rule violated — first-50 slots spent on "
             f"un-needy queries while the changed set overflows: {wasted}"
         )
+        # r12 ADVICE #4: constrain WHICH needy queries defer — the
+        # overflow must be exactly the TAIL of the declared changed-set
+        # ordering (deterministic carry-over), so next round's window
+        # provably front-loads the deferred entries and no changed
+        # query can systematically miss driver verification (q193
+        # slipped through exactly this hole in r12).
+        ordered_need = [
+            n
+            for n in (
+                ent._CHANGED_THIS_ROUND + ent._NEVER_ROWED + ent._REWORKED_LAST_ROUND
+            )
+            if n in need
+        ]
+        deferred = sorted(need - first50)
+        assert deferred == sorted(ordered_need[50:]), (
+            f"overflow must defer exactly the changed-list tail; "
+            f"deferred={deferred} expected_tail={sorted(ordered_need[50:])}"
+        )
     # the hand-maintained never-rowed list must match the recomputed one
     assert never_rowed <= set(ent._NEVER_ROWED) | set(ent._CHANGED_THIS_ROUND), (
         f"queries with no driver row missing from _NEVER_ROWED: "

@@ -150,10 +150,57 @@ def test_star_cc_path_graph_logarithmic_rounds(spark):
     edges = spark.range(n - 1).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    labels = connected_components(nodes, edges, max_iters=12)
+    # small_edge_threshold=0 forces the general path: this test pins
+    # the STAR CONTRACTION property itself, which the measured-size
+    # fast path would otherwise absorb at this scale.
+    labels = connected_components(nodes, edges, max_iters=12, small_edge_threshold=0)
+    assert connected_components.last_path == "star"
     assert labels.filter(F.col("component") != 0).count() == 0
     rounds = connected_components.last_rounds
     assert rounds <= math.log2(n) + 2, f"star CC took {rounds} rounds"
+
+
+def test_cc_small_fast_path_equals_star_path(spark):
+    """Falsifiability for the measured-size fast path: the SAME mixed
+    topology (cliques + bridge + path + isolates) must label
+    identically through the single-task kernel (default threshold),
+    the general star path (threshold=0), and a mid-run switch
+    (threshold sized so the loop starts general and finishes small)."""
+    import random
+
+    from anime_data_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    # Dense random block (60 nodes, ~400 distinct edges — star rounds
+    # contract it steeply toward ~1 edge/non-root) + a path + isolates.
+    pairs = (
+        sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(500)})
+        + [(100 + i, 100 + i + 1) for i in range(30)]
+        + [(59, 100)]
+    )
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    node_ids = sorted({x for p in pairs for x in p} | {990, 991})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "node long")
+
+    def run(threshold):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                nodes, edges, small_edge_threshold=threshold
+            ).collect()
+        }
+        return got, connected_components.last_path, connected_components.last_rounds
+
+    star, star_path, _ = run(0)
+    assert star_path == "star"
+    small, small_path, small_rounds = run(len(pairs) + 1)
+    assert small_path == "small" and small_rounds == 0
+    # threshold below the initial distinct edge count (~430) but above
+    # the post-round-1 edge set (≈ non-root node count, ≈ 92) → enters
+    # the loop, then switches: both fast-path branch points exercised.
+    mid, mid_path, mid_rounds = run(150)
+    assert mid_path == "small" and mid_rounds >= 1
+    assert small == star and mid == star
 
 
 def test_star_cc_matches_label_propagation_semantics(spark):

@@ -682,3 +682,43 @@ def test_persisted_stage_boundaries_release_with_the_session_cache(spark, sf_dir
     assert n_pinned() > 0  # the probe sees the leak the fix targets
     spark.catalog.clearCache()
     assert n_pinned() == 0
+
+
+def test_cc_releases_superseded_checkpoint_generations(spark):
+    """r12 verdict #6 / ADVICE #1: ``_ckpt_release`` rides private
+    internals (analyzed-plan → LogicalRDD → unpersist) and swallows
+    exceptions, so a Spark upgrade that changes the checkpointed DF's
+    plan shape would silently re-open the per-round RDD leak. This
+    pins the release itself: a multi-round star-path CC run (the fast
+    path disabled) must leave exactly ONE pinned RDD — the final edge
+    generation the returned lazy plan references — not one per round.
+    """
+    from anime_data_pipeline_spark.operators.dedup import connected_components
+
+    def n_pinned() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    # same dead-leftover sweep as above: assert OUR release, not GC
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
+    assert n_pinned() == 0
+    n = 128
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(nodes, edges, small_edge_threshold=0)
+    assert connected_components.last_rounds >= 3  # multi-generation run
+    out.write.format("noop").mode("overwrite").save()
+    assert n_pinned() == 1, (
+        f"{n_pinned()} pinned RDDs after a {connected_components.last_rounds}"
+        "-round CC — superseded checkpoint generations were not released"
+    )
+    # the final generation is dead once the result is materialized and
+    # the plan dropped — it waits on GC by design (documented); release
+    # it here so this test leaves no order-dependent residue
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
