@@ -1003,6 +1003,8 @@ def remove_duplicate_spans(
     n: int = 10,
     min_count: int = 2,
     carry: tuple[str, ...] = (),
+    pretokenized: bool = False,
+    emit_tokens: bool = False,
 ) -> DataFrame:
     """Exact duplicated-span removal (the hash-gram form of Lee et al.
     2022's ExactSubstr dedup): any n-token span whose hash occurs ≥
@@ -1028,12 +1030,26 @@ def remove_duplicate_spans(
     ride through so callers need no join-back onto the (possibly
     expensive) upstream — q104 carries (lang, source), saving a whole
     re-evaluation of its quality→window-dedup chain.
+
+    ``pretokenized=True``: ``text_col`` already holds the token array
+    (tokens() semantics — non-empty, space-free elements). The operator
+    reads ``base`` from two sides (span explode + rebuild), so a caller
+    with a persisted upstream should tokenize ONCE into that boundary
+    instead of paying the split per side. ``emit_tokens=True`` returns
+    the surviving tokens as ``cleaned_toks`` (array) instead of the
+    joined ``cleaned`` string — exact inverse-free form of
+    ``tokens(cleaned)``, for callers that only consume the tokens
+    (tokens are non-empty and contain no ' ', so
+    tokens(concat_ws(' ', kept)) ≡ kept).
     """
+    toks_expr = (
+        F.col(text_col) if pretokenized else F.expr(tokens_spark_expr(text_col))
+    )
     base = (
         df.select(
             F.col(id_col).alias("doc"),
             *[F.col(c) for c in carry],
-            F.expr(tokens_spark_expr(text_col)).alias("_toks"),
+            toks_expr.alias("_toks"),
         )
         .withColumn("_th", F.expr(token_hashes_spark_expr("_toks")))
         .withColumn("_sh", F.expr(shingle_hashes_spark_expr("_th", n)))
@@ -1058,6 +1074,15 @@ def remove_duplicate_spans(
         ),
         F.array().cast("array<int>"),
     )
+    kept_toks = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.array_contains(F.col("_cov"), (i + F.lit(1)).cast("int")),
+    )
+    out = (
+        kept_toks.alias("cleaned_toks")
+        if emit_tokens
+        else F.concat_ws(" ", kept_toks).alias("cleaned")
+    )
     return (
         base.join(dpos, "doc", "left")
         .withColumn("_cov", covered)
@@ -1066,13 +1091,7 @@ def remove_duplicate_spans(
             *carry,
             F.size("_toks").cast("long").alias("n_tokens"),
             F.size("_cov").cast("long").alias("n_dropped"),
-            F.concat_ws(
-                " ",
-                F.filter(
-                    F.col("_toks"),
-                    lambda x, i: ~F.array_contains(F.col("_cov"), (i + F.lit(1)).cast("int")),
-                ),
-            ).alias("cleaned"),
+            out,
         )
     )
 

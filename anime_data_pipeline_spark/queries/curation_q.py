@@ -356,13 +356,19 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text rebuild); its lineage is the quality forest + dual-hash
     # window — persist wins over recompute here (measured 8.5→7.4 s at
     # sf0.1; the window chain is exactly the expensive-upstream case
-    # where persist pays, unlike cheap-scan upstreams).
+    # where persist pays, unlike cheap-scan upstreams). r13: the
+    # boundary holds the TOKEN ARRAY instead of the text — tokenize
+    # runs once into the persist (post-window, so the dedup shuffle
+    # still carries strings+hashes only) rather than once per span-op
+    # side, and nothing downstream reads the raw text again.
+    from anime_data_pipeline_spark.functions.text import tokens
+
     uniq = (
         hyg.withColumn("_chash", polyhash(F.col("text")))
         .withColumn("_chash2", polyhash2(F.col("text")))
         .withColumn("_keeper", keeper)
         .filter(F.col("doc_id") == F.col("_keeper"))
-        .select("doc_id", "lang", "source", "text")
+        .select("doc_id", "lang", "source", tokens(F.col("text")).alias("_toks"))
         .persist()
     )
     # C: ExactSubstr span cleaning; drop docs losing more than half.
@@ -370,26 +376,32 @@ def q104_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality→window-dedup chain (measured: the A-C stage was 70% of
     # q104's wall time, dominated by re-derivations of `uniq`).
     cleaned = remove_duplicate_spans(
-        uniq, "doc_id", "text", n=_Q104_SPAN_N, min_count=2, carry=("lang", "source")
+        uniq,
+        "doc_id",
+        "_toks",
+        n=_Q104_SPAN_N,
+        min_count=2,
+        carry=("lang", "source"),
+        pretokenized=True,
+        emit_tokens=True,
     )
     # Stage boundary: every downstream stage (DSIR's two featurize
     # passes, the LM aggs, the source join) re-derives the full
     # hygiene → window-dedup → span-dedup chain otherwise. Same
-    # persisted-stage-boundary pattern as the q88 chain. The TOKEN
-    # ARRAY is materialized here once: DSIR's two featurize passes and
-    # the LM aggs all consumed `text` separately before, re-running the
-    # regex tokenizer three times over the persisted corpus.
-    from anime_data_pipeline_spark.functions.text import tokens
-
+    # persisted-stage-boundary pattern as the q88 chain. The surviving
+    # TOKEN ARRAY carries straight through (emit_tokens:
+    # tokens(concat_ws(' ', kept)) ≡ kept, so rebuilding a cleaned
+    # string only to re-split it would be two dead corpus passes —
+    # r12 left that on the table; DSIR's two featurize passes and the
+    # LM aggs consume the array as before).
     ckept = (
         cleaned.filter(F.col("n_dropped") * 2 <= F.col("n_tokens"))
         .select(
             F.col("doc").alias("doc_id"),
             "lang",
             "source",
-            F.col("cleaned").alias("text"),
+            F.col("cleaned_toks").alias("_toks"),
         )
-        .withColumn("_toks", tokens(F.col("text")))
         .persist()
     )
     # D: DSIR importance weights on the cleaned corpus
