@@ -404,6 +404,11 @@ def ivf_assign(
     tree is O(k·dim) literals; fine to ~:data:`LITERAL_CENTROID_MAX`).
     For large k use :func:`assign_cells`, which switches to a broadcast
     centroid-DataFrame join so the plan stays O(1) in k.
+
+    :func:`assign_cells` builds the PARSED twin
+    (:func:`ivf_assign_expr` — identical nodes, ~1 py4j round-trip);
+    this Column spelling is kept as the readable mirror, pinned equal
+    by ``tests/test_similarity.py``.
     """
     if vn is None:
         vn = F.sqrt(sq_norm(v))
@@ -416,6 +421,32 @@ def ivf_assign(
         )
     best = F.array_max(F.array(*entries))
     return (-best["negid"]).cast("long")
+
+
+def ivf_assign_expr(v_name: str, centroids: list[tuple[int, list[float]]], vn_name: str) -> Column:
+    """:func:`ivf_assign` rendered as ONE ``F.expr`` string — identical
+    Catalyst nodes after parsing (same zip_with/aggregate left-fold,
+    same shortest-roundtrip double literals via :func:`_fmt_double`,
+    same (s, -cid) struct-max tiebreak) at ~1 py4j round-trip instead
+    of ~k·(dim+6): the Column-API spelling cost ~2-9 s of driver
+    plan-build per call at k=16 × dim=64 (every ``F.lit`` element and
+    HOF lambda is a round-trip) — the same latency class, and the same
+    fix, as ``_srp_bucket_expr``. Takes column NAMES (the expr is
+    parsed, not composed)."""
+    entries = []
+    for cid, cv in centroids:
+        arr = ", ".join(_fmt_double(float(x)) for x in cv)
+        d = (
+            f"aggregate(zip_with(`{v_name}`, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, t) -> acc + t)"
+        )
+        score = f"({d}) / (`{vn_name}` * {_fmt_double(centroid_norm(cv))})"
+        entries.append(
+            f"named_struct('s', {score}, 'negid', CAST({-int(cid)} AS BIGINT))"
+        )
+    return F.expr(
+        f"CAST(-(array_max(array({', '.join(entries)})).negid) AS BIGINT)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -518,7 +549,7 @@ def assign_cells(
         return df.withColumn(
             "_vn", F.sqrt(sq_norm(F.col(vec_col)))
         ).withColumn(
-            out_col, ivf_assign(F.col(vec_col), centroids, vn=F.col("_vn"))
+            out_col, ivf_assign_expr(vec_col, centroids, "_vn")
         ).drop("_vn")
     cent = _centroid_df(df.sparkSession, centroids)
     assign = (

@@ -121,6 +121,39 @@ def test_assign_cells_join_path_matches_literal_path(spark, sf_dir):
     assert lit == join and len(lit) == corpus.count()
 
 
+def test_ivf_assign_expr_matches_column_mirror(spark, sf_dir):
+    """r13: assign_cells' literal path parses ONE SQL string
+    (ivf_assign_expr); the Column-API spelling stays as the readable
+    mirror. Both must produce the identical (vec_id → cell) map —
+    same fold order, same double literals, same (s, -cid) tiebreak."""
+    from anime_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_expr,
+        seed_centroids,
+        sq_norm,
+        to_double_array,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cents = seed_centroids(corpus, "vec_id", "v", 16)
+    base = corpus.withColumn("_vn", F.sqrt(sq_norm(F.col("v"))))
+    mirror = {
+        r["vec_id"]: r["cell"]
+        for r in base.withColumn(
+            "cell", ivf_assign(F.col("v"), cents, vn=F.col("_vn"))
+        ).collect()
+    }
+    parsed = {
+        r["vec_id"]: r["cell"]
+        for r in base.withColumn(
+            "cell", ivf_assign_expr("v", cents, "_vn")
+        ).collect()
+    }
+    assert mirror == parsed and len(parsed) == corpus.count()
+
+
 def test_probe_cells_join_path_matches_literal_path(spark, sf_dir):
     from anime_data_pipeline_spark.operators.similarity import (
         probe_cells,
