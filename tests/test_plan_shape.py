@@ -682,6 +682,18 @@ def test_persisted_stage_boundaries_release_with_the_session_cache(spark, sf_dir
     assert n_pinned() > 0  # the probe sees the leak the fix targets
     spark.catalog.clearCache()
     assert n_pinned() == 0
+    # r12 ADVICE #5: q86's cell-assignment persist follows the same
+    # caller-released convention — cover its lifecycle too. Its CC
+    # checkpoint (outside the CacheManager by design, released only
+    # for superseded generations) may remain; assert the CACHE is
+    # empty rather than the raw pinned count.
+    cache = spark._jsparkSession.sharedState().cacheManager()
+    all_queries()["q86_semantic_dedup"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert not cache.isEmpty()  # the persist is live behind the plan
+    spark.catalog.clearCache()
+    assert cache.isEmpty()
 
 
 def test_cc_releases_superseded_checkpoint_generations(spark):
